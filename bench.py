@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark the headline query surface at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is executed to completion (count() on aggregates /
+write-discard semantics via count for wide outputs) after a warm-up of
+the session. Wall-clock is the median of N runs (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from chicago_crash_data_pipeline_dashboard_spark.plans import QUERIES
+from chicago_crash_data_pipeline_dashboard_spark.plans import analytics  # noqa: F401
+from chicago_crash_data_pipeline_dashboard_spark.session import get_spark
+
+try:  # optional query families registered if present
+    from chicago_crash_data_pipeline_dashboard_spark.plans import text_ops  # noqa: F401
+except ImportError:
+    pass
+try:
+    from chicago_crash_data_pipeline_dashboard_spark.plans import similarity_ops  # noqa: F401
+except ImportError:
+    pass
+try:
+    from chicago_crash_data_pipeline_dashboard_spark.plans import crash_ops  # noqa: F401
+except ImportError:
+    pass
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="ccpd_bench")
+
+    # warm up JVM / parquet footers once, not billed to any query
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(QUERIES.items()):
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # force full execution without driver materialization cost
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_median_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "runs": RUNS,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

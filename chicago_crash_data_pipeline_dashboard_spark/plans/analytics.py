@@ -1,0 +1,700 @@
+"""Core relational query surface over the driver testdata tables.
+
+Every query here re-expresses one or more reference operators
+(SURVEY.md §2, file:line cited per query) as an idiomatic Spark
+DataFrame plan, with a DuckDB oracle for the differential harness.
+
+Cross-engine determinism conventions (see registry.py docstring):
+
+- double sums: ``CAST(per-row double AS DECIMAL(25,6))`` → SUM → DOUBLE.
+  The per-row double product is IEEE-identical across engines; the
+  decimal sum is exact and order-independent; a scale-6 decimal boundary
+  (odd/2e6) is not representable in binary, so the two engines' cast
+  rounding modes can never disagree.
+- ratios: computed from exact integer/decimal parts in double at the end.
+- day-of-week: Spark ``dayofweek`` is Sun=1; oracle uses
+  ``EXTRACT(dow)+1`` (DuckDB dow is Sun=0).
+- deterministic order only when the query itself is a top-k; otherwise
+  output order is unconstrained (harness compares order-insensitively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .registry import load, register
+
+# A money-safe exact-sum helper: per-row double expr -> exact decimal sum -> double
+def _dsum(expr) -> F.Column:
+    return F.sum(expr.cast("decimal(25,6)")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Q1. Pricing summary — grouped multi-aggregate scan
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)                       AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)                  AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+      CAST(COUNT(*) AS BIGINT)                                                     AS count_order,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)            AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Reference A3/A6 grouped sum+count (streamlit_frontend.py:1045-1074, "
+    "duckdb_writer.py:126) as a TPC-H-Q1-style scan. Single shuffle on the "
+    "group keys with map-side partial aggregation; filter + 6-column "
+    "projection push into the parquet scan.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+            (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2. Grouped boolean rate — the reference's "hit-and-run rate by X" shape
+# --------------------------------------------------------------------------
+@register(
+    "rate_by_priority",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      100.0 * SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) / COUNT(*) AS f_rate_pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Reference A3 (streamlit_frontend.py:1070-1074): grouped sum+count → "
+    "percentage. Integer parts exact; ratio derived in double at the end.",
+)
+def rate_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    is_f = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(is_f).alias("n_f"),
+        (F.lit(100.0) * F.sum(is_f) / F.count(F.lit(1))).alias("f_rate_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3. value_counts + top-k with deterministic tie-break
+# --------------------------------------------------------------------------
+@register(
+    "value_counts_topk",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    LIMIT 5
+    """,
+    doc="Reference A5/W4 (streamlit_frontend.py:978, 1276): frequency desc "
+    "top-k. Compiles to partial-agg + TakeOrderedAndProject — no full sort "
+    "at scale. Tie-break on the key for determinism (SURVEY §4.3).",
+)
+def value_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4. Pivot (wide) aggregation — hour × day-of-week
+# --------------------------------------------------------------------------
+@register(
+    "pivot_hour_dow",
+    oracle="""
+    SELECT
+      EXTRACT(hour FROM ts) AS crash_hour,
+      CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+      CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+      CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+      CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+      CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS d6,
+      CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS d7
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Reference A16 pivot (streamlit_frontend.py:1222-1257): "
+    "groupBy(hour).pivot(dow).count + fill 0. Explicit pivot values avoid "
+    "the extra distinct-values job Spark otherwise runs.",
+)
+def pivot_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    withkeys = ev.select(
+        F.hour("ts").alias("crash_hour"),
+        F.dayofweek("ts").alias("dow"),
+    )
+    piv = (
+        withkeys.groupBy("crash_hour")
+        .pivot("dow", list(range(1, 8)))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return piv.select(
+        "crash_hour", *[F.col(str(d)).cast("long").alias(f"d{d}") for d in range(1, 8)]
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5. Null/missing-data profile
+# --------------------------------------------------------------------------
+@register(
+    "null_profile",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+      CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_totalprice,
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priority,
+      CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_pk,
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pk
+    FROM orders
+    """,
+    doc="Reference A7/A13/A14 data-quality profile "
+    "(streamlit_frontend.py:933,1625,1630; duckdb_writer.py:246-264): "
+    "null counts, duplicate-PK count, null-PK count in ONE scan "
+    "(single aggregate, no per-column jobs).",
+)
+def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def nulls(c: str):
+        return F.sum(F.col(c).isNull().cast("long"))
+
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nulls("o_custkey").alias("null_custkey"),
+        nulls("o_totalprice").alias("null_totalprice"),
+        nulls("o_orderpriority").alias("null_priority"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        nulls("o_orderkey").alias("null_pk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6. Exact median / 95th percentile
+# --------------------------------------------------------------------------
+@register(
+    "quantiles",
+    oracle="""
+    SELECT
+      ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6)  AS median_qty,
+      ROUND(CAST(quantile_cont(l_quantity, 0.95) AS DOUBLE), 6) AS p95_qty,
+      ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6)  AS median_price,
+      ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 6) AS p95_price
+    FROM lineitem
+    """,
+    doc="Reference A11/A12 exact interpolating percentile "
+    "(cleaning_rules.py:198-202, streamlit_frontend.py:1365). Uses exact "
+    "`percentile`, NOT approx_percentile, to match the pandas/DuckDB "
+    "interpolation (SURVEY §4.3). Rounded to 6dp: interpolation arithmetic "
+    "is FP-order-stable but not bit-guaranteed across engines.",
+)
+def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7. Pre-aggregate-then-left-join (the Silver transform join shape)
+# --------------------------------------------------------------------------
+@register(
+    "order_profile",
+    oracle="""
+    SELECT
+      o.o_orderkey,
+      o.o_orderpriority,
+      CAST(COALESCE(l.n_items, 0) AS BIGINT) AS n_items,
+      CAST(COALESCE(l.sum_qty, 0.0) AS DOUBLE) AS sum_qty,
+      COALESCE(l.flags, '') AS flags
+    FROM orders o
+    LEFT JOIN (
+      SELECT
+        l_orderkey,
+        COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags
+      FROM lineitem
+      GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+    doc="Reference J2/J3/A1/A2/W2 (transformer.py:207-256): many-to-one "
+    "pre-aggregation (count + sorted distinct list) BEFORE the left join — "
+    "the semi-join-reduction design the reference bakes in and Catalyst "
+    "won't invent. List serialized to CSV string = F18 to_json analog. "
+    "Both sides shuffle on the join key once; at 100 TB this is a "
+    "co-partitioned sort-merge join.",
+)
+def order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("flags"),
+    )
+    return o.join(agg, o.o_orderkey == agg.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.coalesce("sum_qty", F.lit(0.0)).alias("sum_qty"),
+        F.coalesce("flags", F.lit("")).alias("flags"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8. Deterministic keep-first dedup (window row_number)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+    doc="Reference W9 keep-first dedup (transformer.py:258). Polars "
+    "keep='first' is insertion-order-defined; the Spark-correct version is "
+    "an EXPLICIT total order (ts, event_id) + row_number (SURVEY §4.3) — "
+    "deterministic on any cluster/partitioning.",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9. Anti-join (the Gold PK upsert shape)
+# --------------------------------------------------------------------------
+@register(
+    "anti_join_new_keys",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers_no_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Reference J6/M2 insert-if-absent upsert (duckdb_writer.py:141-225): "
+    "left-anti join against existing keys. The key set is projected to ONE "
+    "column before the join; at scale the anti-join is broadcast when the "
+    "existing-keys side is small, else shuffled-hash.",
+)
+def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10. Semi-join ("enrich only crashes we have" shape)
+# --------------------------------------------------------------------------
+@register(
+    "semi_join_discounted",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Reference J1 API-level semi-join (extractor/main.go:814-910): the "
+    "IN-list batching disappears into a left-semi join; the filter on the "
+    "probe side is pushed below the join into the parquet scan.",
+)
+def semi_join_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.08)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11. Top-k by derived measure with dimension lookup join
+# --------------------------------------------------------------------------
+@register(
+    "topk_orders_by_revenue",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderkey, c.c_name
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="Reference W3 order-by-desc + limit (streamlit_frontend.py:1677) over "
+    "a 3-table join. Customer is broadcast (small dim); the agg output "
+    "feeds TakeOrderedAndProject — no global sort materialization. Exact "
+    "decimal revenue makes the top-k tie-break engine-stable.",
+)
+def topk_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(_dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12. Correlation / covariance statistics
+# --------------------------------------------------------------------------
+@register(
+    "corr_stats",
+    oracle="""
+    SELECT
+      ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      ROUND(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+    doc="Reference A15 Pearson correlation matrix "
+    "(streamlit_frontend.py:1400-1406) as pairwise corr aggregates — one "
+    "distributed pass, rounded to 6dp (streaming moments are "
+    "FP-order-sensitive in the last ULPs).",
+)
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13. Numeric binning (pd.cut analog, right-closed)
+# --------------------------------------------------------------------------
+@register(
+    "price_bins",
+    oracle="""
+    SELECT
+      CASE
+        WHEN o_totalprice <= 50000 THEN '0-50k'
+        WHEN o_totalprice <= 150000 THEN '50-150k'
+        WHEN o_totalprice <= 300000 THEN '150-300k'
+        WHEN o_totalprice <= 450000 THEN '300-450k'
+        ELSE '450k+'
+      END AS price_bin,
+      CAST(COUNT(*) AS BIGINT) AS cnt,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Reference F17 pd.cut speed binning (streamlit_frontend.py:1041-1043) "
+    "— right-closed intervals as chained CASE/when; stays in whole-stage "
+    "codegen, no Bucketizer ML dependency.",
+)
+def price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    bin_col = (
+        F.when(p <= 50000, "0-50k")
+        .when(p <= 150000, "50-150k")
+        .when(p <= 300000, "150-300k")
+        .when(p <= 450000, "300-450k")
+        .otherwise("450k+")
+    )
+    return (
+        o.select(bin_col.alias("price_bin"), "o_totalprice")
+        .groupBy("price_bin")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14. Event-time feature derivation (weekend / hour_bin / dow)
+# --------------------------------------------------------------------------
+@register(
+    "time_features",
+    oracle="""
+    SELECT
+      CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+      CAST(CASE WHEN EXTRACT(dow FROM ts) + 1 IN (1, 7) THEN 1 ELSE 0 END AS INTEGER) AS is_weekend,
+      CASE
+        WHEN EXTRACT(hour FROM ts) <= 6 THEN 'night'
+        WHEN EXTRACT(hour FROM ts) <= 12 THEN 'morning'
+        WHEN EXTRACT(hour FROM ts) <= 18 THEN 'afternoon'
+        ELSE 'evening'
+      END AS hour_bin,
+      CAST(COUNT(*) AS BIGINT) AS cnt,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Reference F4 is_weekend (cleaning_rules.py:92-97, Sun=1/Sat=7) and "
+    "F5 hour_bin boundaries 6/12/18/23 (cleaning_rules.py:100-112) over "
+    "event time. Spark dayofweek is already Sun=1 (matches Socrata).",
+)
+def time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dow = F.dayofweek("ts")
+    hr = F.hour("ts")
+    hour_bin = (
+        F.when(hr <= 6, "night")
+        .when(hr <= 12, "morning")
+        .when(hr <= 18, "afternoon")
+        .otherwise("evening")
+    )
+    return (
+        ev.select(
+            dow.alias("dow"),
+            F.when(dow.isin(1, 7), 1).otherwise(0).alias("is_weekend"),
+            hour_bin.alias("hour_bin"),
+            "value",
+        )
+        .groupBy("dow", "is_weekend", "hour_bin")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15. Whitelist-else-OTHER recode (two-step, weather-style)
+# --------------------------------------------------------------------------
+@register(
+    "whitelist_recode",
+    oracle="""
+    WITH up AS (
+      SELECT CASE WHEN upper(event_type) IN ('ERROR', 'TIMEOUT') THEN 'FAILURE'
+                  ELSE upper(event_type) END AS et
+      FROM events
+    )
+    SELECT
+      CASE WHEN et IN ('CLICK', 'VIEW', 'PURCHASE', 'FAILURE') THEN et ELSE 'OTHER' END AS event_class,
+      CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM up
+    GROUP BY 1
+    """,
+    doc="Reference F10/F11 uppercase + whitelist-else-OTHER and the two-step "
+    "weather consolidation (cleaning_rules.py:153-181): first a group-merge "
+    "recode, then the whitelist gate. Pure when/otherwise chains — "
+    "codegen'd, no UDF.",
+)
+def whitelist_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    up = F.upper(F.col("event_type"))
+    step1 = F.when(up.isin("ERROR", "TIMEOUT"), "FAILURE").otherwise(up)
+    step2 = F.when(step1.isin("CLICK", "VIEW", "PURCHASE", "FAILURE"), step1).otherwise("OTHER")
+    return ev.select(step2.alias("event_class")).groupBy("event_class").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16. Run-history aggregate (min/max timestamps per group, top-k by max)
+# --------------------------------------------------------------------------
+@register(
+    "run_history",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Reference A8/A9/A10 run history (streamlit_frontend.py:1668-1679): "
+    "per-group count + MIN/MAX timestamps. The reference's "
+    "latest-run-argmax (LIMIT 1 by MAX desc) is this plus "
+    "TakeOrderedAndProject.",
+)
+def run_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17. Analytic window — running revenue per customer
+# --------------------------------------------------------------------------
+@register(
+    "running_customer_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    doc="True analytic window (beyond the reference's surface — SURVEY §2.5 "
+    "notes it has none; a Spark-native engine should). Cumulative decimal "
+    "sum + row_number over an explicit total order; one shuffle on "
+    "o_custkey serves both window functions.",
+)
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18. Unpivot / melt
+# --------------------------------------------------------------------------
+@register(
+    "unpivot_daily_events",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)  AS view
+      FROM events GROUP BY 1
+    )
+    SELECT day, 'click' AS kind, CAST(click AS BIGINT) AS cnt FROM wide
+    UNION ALL
+    SELECT day, 'view' AS kind, CAST(view AS BIGINT) AS cnt FROM wide
+    """,
+    doc="Reference W11 melt (streamlit_frontend.py:1140): wide conditional "
+    "agg then unpivot back to long. Spark `unpivot` (3.4+) — no UDF, no "
+    "driver round-trip.",
+)
+def unpivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wide = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("view"),
+    )
+    return wide.unpivot("day", ["click", "view"], "kind", "cnt")
+
+
+# --------------------------------------------------------------------------
+# Q19. Deterministic hash-sample (seeded-sample analog)
+# --------------------------------------------------------------------------
+@register(
+    "hash_sample_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY c_mktsegment
+    """,
+    doc="Reference W7 seeded sample (streamlit_frontend.py:1308,1327) made "
+    "engine-portable: a deterministic hash-based Bernoulli sample "
+    "(md5 prefix ⇒ ~2/16 rate). Unlike rand(seed), identical across "
+    "engines, re-runs, and partitionings — the right reproducible-sample "
+    "primitive at scale.",
+)
+def hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bucket = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+    return (
+        c.filter(bucket.isin("0", "1"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            _dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20. Star-schema rollup: revenue by region/nation (multi-join)
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="Dimension-chain join (customer→nation→region all broadcast — zero "
+    "shuffle for the dims; one shuffle for the fact agg). The reference "
+    "has no star schema, but this is the canonical shape its "
+    "grouped-metric queries take at warehouse scale.",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )

@@ -1,0 +1,67 @@
+"""Query registry: one named entry per implemented operator/query.
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame``; most carry a
+DuckDB-runnable ANSI SQL oracle over the same parquet tables (views are
+pre-registered by the driver: region nation customer supplier part
+orders lineitem events documents embeddings).
+
+Parity rules (applied consistently on BOTH sides):
+
+- every computed column is aliased identically in Spark and SQL;
+- double *sums/avgs* go through ``DECIMAL`` so the aggregation is exact
+  and order-independent (a plain double sum differs between engines —
+  and between Spark runs — in the last ULP);
+- statistics that are inherently order-sensitive in floating point
+  (corr, percentile) are rounded to a tolerance both engines agree on;
+- timestamps use explicit, engine-portable expressions (e.g. day-of-week
+  is computed with ISO ``EXTRACT`` arithmetic because Spark's
+  ``dayofweek`` is Sun=1 while DuckDB's ``dow`` is Sun=0).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class OracleSpec:
+    """A registered query + its (optional) DuckDB oracle SQL."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, OracleSpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator adding a query to the global registry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = OracleSpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table lazily.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS); Spark reads it
+    as nanos-since-epoch long (``spark.sql.legacy.parquet.nanosAsLong``)
+    and we convert to a microsecond timestamp here — same truncation
+    DuckDB applies when it reads nanos into its micro-precision
+    TIMESTAMP, so both engines see identical values.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer DIV — double division loses ULPs on int64 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
