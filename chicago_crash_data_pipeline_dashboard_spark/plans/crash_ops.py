@@ -1,0 +1,304 @@
+"""Crash-domain cleaning chain under the DuckDB-oracle gate.
+
+The driver testdata has no crash tables, so we synthesize a bronze-
+shaped (all-string, messy) crash frame DETERMINISTICALLY from
+``events`` — identical expressions on both engines — then run the REAL
+engine operator (``operators.clean.clean_crashes``) on the Spark side
+against a full SQL replication of the reference cleaning chain
+(cleaner/cleaning_rules.py:11-223) on the DuckDB side.
+
+This puts every cleaning rule (F3-F15, P3-P5 + the §4.3 traps: null-
+safe bbox, half-even rounding via round_even, 'nan_nan' grid ids,
+null→OTHER recodes, exact-median imputation) under the hash-compare
+correctness gate, not just under pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.clean import clean_crashes
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# deterministic messy-bronze synthesis (identical in Spark + DuckDB)
+# ---------------------------------------------------------------------------
+
+_BOOL_TOKENS = [
+    "'Y'", "'n'", "' yes '", "'TRUE'", "'t'", "'1'", "'1.0'", "'0'", "'no'",
+    "'garbage'", "NULL", "'T'",
+]
+_WEATHER = [
+    "'CLEAR'", "'RAIN'", "'CLOUDY/OVERCAST'", "'SNOW'", "'BLOWING SNOW'",
+    "'SLEET/HAIL'", "'FREEZING RAIN/DRIZZLE'", "'FOG/SMOKE/HAZE'", "'clear'", "NULL",
+]
+_CRASH_TYPE = [
+    "'NO INJURY / DRIVE AWAY'", "'INJURY AND / OR TOW DUE TO CRASH'",
+    "'no injury / drive away'", "'SIDESWIPE'", "NULL", "'REAR END'",
+]
+_LIGHTING = [
+    "'DAYLIGHT'", "'DARKNESS'", "'DARKNESS, LIGHTED ROAD'", "'DAWN'", "'DUSK'",
+    "'UNKNOWN'", "'odd'", "NULL",
+]
+_SURFACE = ["'DRY'", "'WET'", "'SNOW OR SLUSH'", "'ICE'", "'UNKNOWN'", "'dry'", "NULL"]
+_TRAFFIC = ["'NO CONTROLS'", "'TRAFFIC SIGNAL'", "'STOP SIGN/FLASHER'", "'UNKNOWN'", "NULL"]
+_DEFECT = ["'NO DEFECTS'", "'RUT, HOLES'", "'UNKNOWN'", "NULL"]
+_DIRECTION = ["'N'", "'S'", "'E'", "'W'"]
+_TRAFFICWAY = ["'NOT DIVIDED'", "'FOUR WAY'", "'DIVIDED - W/MEDIAN BARRIER'", "'ONE-WAY'", "NULL"]
+
+
+def _pick(col: str, options: list[str], shift: int) -> str:
+    """CASE (col+shift) % len(options) → options[i]; engine-portable."""
+    n = len(options)
+    arms = "".join(
+        f" WHEN ({col} + {shift}) % {n} = {i} THEN {opt}" for i, opt in enumerate(options)
+    )
+    return f"CASE{arms} END"
+
+
+def _synth_sql() -> str:
+    """The bronze-synthesis SELECT (runs on both engines; DuckDB needs
+    EXTRACT instead of Spark's hour(), handled by dialect arg)."""
+    return f"""
+      SELECT
+        CASE WHEN event_id % 97 = 0 THEN NULL
+             ELSE 'CR' || lpad(CAST(event_id AS __STR__), 8, '0') END AS crash_record_id,
+        CASE WHEN event_id % 41 = 0 THEN NULL
+             ELSE CAST(CAST(ts AS DATE) AS __STR__) || 'T' ||
+                  lpad(CAST(__HOUR__ AS __STR__), 2, '0') || ':15:30' END AS crash_date,
+        {_pick('event_id', _CRASH_TYPE, 0)} AS crash_type,
+        CASE WHEN event_id % 11 = 0 THEN NULL
+             WHEN event_id % 13 = 0 THEN '99'
+             ELSE CAST(15 + (event_id % 9) * 5 AS __STR__) END AS posted_speed_limit,
+        {_pick('event_id', _WEATHER, 3)} AS weather_condition,
+        {_pick('event_id', _BOOL_TOKENS, 1)} AS hit_and_run_i,
+        CASE WHEN event_id % 17 = 0 THEN NULL
+             ELSE CAST(100 + event_id % 2400 AS __STR__) END AS beat_of_occurrence,
+        CASE WHEN event_id % 19 = 0 THEN NULL
+             WHEN event_id % 23 = 0 THEN '14'
+             ELSE CAST(1 + event_id % 3 AS __STR__) END AS num_units,
+        CASE WHEN event_id % 29 = 0 THEN NULL
+             ELSE CAST(event_id % 5 AS __STR__) END AS injuries_total,
+        CASE WHEN event_id % 37 = 0 THEN NULL
+             ELSE CAST(__HOUR__ AS __STR__) END AS crash_hour,
+        CASE WHEN event_id % 43 = 0 THEN NULL
+             ELSE CAST(1 + event_id % 7 AS __STR__) END AS crash_day_of_week,
+        CASE WHEN event_id % 31 = 0 THEN NULL
+             WHEN event_id % 53 = 0 THEN '0'
+             WHEN event_id % 59 = 0 THEN '45.5'
+             ELSE CAST(CAST(41.6 + (event_id % 500) / 1000.0 AS DECIMAL(10, 4)) AS __STR__)
+        END AS latitude,
+        CASE WHEN event_id % 31 = 0 THEN NULL
+             WHEN event_id % 53 = 0 THEN '0'
+             WHEN event_id % 59 = 0 THEN '-93.2'
+             ELSE CAST(CAST(-88.0 + (event_id % 490) / 1000.0 AS DECIMAL(10, 4)) AS __STR__)
+        END AS longitude,
+        {_pick('event_id', _TRAFFIC, 2)} AS traffic_control_device,
+        {_pick('event_id', _BOOL_TOKENS, 5)} AS work_zone_i,
+        {_pick('event_id', _BOOL_TOKENS, 7)} AS private_property_i,
+        {_pick('event_id', _LIGHTING, 4)} AS lighting_condition,
+        {_pick('event_id', _DEFECT, 6)} AS road_defect,
+        {_pick('event_id', _SURFACE, 8)} AS roadway_surface_cond,
+        {_pick('event_id', _DIRECTION, 9)} AS street_direction,
+        {_pick('event_id', _TRAFFICWAY, 10)} AS trafficway_type,
+        {_pick('event_id', _BOOL_TOKENS, 11)} AS intersection_related_i
+      FROM events
+    """
+
+
+def synth_bronze_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_synth_sql().replace("__HOUR__", "hour(ts)").replace("__STR__", "STRING"))
+
+
+SYNTH_DUCKDB = _synth_sql().replace("__HOUR__", "EXTRACT(hour FROM ts)").replace("__STR__", "VARCHAR")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replication of the full cleaning chain
+# ---------------------------------------------------------------------------
+
+_TRUTHY_SQL = "('y','yes','true','t','1','1.0')"
+
+
+def _bool_sql(c: str) -> str:
+    return (
+        f"CAST(CASE WHEN lower(trim(CAST({c} AS __STR__))) IN {_TRUTHY_SQL} "
+        f"THEN 1 ELSE 0 END AS INTEGER)"
+    )
+
+
+def _recode_sql(c: str, wl: list[str]) -> str:
+    wl_sql = ",".join(f"'{v}'" for v in wl)
+    return f"CASE WHEN upper({c}) IN ({wl_sql}) THEN upper({c}) ELSE 'OTHER' END"
+
+
+_CLEAN_ORACLE_TEMPLATE = f"""
+WITH base AS ({SYNTH_DUCKDB}),
+typed AS (
+  SELECT crash_record_id, crash_date, crash_type, weather_condition,
+         traffic_control_device, lighting_condition, road_defect,
+         roadway_surface_cond, street_direction, trafficway_type,
+         hit_and_run_i, work_zone_i, private_property_i, intersection_related_i,
+         CAST(posted_speed_limit AS DOUBLE) AS posted_speed_limit,
+         CAST(beat_of_occurrence AS DOUBLE) AS beat_of_occurrence,
+         CAST(num_units AS DOUBLE) AS num_units,
+         CAST(injuries_total AS DOUBLE) AS injuries_total,
+         CAST(crash_hour AS DOUBLE) AS crash_hour,
+         CAST(crash_day_of_week AS DOUBLE) AS crash_day_of_week,
+         CAST(latitude AS DOUBLE) AS latitude,
+         CAST(longitude AS DOUBLE) AS longitude
+  FROM base
+),
+derived AS (
+  SELECT *,
+    {_bool_sql('hit_and_run_i')} AS hit_and_run_b,
+    {_bool_sql('intersection_related_i')} AS intersection_related_b,
+    {_bool_sql('private_property_i')} AS private_property_b,
+    {_bool_sql('work_zone_i')} AS work_zone_b,
+    CAST(CASE WHEN crash_day_of_week IN (1, 7) THEN 1 ELSE 0 END AS INTEGER) AS is_weekend,
+    CASE WHEN crash_hour <= 6 THEN 'night'
+         WHEN crash_hour <= 12 THEN 'morning'
+         WHEN crash_hour <= 18 THEN 'afternoon'
+         WHEN crash_hour <= 23 THEN 'evening' END AS hour_bin,
+    CAST(CAST(crash_date AS TIMESTAMP) AS DATE) AS crash_date_d
+  FROM typed
+  WHERE crash_date IS NOT NULL
+),
+boxed AS (
+  SELECT * FROM derived
+  WHERE NOT COALESCE(
+    ((latitude = 0 AND longitude = 0)
+     OR latitude < 41.6 OR latitude > 42.1
+     OR longitude < -88.0 OR longitude > -87.5), FALSE)
+),
+binned AS (
+  SELECT *,
+    round_even(latitude, 2) AS lat_bin,
+    round_even(longitude, 2) AS lng_bin,
+    COALESCE(CAST(round_even(latitude, 2) AS __STR__), 'nan') || '_' ||
+    COALESCE(CAST(round_even(longitude, 2) AS __STR__), 'nan') AS grid_id
+  FROM boxed
+),
+recoded AS (
+  SELECT *,
+    {_recode_sql('roadway_surface_cond', ['DRY', 'UNKNOWN', 'WET', 'SNOW OR SLUSH', 'ICE'])} AS surface_r,
+    {_recode_sql('lighting_condition', ['DARKNESS, LIGHTED ROAD', 'UNKNOWN', 'DARKNESS', 'DAWN', 'DAYLIGHT', 'DUSK'])} AS lighting_r,
+    {_recode_sql('traffic_control_device', ['NO CONTROLS', 'TRAFFIC SIGNAL', 'STOP SIGN/FLASHER', 'UNKNOWN'])} AS traffic_r,
+    {_recode_sql('crash_type', ['NO INJURY / DRIVE AWAY', 'INJURY AND / OR TOW DUE TO CRASH'])} AS crash_type_r,
+    CASE WHEN (CASE WHEN upper(weather_condition) IN ('SNOW','BLOWING SNOW','SLEET/HAIL','FREEZING RAIN/DRIZZLE')
+                    THEN 'SNOW' ELSE upper(weather_condition) END)
+              IN ('CLOUDY/OVERCAST','CLEAR','RAIN','SNOW')
+         THEN (CASE WHEN upper(weather_condition) IN ('SNOW','BLOWING SNOW','SLEET/HAIL','FREEZING RAIN/DRIZZLE')
+                    THEN 'SNOW' ELSE upper(weather_condition) END)
+         ELSE 'OTHER' END AS weather_r,
+    COALESCE(injuries_total, 0.0) AS injuries_f
+  FROM binned
+),
+meds AS (
+  SELECT
+    quantile_cont(posted_speed_limit, 0.5) AS m_psl,
+    quantile_cont(beat_of_occurrence, 0.5) AS m_beat,
+    quantile_cont(num_units, 0.5) AS m_units,
+    quantile_cont(crash_hour, 0.5) AS m_hour,
+    quantile_cont(crash_day_of_week, 0.5) AS m_dow,
+    quantile_cont(latitude, 0.5) AS m_lat,
+    quantile_cont(longitude, 0.5) AS m_lng,
+    quantile_cont(lat_bin, 0.5) AS m_latb,
+    quantile_cont(lng_bin, 0.5) AS m_lngb
+  FROM recoded
+),
+filled AS (
+  SELECT r.crash_record_id,
+    r.crash_date_d AS crash_date,
+    COALESCE(r.crash_day_of_week, m.m_dow) AS crash_day_of_week,
+    COALESCE(r.crash_hour, m.m_hour) AS crash_hour,
+    r.is_weekend,
+    COALESCE(r.hour_bin, 'OTHER') AS hour_bin,
+    COALESCE(r.beat_of_occurrence, m.m_beat) AS beat_of_occurrence,
+    COALESCE(r.latitude, m.m_lat) AS latitude,
+    COALESCE(r.longitude, m.m_lng) AS longitude,
+    COALESCE(r.lat_bin, m.m_latb) AS lat_bin,
+    COALESCE(r.lng_bin, m.m_lngb) AS lng_bin,
+    r.grid_id,
+    r.crash_type_r AS crash_type,
+    COALESCE(r.num_units, m.m_units) AS num_units,
+    r.injuries_f AS injuries_total,
+    r.lighting_r AS lighting_condition,
+    COALESCE(r.posted_speed_limit, m.m_psl) AS posted_speed_limit,
+    COALESCE(r.road_defect, 'OTHER') AS road_defect,
+    r.surface_r AS roadway_surface_cond,
+    COALESCE(r.street_direction, 'OTHER') AS street_direction,
+    COALESCE(r.trafficway_type, 'OTHER') AS trafficway_type,
+    r.weather_r AS weather_condition,
+    r.traffic_r AS traffic_control_device,
+    r.hit_and_run_b AS hit_and_run_i,
+    r.intersection_related_b AS intersection_related_i,
+    r.work_zone_b AS work_zone_i,
+    r.private_property_b AS private_property_i
+  FROM recoded r, meds m
+),
+capped AS (
+  SELECT * REPLACE (
+    CASE WHEN num_units > 10 THEN 10 ELSE num_units END AS num_units,
+    CASE WHEN posted_speed_limit > 75 THEN 75 ELSE posted_speed_limit END AS posted_speed_limit
+  ) FROM filled
+)
+SELECT crash_record_id, crash_date,
+  CAST(round_even(crash_day_of_week, 0) AS INTEGER) AS crash_day_of_week,
+  CAST(round_even(crash_hour, 0) AS INTEGER) AS crash_hour,
+  is_weekend, hour_bin,
+  CAST(round_even(beat_of_occurrence, 0) AS INTEGER) AS beat_of_occurrence,
+  latitude, longitude, lat_bin, lng_bin, grid_id, crash_type,
+  CAST(round_even(num_units, 0) AS INTEGER) AS num_units,
+  injuries_total, lighting_condition,
+  CAST(round_even(posted_speed_limit, 0) AS INTEGER) AS posted_speed_limit,
+  road_defect, roadway_surface_cond, street_direction, trafficway_type,
+  weather_condition, traffic_control_device, hit_and_run_i,
+  intersection_related_i, work_zone_i, private_property_i
+FROM capped
+"""
+
+_CLEAN_ORACLE = _CLEAN_ORACLE_TEMPLATE.replace("__STR__", "VARCHAR")
+
+
+@register(
+    "crash_clean_chain",
+    oracle=_CLEAN_ORACLE,
+    doc="THE reference pipeline: full Gold cleaning chain "
+    "(cleaning_rules.py:11-223; P3→F3→F4→F5→P5→F6→P4→F8→F9→F10/F11→F12→"
+    "F13/A11→F14→F15) run by the real engine operator over a synthesized "
+    "messy bronze frame, hash-compared row-by-row against a complete SQL "
+    "replication. Covers every §4.3 trap: null-safe bbox, bround/"
+    "round_even parity, grid_id 'nan_nan', null→OTHER recodes, exact "
+    "interpolated medians, half-even int casts.",
+)
+def crash_clean_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bronze = synth_bronze_spark(spark, sf_dir)
+    return clean_crashes(bronze)
+
+
+@register(
+    "crash_hit_run_rate_by_weather",
+    oracle=f"""
+    WITH cleaned AS ({_CLEAN_ORACLE})
+    SELECT weather_condition,
+           CAST(COUNT(*) AS BIGINT) AS n_crashes,
+           CAST(SUM(hit_and_run_i) AS BIGINT) AS n_hit_run,
+           100.0 * SUM(hit_and_run_i) / COUNT(*) AS hit_run_rate_pct
+    FROM cleaned
+    GROUP BY weather_condition
+    """,
+    doc="The reference's flagship dashboard metric (A3, "
+    "streamlit_frontend.py:1070-1074): hit-and-run rate by weather over "
+    "the CLEANED frame — end-to-end bronze→gold→metric in one lazy plan.",
+)
+def crash_hit_run_rate_by_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cleaned = clean_crashes(synth_bronze_spark(spark, sf_dir))
+    return cleaned.groupBy("weather_condition").agg(
+        F.count(F.lit(1)).alias("n_crashes"),
+        F.sum("hit_and_run_i").alias("n_hit_run"),
+        (F.lit(100.0) * F.sum("hit_and_run_i") / F.count(F.lit(1))).alias("hit_run_rate_pct"),
+    )
