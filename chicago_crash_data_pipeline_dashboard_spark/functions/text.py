@@ -1,0 +1,139 @@
+"""Text-analysis column builders for large-scale document pipelines.
+
+All pure Spark column expressions (split/transform/filter/aggregate
+higher-order functions) — JVM-side, codegen-friendly, no Python UDFs.
+These are the training-data-pipeline operators the driver mandates
+beyond the reference's own surface (BASELINE.json north_star): token
+counting, quality scoring, language-ID heuristics, fingerprinting,
+shingling for MinHash/Jaccard dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword-hit
+# language-ID heuristic. Deterministic, tiny, embedding-free.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "von"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+LANG_ORDER = ["en", "fr", "es", "de", "zh"]  # deterministic tie-break
+
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text → 0."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(tokens(text))).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish sub-word proxy: split on whitespace AND on letter/digit
+    boundaries; ~chars/4 fallback intuition without a vocab file."""
+    pieces = F.split(F.trim(F.lower(text)), r"[\s]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])")
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(pieces)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped).cast("double") / n)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(text)
+    sw = STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    total = F.size(toks)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(hits.cast("double") / total)
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+        total_len.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic document-quality heuristic in [0,1]:
+    rewards moderate length, penalizes punctuation soup and
+    stopword-free (non-natural) text. The exact formula is arbitrary
+    but fixed — it exists to rank/filter training data."""
+    tc = token_count(text).cast("double")
+    length_term = F.least(tc / 100.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    sw_term = F.least(stopword_ratio(text, "en") * 4.0, F.lit(1.0))
+    return F.round((0.5 * length_term + 0.25 * punct_term + 0.25 * sw_term), 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language over the token set."""
+    toks = tokens(text)
+
+    # NB: the closure factory matters — a default-arg lambda
+    # (lambda t, sw=sw: ...) changes the arity pyspark inspects and the
+    # HOF is called as (element, index).
+    def _hits(sw: list[str]):
+        return lambda t: t.isin(sw)
+
+    return {lang: F.size(F.filter(toks, _hits(sw))) for lang, sw in STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by stopword hits, ties broken by LANG_ORDER;
+    zero hits everywhere → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document content fingerprint: md5 of normalized text."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def hash32(s: Column) -> Column:
+    """Engine-portable 32-bit string hash: first 8 hex chars of md5 as
+    an integer. Matches DuckDB ``('0x'||substr(md5(s),1,8))::BIGINT``
+    bit-for-bit — used by the md5 hash_mode of MinHash/SimHash so the
+    differential oracle can reproduce signatures exactly."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (the MinHash/Jaccard unit). Documents
+    shorter than n tokens yield their whole text as one shingle."""
+    toks = tokens(text)
+    k = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(shingled)
+
+
+def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:
+    """MinHash-with-one-permutation: lexicographic min of md5(shingle).
+    A cheap, engine-portable near-dup fingerprint."""
+    return F.array_min(F.transform(word_shingles(text, n), lambda s: F.md5(s)))

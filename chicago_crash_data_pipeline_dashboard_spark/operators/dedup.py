@@ -1,0 +1,297 @@
+"""Deduplication family for training-data pipelines.
+
+Five strategies, all distributed, all deterministic:
+
+- exact: hash-groupBy on a normalized-content fingerprint;
+- n-gram Jaccard: inverted shingle index → pair-count intersection —
+  exact similarity, quadratic only within shared-shingle groups;
+- MinHash + LSH banding: linear-time candidate generation at scale,
+  signatures via k universal-hash permutations over murmur3 shingle
+  hashes (pure column arithmetic, no UDF);
+- SimHash: 32-bit sign-aggregated token-hash fingerprint, near-dups =
+  same fingerprint bucket (or small Hamming distance);
+- embedding cosine: sign-LSH buckets → in-bucket exact cosine.
+
+Scale notes: every strategy shuffles once on its bucketing key
+(fingerprint / shingle / band-hash / simhash / LSH signature); skewed
+buckets (stop-shingles) are the classic hazard — ``max_bucket`` caps
+drop pathological buckets the way production near-dup pipelines do.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as VX
+
+# Universal-hash modulus: the Mersenne prime 2^31-1. Token hashes are
+# 32-bit; (a·(h mod p) + b) mod p with a,b < p keeps every product
+# under 2^62 — no int64 overflow in either Spark or an oracle engine.
+_P31 = (1 << 31) - 1
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) documents; one shuffle on
+    the md5 fingerprint."""
+    fp = df.select(F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fingerprint"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one doc (min id) per identical-content group."""
+    fp = df.withColumn("_fp", TX.fingerprint(F.col(text_col)))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle index.
+
+    |A∩B| from the pair-count of shared shingles, |A∪B| = |A|+|B|−|A∩B|.
+    Shingles shared by more than ``max_bucket`` docs are dropped
+    (stop-shingle skew guard — at 100 TB one 'the end' shingle would
+    otherwise create a quadratic bucket).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"), TX.word_shingles(F.col(text_col), n).alias("shingles")
+    )
+    sizes = shingled.select("doc", F.size("shingles").cast("long").alias("n_sh"))
+    inv = shingled.select("doc", F.explode("shingles").alias("shingle"))
+    # skew guard
+    hot = inv.groupBy("shingle").count().filter(F.col("count") > max_bucket).select("shingle")
+    inv = inv.join(hot, "shingle", "left_anti")
+
+    a = inv.select(F.col("shingle"), F.col("doc").alias("doc_a"))
+    b = inv.select(F.col("shingle"), F.col("doc").alias("doc_b"))
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(num_hashes)]
+
+
+def _token_hash(col, hash_mode: str):
+    """32-bit token/shingle hash.
+
+    ``murmur3`` — F.hash, JVM-side, fastest (the 100 TB path);
+    ``md5`` — first 8 hex chars of md5 as an integer: engine-portable,
+    so a SQL oracle (DuckDB ``('0x'||substr(md5(s),1,8))::BIGINT``)
+    reproduces it bit-for-bit for differential testing.
+    """
+    if hash_mode == "murmur3":
+        return F.hash(col).cast("long").bitwiseAND(F.lit((1 << 32) - 1))
+    if hash_mode == "md5":
+        return TX.hash32(col)
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "murmur3",
+) -> DataFrame:
+    """k-permutation MinHash signature as an array<long> column.
+
+    Shingles → 32-bit hash → k universal hashes
+    (a·(h mod p) + b) mod p, min per permutation. All column
+    arithmetic — the signature computation is a narrow map, no shuffle.
+    """
+    params = _hash_params(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            TX.word_shingles(F.col(text_col), shingle_n),
+            lambda s: _token_hash(s, hash_mode),
+        ).alias("hvals"),
+    )
+
+    # closure factory, not default-arg lambdas — pyspark HOFs dispatch
+    # on lambda arity, so (lambda h, a=a, b=b: ...) would be called as
+    # a 3-arg lambda and fail
+    def _perm(a: int, b: int):
+        return lambda h: ((h % _P31) * a + b) % F.lit(_P31)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("hvals"), _perm(a, b))) for a, b in params]
+    )
+    return sh.select("doc", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature; docs sharing any band-bucket are candidates.
+    One shuffle on (band, bucket-key). The bucket key is the joined
+    band-slice values (portable across engines); equality of keys ≡
+    equality of the slice tuple."""
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("signature")[j].cast("string")
+                                for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.select("band", "bucket", F.col("doc").alias("doc_a"))
+    b = banded.select("band", "bucket", F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "murmur3",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by signature-estimated
+    Jaccard (fraction of equal signature positions) ≥ threshold."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed, hash_mode)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / F.lit(num_hashes),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, hash_mode: str = "murmur3"
+) -> DataFrame:
+    """SimHash fingerprint: per token-hash bit, +1 if set else −1,
+    summed over tokens; fingerprint bit = sign. Implemented as ``bits``
+    conditional sums over the exploded token stream — one shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", _token_hash(F.col("tok"), hash_mode).bitwiseAND(F.lit((1 << bits) - 1)))
+    bit_sums = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, hash_mode: str = "murmur3"
+) -> DataFrame:
+    """Docs sharing an identical SimHash fingerprint (Hamming distance
+    0 — the scalable bucket form; small-distance variants re-bucket on
+    fingerprint segments)."""
+    fp = simhash(df, id_col, text_col, bits, hash_mode)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket (2^n_planes buckets)
+    → exact in-bucket pairwise cosine ≥ threshold. Near-identical
+    vectors land in the same bucket with high probability; the bucket
+    join bounds the quadratic blow-up."""
+    planes = VX.random_hyperplanes(dim, n_planes, seed)
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("vec"),
+        VX.lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = sig.select("bucket", F.col("doc").alias("doc_a"), F.col("vec").alias("vec_a"))
+    b = sig.select("bucket", F.col("doc").alias("doc_b"), F.col("vec").alias("vec_b"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos", VX.cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.select("doc_a", "doc_b", F.round("cos", 6).alias("cosine"))

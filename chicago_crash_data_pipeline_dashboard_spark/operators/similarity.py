@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same API:
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Queries are broadcast (they're top-k *requests*, inherently small);
+  the corpus streams through one narrow pass; per-query top-k via
+  window row_number. No corpus shuffle at all when queries broadcast.
+- ``lsh_topk``: sign-LSH bucketed ANN — the 100 TB path. Corpus is
+  bucketed once (signature = narrow map); a query probes its own
+  bucket plus multi-probe neighbors (Hamming-1 flips), exact-reranks
+  in-bucket. Recall tunes with n_planes / probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions import vectors as VX
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k: for each query vector, the k nearest corpus vectors
+    by cosine (self-matches excluded). Deterministic tie-break on
+    (cosine desc, neighbor id asc)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(VX.cosine(F.col("cvec"), F.col("qvec")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _flip_signatures(sig_col, n_planes: int):
+    """The signature plus its Hamming-1 neighbors (multi-probe)."""
+    return F.array(sig_col, *[sig_col.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing the
+    query's LSH bucket (± Hamming-1 probes), exact cosine rerank."""
+    planes = VX.random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        VX.lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        VX.lsh_signature(F.col(vec_col), planes).alias("qsig"),
+    )
+    if multi_probe:
+        q = q.select(
+            "query_id", "qvec", F.explode(_flip_signatures(F.col("qsig"), n_planes)).alias("bucket")
+        )
+    else:
+        q = q.withColumnRenamed("qsig", "bucket")
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(VX.cosine(F.col("cvec"), F.col("qvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+        .distinct()  # multi-probe can hit the same pair via two buckets
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,509 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — the operations a 100 TB LLM data
+pipeline needs beyond the reference's own surface.
+
+Every SQL-expressible query carries a DuckDB oracle that reproduces the
+Spark result BIT-FOR-BIT:
+
+- tokenization/shingling is mirrored formula-by-formula (Spark
+  ``split/slice/concat_ws`` ≡ DuckDB ``regexp_split_to_array/
+  list_slice/array_to_string``);
+- hashing uses the engine-portable md5 mode (``functions.text.hash32``
+  ≡ ``('0x'||substr(md5(s),1,8))::BIGINT``) so MinHash/SimHash
+  signatures agree exactly — the murmur3 mode remains the fast path
+  for production runs;
+- float math relies on both engines folding arrays sequentially
+  left-to-right (verified bitwise-identical for ``F.aggregate`` vs
+  ``list_sum(list_transform(...))``), plus ``round(x, 6)`` margins.
+
+The media queries run an Arrow-batched ``mapInPandas`` over an
+in-memory fixture — not expressible against the registered SQL views,
+so they take the driver's rows-only check (the decode itself is a
+documented stub; see operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as VX
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from .registry import load, register
+
+# --------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (mirror functions/text.py exactly)
+# --------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_H32 = "CAST('0x' || substring(md5({s}), 1, 8) AS BIGINT)"
+_P31 = (1 << 31) - 1
+
+
+def _shingles_sql(n: int) -> str:
+    """word_shingles(text, n) in DuckDB: same sequence/slice formula."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({_TOKS}) - {n} + 1, 1) + 1), "
+        f"i -> array_to_string(list_slice({_TOKS}, i, i + {n} - 1), ' ')))"
+    )
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang]) + "]"
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cosine_sql(a: str, b: str, dim: int) -> str:
+    """cosine(a, b) with the same 0-norm guard and operand order."""
+    denom = f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)}))"
+    return f"(CASE WHEN {denom} = 0 THEN 0.0 ELSE {_dot_sql(a, b, dim)} / {denom} END)"
+
+
+def _lsh_sig_sql(vec: str, n_planes: int, dim: int, seed: int = 42) -> str:
+    """vectors.lsh_signature with the hyperplanes inlined as literals.
+
+    Plane weights are emitted as CAST('repr' AS DOUBLE) — string→double
+    parsing is correctly rounded in both engines, so the literals are
+    the exact same doubles Spark folds into its plan.
+    """
+    planes = VX.random_hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(f"'{w!r}'" for w in plane)
+        plane_list = f"CAST([{lits}] AS DOUBLE[])"
+        proj = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"j -> CAST({vec}[j] AS DOUBLE) * ({plane_list})[j]))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# Text analysis over `documents`
+# --------------------------------------------------------------------------
+
+_EN_SW = _sw_list("en")
+_TOKCNT = f"(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END)"
+_PUNCT = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)"
+    " / length(text) END)"
+)
+_SWRATIO = (
+    f"(CASE WHEN len({_TOKS}) <= 0 THEN 0.0 ELSE "
+    f"CAST(len(list_filter({_TOKS}, t -> list_contains({_EN_SW}, t))) AS DOUBLE)"
+    f" / len({_TOKS}) END)"
+)
+_QUALITY = (
+    f"round(0.5 * least(CAST({_TOKCNT} AS DOUBLE) / 100.0, 1.0)"
+    f" + 0.25 * (1.0 - least({_PUNCT} * 5.0, 1.0))"
+    f" + 0.25 * least({_SWRATIO} * 4.0, 1.0), 6)"
+)
+
+
+@register(
+    "doc_text_stats",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST({_TOKCNT} AS BIGINT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_txt,
+      round({_PUNCT}, 6) AS punct_ratio,
+      round(CASE WHEN len({_TOKS}) <= 0 THEN 0.0 ELSE
+        CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+          / len({_TOKS}) END, 6) AS mean_tok_len,
+      {_QUALITY} AS quality
+    FROM documents
+    """,
+    doc="Per-document text statistics: token count, char count, punctuation "
+    "ratio, mean token length, composite quality score. All JVM-side "
+    "higher-order column functions — a narrow map over the parquet scan, "
+    "no shuffle, no UDF (functions/text.py).",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.char_count(t).alias("n_chars_txt"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.mean_token_length(t), 6).alias("mean_tok_len"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    hits = ", ".join(
+        f"len(list_filter({_TOKS}, t -> list_contains({_sw_list(lang)}, t))) AS h_{lang}"
+        for lang in TX.LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in TX.LANG_ORDER) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in TX.LANG_ORDER:
+        case += f"WHEN h_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH h AS (SELECT lang, {hits} FROM documents),
+    p AS (SELECT lang, {case} AS pred_lang FROM h)
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY lang, pred_lang
+    """
+
+
+@register(
+    "doc_lang_confusion",
+    oracle=_lang_confusion_oracle(),
+    doc="Language-ID (stopword-hit argmax heuristic, functions/text.py) "
+    "confusion matrix against the labeled lang column. One shuffle on the "
+    "(label, prediction) pair — the A18-style crosstab shape.",
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", TX.lang_id(F.col("text")).alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_FPRINT = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "doc_min_shingle_fp",
+    oracle=f"""
+    SELECT doc_id,
+           list_min(list_transform({_shingles_sql(3)}, s -> md5(s))) AS min_shingle_md5
+    FROM documents
+    """,
+    doc="Rolling-style document fingerprint: lexicographic min of md5 over "
+    "3-word shingles (one-permutation MinHash). Narrow map, no shuffle.",
+)
+def doc_min_shingle_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.min_shingle_fingerprint(F.col("text"), 3).alias("min_shingle_md5")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication over `documents`
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_exact_dup_stats",
+    oracle=f"""
+    WITH g AS (SELECT {_FPRINT} AS f, count(*) AS n FROM documents GROUP BY 1)
+    SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
+    FROM g
+    """,
+    doc="Exact-duplicate profile: md5 content-fingerprint groupBy "
+    "(operators/dedup.py exact family). One shuffle on the fingerprint; "
+    "map-side partial aggregation makes this linear at 100 TB.",
+)
+def doc_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    g = (
+        d.select(TX.fingerprint(F.col("text")).alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return g.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_dup_docs"),
+    )
+
+
+@register(
+    "doc_dedup_exact_by_source",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, source, {_FPRINT} AS f FROM documents),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM fp JOIN keep USING (doc_id)
+    GROUP BY source
+    """,
+    doc="dedup_exact (keep min-id per identical-content group, left-semi "
+    "join back) then per-source survivor counts. Two shuffles: fingerprint "
+    "agg + the semi join (broadcast when the keep-set is small).",
+)
+def doc_dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    kept = DD.dedup_exact(d, "doc_id", "text")
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "doc_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id AS doc, {_shingles_sql(3)} AS shingles FROM documents),
+    sizes AS (SELECT doc, len(shingles) AS n_sh FROM sh),
+    inv0 AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
+    hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > 1000),
+    inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+      FROM inv a JOIN inv b USING (shingle)
+      WHERE a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via an inverted shingle index "
+    "(operators/dedup.py): explode → self-join on shingle → pair-count "
+    "intersection; hot-shingle skew guard (>1000 docs) bounds the "
+    "quadratic bucket at scale.",
+)
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_bucket=1000)
+
+
+def _minhash_oracle(num_hashes: int, bands: int, shingle_n: int, seed: int, threshold: float) -> str:
+    rows = num_hashes // bands
+    params = DD._hash_params(num_hashes, seed)
+    mins = ", ".join(
+        f"list_min(list_transform(hvals, h -> ((h % {_P31}) * {a} + {b}) % {_P31}))"
+        for a, b in params
+    )
+    band_selects = []
+    for i in range(bands):
+        cols = ", ".join(f"signature[{i * rows + j + 1}]" for j in range(rows))
+        band_selects.append(
+            f"SELECT doc, {i} AS band, concat_ws('_', {cols}) AS bucket FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH sh AS (SELECT doc_id AS doc, {_shingles_sql(shingle_n)} AS shingles FROM documents),
+    hv AS (SELECT doc, list_transform(shingles, s -> {_H32.format(s='s')}) AS hvals FROM sh),
+    sig AS (SELECT doc, [{mins}] AS signature FROM hv),
+    banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b USING (band, bucket)
+      WHERE a.doc < b.doc
+    ),
+    est AS (
+      SELECT doc_a, doc_b,
+        CAST(len(list_filter(range(1, {num_hashes} + 1),
+                 i -> sa.signature[i] = sb.signature[i])) AS DOUBLE) / {num_hashes}
+          AS est_jaccard
+      FROM cand
+      JOIN sig sa ON sa.doc = doc_a
+      JOIN sig sb ON sb.doc = doc_b
+    )
+    SELECT doc_a, doc_b, round(est_jaccard, 6) AS est_jaccard
+    FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+@register(
+    "doc_minhash_near_dups",
+    oracle=_minhash_oracle(num_hashes=32, bands=8, shingle_n=3, seed=42, threshold=0.5),
+    doc="MinHash+LSH near-dup pairs (operators/dedup.py): 32 universal-hash "
+    "permutations over md5-hashed 3-shingles, 8 bands × 4 rows banding, "
+    "signature-estimated Jaccard ≥ 0.5. Signature build is a narrow map; "
+    "the only shuffles are the band-bucket join and candidate distinct — "
+    "linear-time candidate generation at 100 TB. The oracle reproduces "
+    "signatures exactly via the portable md5 hash mode.",
+)
+def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.minhash_near_duplicates(
+        d, "doc_id", "text",
+        threshold=0.5, num_hashes=32, bands=8, shingle_n=3, seed=42, hash_mode="md5",
+    )
+
+
+def _simhash_oracle(bits: int) -> str:
+    bsums = ", ".join(
+        f"list_sum(list_transform(hvals, h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH hv AS (SELECT doc_id AS doc,
+                list_transform({_TOKS}, t -> {_H32.format(s='t')}) AS hvals
+                FROM documents),
+    bs AS (SELECT doc, {bsums} FROM hv)
+    SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM bs
+    """
+
+
+@register(
+    "doc_simhash",
+    oracle=_simhash_oracle(32),
+    doc="Per-document 32-bit SimHash fingerprint (operators/dedup.py): "
+    "sign-aggregated token-hash bits; one shuffle on doc with 32 partial "
+    "sums. Portable md5 token hash so the oracle matches bit-for-bit.",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.simhash(d, "doc_id", "text", bits=32, hash_mode="md5")
+
+
+# --------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# --------------------------------------------------------------------------
+
+_DIM = 64
+_NQ = 8
+
+
+@register(
+    "emb_knn_brute",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cosine_sql('cvec', 'qvec', _DIM)}, 6) AS cos
+      FROM c, q WHERE neighbor_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+      FROM scored
+    )
+    SELECT * FROM r WHERE "rank" <= 5
+    """,
+    doc="Exact cosine top-k (operators/similarity.py brute_force_topk): "
+    "queries broadcast, corpus streams in one narrow pass, per-query "
+    "top-k via window row_number. Zero corpus shuffle.",
+)
+def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        e, e.filter(F.col("vec_id") < _NQ), id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+def _lsh_topk_oracle(k: int, n_planes: int) -> str:
+    sig = _lsh_sig_sql("embedding", n_planes, _DIM)
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)])
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec,
+                 unnest([{probes}]) AS bucket2
+          FROM sig WHERE vec_id < {_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM sig),
+    scored AS (
+      SELECT DISTINCT query_id, neighbor_id,
+             round({_cosine_sql('cvec', 'qvec', _DIM)}, 6) AS cos
+      FROM c JOIN q ON c.bucket = q.bucket2
+      WHERE neighbor_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+      FROM scored
+    )
+    SELECT * FROM r WHERE "rank" <= {k}
+    """
+
+
+@register(
+    "emb_lsh_topk",
+    oracle=_lsh_topk_oracle(k=5, n_planes=4),
+    doc="Approximate top-k (operators/similarity.py lsh_topk): sign-LSH "
+    "bucketing (4 hyperplanes → 16 buckets) with Hamming-1 multi-probe, "
+    "exact in-bucket cosine rerank. Corpus bucketed in one narrow map; "
+    "queries broadcast — the IVF-style 100 TB scale path. The oracle "
+    "inlines the same hyperplane literals.",
+)
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(
+        e, e.filter(F.col("vec_id") < _NQ),
+        id_col="vec_id", vec_col="embedding", k=5, n_planes=4, dim=_DIM, seed=42,
+    )
+
+
+def _emb_near_dup_oracle(threshold: float, n_planes: int) -> str:
+    sig = _lsh_sig_sql("embedding", n_planes, _DIM)
+    cos = _cosine_sql("a.embedding", "b.embedding", _DIM)
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, {cos} AS raw
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT doc_a, doc_b, round(raw, 6) AS cosine
+    FROM pairs WHERE raw >= {threshold}
+    """
+
+
+@register(
+    "emb_near_dup_pairs",
+    oracle=_emb_near_dup_oracle(threshold=0.4, n_planes=4),
+    doc="Embedding-cosine near-dup pairs (operators/dedup.py "
+    "embedding_near_duplicates): sign-LSH buckets bound the pairwise "
+    "blow-up, exact in-bucket cosine ≥ 0.4.",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return DD.embedding_near_duplicates(
+        e, "vec_id", "embedding", threshold=0.4, n_planes=4, dim=_DIM, seed=42
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas; rows-only check — decode is stubbed)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "media_feature_stats",
+    oracle=None,
+    doc="Arrow-batched mapInPandas feature extraction over a binary media "
+    "column (operators/multimodal.py; decode stubbed with deterministic "
+    "sha256 features — marked NotImplementedError for the real path), then "
+    "per-media-type aggregation. Rows-only check: not expressible over the "
+    "registered SQL views (in-memory fixture + sha256 byte math).",
+)
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.make_media_fixture(spark, n=96)
+    feats = MM.decode_and_featurize(media)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.col("features")[0]), 6).alias("avg_f0"),
+    )
+
+
+@register(
+    "media_frame_plan",
+    oracle=None,
+    doc="Video frame-sampling plan (operators/multimodal.py): one row per "
+    "sampled frame timestamp from metadata duration — explode(sequence), "
+    "no decode. Rows-only check (in-memory fixture).",
+)
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.make_media_fixture(spark, n=96)
+    frames = MM.frame_sample_plan(media, every_ms=1000)
+    return frames.groupBy(F.col("meta.format").alias("format")).agg(
+        F.countDistinct("media_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )

@@ -1,0 +1,174 @@
+"""Semantic tests for the training-data-pipeline operators (dedup,
+similarity, text analysis, multimodal) on small planted fixtures —
+the differential oracle tests in test_analytics_oracle.py cover the
+registered queries; these pin the operator semantics directly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chicago_crash_data_pipeline_dashboard_spark.functions import text as TX
+from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+from chicago_crash_data_pipeline_dashboard_spark.operators import multimodal as MM
+from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+OTHER = "completely different words about spark catalyst tungsten shuffles everywhere"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "a"),
+        (2, BASE, "a"),  # exact dup of 1
+        (3, NEAR, "b"),  # near dup of 1
+        (4, OTHER, "b"),
+        (5, "  THE  QUICK brown fox jumps over the lazy dog again and again today ", "c"),
+        # normalizes to BASE
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_exact_duplicates_groups(docs):
+    groups = DD.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 5]  # whitespace/case-normalized
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in DD.dedup_exact(docs, "doc_id", "text").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+    # exact dups have jaccard 1.0
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    # one-word suffix change on a 13-token doc: 11 shingles, 10 shared
+    assert 0.7 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+@pytest.mark.parametrize("hash_mode", ["murmur3", "md5"])
+def test_minhash_near_duplicates(docs, hash_mode):
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in DD.minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8,
+            hash_mode=hash_mode,
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical signature
+    assert pairs[(1, 5)] == 1.0
+    assert (1, 3) in pairs  # near dup estimated high
+    assert (1, 4) not in pairs
+
+
+@pytest.mark.parametrize("hash_mode", ["murmur3", "md5"])
+def test_simhash_identical_fingerprints(docs, hash_mode):
+    fp = {r.doc: r.simhash for r in DD.simhash(docs, "doc_id", "text", hash_mode=hash_mode).collect()}
+    assert fp[1] == fp[2] == fp[5]
+    assert fp[1] != fp[4]
+    groups = DD.simhash_near_duplicates(docs, "doc_id", "text", hash_mode=hash_mode).collect()
+    assert any(g["doc_ids"] == [1, 2, 5] for g in groups)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    dim = 8
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.0, 0.3]
+    near = [v * 1.01 + (0.001 if i == 0 else 0.0) for i, v in enumerate(base)]
+    orth = [0.0, 0.0, 1.0, 0.0, 0.5, -0.5, 1.0, -0.2]
+    anti = [-v for v in base]
+    rows = [(0, base), (1, near), (2, orth), (3, anti)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), dim
+
+
+def test_brute_force_topk_ranks_by_cosine(vecs):
+    df, _ = vecs
+    out = SIM.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0] == 1  # scaled copy ≈ cosine 1
+    assert ranked[-1] == 3  # antipode last
+    assert out[0].cos <= 1.0
+
+
+def test_lsh_topk_recall_on_testdata(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = SIM.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = SIM.lsh_topk(emb, q, k=5, n_planes=4, dim=64)
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
+    assert hit / exact.count() >= 0.4  # multi-probe 16-bucket LSH recall floor
+
+
+def test_embedding_near_duplicates(vecs):
+    df, dim = vecs
+    pairs = DD.embedding_near_duplicates(
+        df, "vec_id", "embedding", threshold=0.95, n_planes=4, dim=dim
+    ).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].cosine > 0.99
+
+
+def test_text_function_edges(spark):
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "Hello, world! This is a test of the quality system."),
+        (5, "le chat est sur la table et le chien est dans le jardin"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("tc"),
+            TX.quality_score(F.col("text")).alias("q"),
+            TX.lang_id(F.col("text")).alias("lang"),
+            TX.word_shingles(F.col("text"), 3).alias("sh"),
+        ).collect()
+    }
+    assert out[1].tc == 0 and out[2].tc == 0
+    assert out[3].tc == 1 and out[3].sh == ["one"]
+    assert 0.0 <= out[4].q <= 1.0
+    assert out[4].lang == "en"
+    assert out[5].lang == "fr"
+    assert out[1].lang == "und"
+
+
+def test_media_featurize_schema_and_determinism(spark):
+    media = MM.make_media_fixture(spark, n=32)
+    feats = MM.decode_and_featurize(media)
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id", "media_type", "n_bytes", "features",
+    ]
+    a = {r.media_id: r.features for r in feats.collect()}
+    b = {r.media_id: r.features for r in MM.decode_and_featurize(media).collect()}
+    assert a == b  # deterministic across runs
+    assert all(len(v) == 16 for v in a.values())
+    assert all(-1.0 <= x <= 1.0 for v in a.values() for x in v)
+
+
+def test_media_real_decode_is_stubbed(spark):
+    media = MM.make_media_fixture(spark, n=4)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        MM.decode_and_featurize(media, real_decode=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = MM.make_media_fixture(spark, n=9)  # ids 2,5,8 are video
+    frames = MM.frame_sample_plan(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    # duration 5000+i*100 → ids 2,5,8 → 5200,5500,5800ms → 6 samples each
+    assert set(by_id) == {2, 5, 8}
+    assert all(ts == sorted(ts) and ts[0] == 0 and len(ts) == 6 for ts in by_id.values())
