@@ -24,6 +24,7 @@ from chicago_crash_data_pipeline_dashboard_spark.plans import QUERIES  # noqa: E
 from chicago_crash_data_pipeline_dashboard_spark.plans import analytics  # noqa: F401,E402
 from chicago_crash_data_pipeline_dashboard_spark.plans import crash_ops  # noqa: F401,E402
 from chicago_crash_data_pipeline_dashboard_spark.plans import llm_ops  # noqa: F401,E402
+from chicago_crash_data_pipeline_dashboard_spark.plans import ml_ops  # noqa: F401,E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

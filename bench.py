@@ -36,6 +36,18 @@ try:
     from chicago_crash_data_pipeline_dashboard_spark.plans import crash_ops  # noqa: F401
 except ImportError:
     pass
+try:
+    from chicago_crash_data_pipeline_dashboard_spark.plans import llm_ops  # noqa: F401
+except ImportError:
+    pass
+try:
+    from chicago_crash_data_pipeline_dashboard_spark.plans import ml_ops  # noqa: F401
+except ImportError:
+    pass
+
+# iterative ML training is benchmarked separately (tests/test_ml.py);
+# the headline bench is the query/operator surface
+SKIP = {"crash_model_eval"}
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
@@ -50,6 +62,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(QUERIES.items()):
+        if name in SKIP:
+            continue
         samples = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

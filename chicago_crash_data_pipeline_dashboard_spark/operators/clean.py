@@ -78,13 +78,16 @@ def clean_crashes(df: DataFrame, exact_median: bool = True) -> DataFrame:
     upsert writer adds corr_id/inserted_at/updated_at, M3)."""
     out = parse_types(select_required(df))
 
-    # F3 boolean standardization (null → 0)
-    for c in BOOL_COLS:
-        out = out.withColumn(c, C.standardize_boolean(F.col(c)))
-
-    # F4/F5 derived time features
-    out = out.withColumn("is_weekend", C.is_weekend(F.col("crash_day_of_week")))
-    out = out.withColumn("hour_bin", C.hour_bin(F.col("crash_hour")))
+    # F3 bools + F4/F5 time features — one batched projection
+    # (withColumns, not a withColumn chain: each withColumn adds a
+    # Project node and re-analysis; batched it's one node)
+    out = out.withColumns(
+        {
+            **{c: C.standardize_boolean(F.col(c)) for c in BOOL_COLS},
+            "is_weekend": C.is_weekend(F.col("crash_day_of_week")),
+            "hour_bin": C.hour_bin(F.col("crash_hour")),
+        }
+    )
 
     # P5 + F6: drop null dates, normalize to day
     out = out.na.drop(subset=["crash_date"])
@@ -93,23 +96,30 @@ def clean_crashes(df: DataFrame, exact_median: bool = True) -> DataFrame:
     # P4 null-safe bounding box (null coords survive)
     out = out.filter(~C.invalid_coords(F.col("latitude"), F.col("longitude")))
 
-    # F8/F9 spatial binning + grid id (BEFORE imputation — quirk)
-    out = out.withColumn("lat_bin", C.coord_bin(F.col("latitude")))
-    out = out.withColumn("lng_bin", C.coord_bin(F.col("longitude")))
-    out = out.withColumn("grid_id", C.grid_id(F.col("lat_bin"), F.col("lng_bin")))
-
+    # F8/F9 spatial binning + grid id (BEFORE imputation — quirk) and
     # F10/F11 categorical recodes (null → OTHER)
-    out = out.withColumn("roadway_surface_cond", C.roadway_surface_recode(F.col("roadway_surface_cond")))
-    out = out.withColumn("lighting_condition", C.lighting_recode(F.col("lighting_condition")))
-    out = out.withColumn("weather_condition", C.weather_recode(F.col("weather_condition")))
-    out = out.withColumn("traffic_control_device", C.traffic_control_recode(F.col("traffic_control_device")))
-    out = out.withColumn("crash_type", C.crash_type_recode(F.col("crash_type")))
+    lat_bin, lng_bin = C.coord_bin(F.col("latitude")), C.coord_bin(F.col("longitude"))
+    out = out.withColumns(
+        {
+            "lat_bin": lat_bin,
+            "lng_bin": lng_bin,
+            "grid_id": C.grid_id(lat_bin, lng_bin),
+            "roadway_surface_cond": C.roadway_surface_recode(F.col("roadway_surface_cond")),
+            "lighting_condition": C.lighting_recode(F.col("lighting_condition")),
+            "weather_condition": C.weather_recode(F.col("weather_condition")),
+            "traffic_control_device": C.traffic_control_recode(F.col("traffic_control_device")),
+            "crash_type": C.crash_type_recode(F.col("crash_type")),
+        }
+    )
 
     # F12 injuries_total → 0
     out = out.na.fill({"injuries_total": 0.0})
 
     # F13/A11 exact-median imputation over the DYNAMIC numeric column set
-    # (every numeric column not in the exclusion list; cleaning_rules.py:192-202)
+    # (every numeric column not in the exclusion list;
+    # cleaning_rules.py:192-202). One extra job total: computing the
+    # median of a column WITHOUT nulls and "filling" it is a no-op, so
+    # the pandas "if any nulls" guard needs no separate null-count scan.
     numeric_cols = [
         c
         for c, t in out.dtypes
@@ -117,31 +127,31 @@ def clean_crashes(df: DataFrame, exact_median: bool = True) -> DataFrame:
         and c not in MEDIAN_FILL_EXCLUDE
         and c != "crash_record_id"
     ]
-    null_counts = out.select(
-        [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in numeric_cols]
-    ).first()
-    needs_fill = [c for c in numeric_cols if (null_counts[c] or 0) > 0]
-    if needs_fill:
+    if numeric_cols:
         # exact interpolating percentile — matches pandas .median(); at
         # 100 TB swap to approx_percentile(c, 0.5, 1e6) when oracle
         # byte-parity is not required.
         fn = "percentile" if exact_median else "approx_percentile"
         medians = out.select(
-            [F.expr(f"{fn}({c}, 0.5)").alias(c) for c in needs_fill]
+            [F.expr(f"{fn}({c}, 0.5)").alias(c) for c in numeric_cols]
         ).first()
-        out = out.na.fill({c: float(medians[c]) for c in needs_fill if medians[c] is not None})
+        out = out.na.fill({c: float(medians[c]) for c in numeric_cols if medians[c] is not None})
 
     # F14 categorical null → OTHER (every string col except the PK)
     string_cols = [c for c, t in out.dtypes if t == "string" and c != "crash_record_id"]
     out = out.na.fill("OTHER", subset=string_cols)
 
-    # F15 outlier caps
-    out = out.withColumn("num_units", C.cap(F.col("num_units"), NUM_UNITS_CAP))
-    out = out.withColumn("posted_speed_limit", C.cap(F.col("posted_speed_limit"), SPEED_LIMIT_CAP))
-
-    # final Gold typing: pandas keeps imputed columns as float; DuckDB's
-    # INTEGER cast rounds half-even — Spark's truncates, so bround first.
-    for c in _FINAL_INT_COLS:
-        out = out.withColumn(c, F.bround(F.col(c), 0).cast("int"))
+    # F15 outlier caps + final Gold typing (pandas keeps imputed columns
+    # as float; DuckDB's INTEGER cast rounds half-even — Spark's
+    # truncates, so bround first)
+    out = out.withColumns(
+        {
+            "num_units": C.cap(F.col("num_units"), NUM_UNITS_CAP),
+            "posted_speed_limit": C.cap(F.col("posted_speed_limit"), SPEED_LIMIT_CAP),
+        }
+    )
+    out = out.withColumns(
+        {c: F.bround(F.col(c), 0).cast("int") for c in _FINAL_INT_COLS}
+    )
 
     return out

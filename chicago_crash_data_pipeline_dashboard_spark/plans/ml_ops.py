@@ -1,0 +1,121 @@
+"""ML-surface queries (U2-U5 + A18).
+
+Two layers:
+
+- ``crash_rule_eval`` puts the A18 evaluation math (confusion matrix,
+  accuracy/precision/recall/F1) under the DuckDB hash gate using a
+  deterministic rule classifier — the metric computation is what gets
+  differentially verified;
+- ``crash_model_eval`` runs the REAL distributed Spark ML pipeline
+  (ml/pipeline.py: indexer → one-hot → GBT) end-to-end — train on a
+  deterministic 80 % id-split, threshold-score the rest (0.26,
+  model_metadata.json:28), evaluate. Gradient-boosted training is not
+  SQL-expressible → driver rows-only check, semantics pinned by
+  tests/test_ml.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml import pipeline as MLP
+from ..operators.clean import clean_crashes
+from .crash_ops import _CLEAN_ORACLE, synth_bronze_spark
+from .registry import register
+
+
+def _metrics_df(agg: DataFrame) -> DataFrame:
+    """tp/fp/fn/tn → accuracy, precision, recall, F1 (identical
+    expression shape to the SQL oracle; integer inputs ⇒ exact
+    doubles)."""
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    total = tp + fp + fn + tn
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.round(F.when(total > 0, (tp + tn) / total).otherwise(F.lit(0.0)), 6).alias("accuracy"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, (2.0 * prec * rec) / (prec + rec)).otherwise(F.lit(0.0)), 6
+        ).alias("f1"),
+    )
+
+
+@register(
+    "crash_rule_eval",
+    oracle=f"""
+    WITH cleaned AS ({_CLEAN_ORACLE}),
+    labeled AS (
+      SELECT hit_and_run_i AS y,
+             CAST(CASE WHEN posted_speed_limit >= 35 OR is_weekend = 1
+                       THEN 1 ELSE 0 END AS INTEGER) AS p
+      FROM cleaned
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM labeled
+    )
+    SELECT tp, fp, fn, tn,
+      round(CASE WHEN tp + fp + fn + tn > 0
+                 THEN (tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE) ELSE 0.0 END, 6) AS accuracy,
+      round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+      round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+      round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+                    + (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END) > 0
+                 THEN (2.0 * (CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+                           * (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END))
+                      / ((CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+                       + (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END))
+                 ELSE 0.0 END, 6) AS f1
+    FROM agg
+    """,
+    doc="A18 evaluation metrics (confusion matrix + accuracy/precision/"
+    "recall/F1, streamlit_frontend.py:2354-2405) under the differential "
+    "gate, using a deterministic rule classifier over the cleaned frame. "
+    "One aggregate pass; scalars derived from the four counts.",
+)
+def crash_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cleaned = clean_crashes(synth_bronze_spark(spark, sf_dir))
+    y = F.col("hit_and_run_i")
+    p = ((F.col("posted_speed_limit") >= 35) | (F.col("is_weekend") == 1)).cast("int")
+    labeled = cleaned.select(y.alias("y"), p.alias("p"))
+    agg = labeled.agg(
+        F.sum(((F.col("y") == 1) & (F.col("p") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == 1) & (F.col("p") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 0)).cast("long")).alias("tn"),
+    )
+    return _metrics_df(agg)
+
+
+@register(
+    "crash_model_eval",
+    oracle=None,
+    doc="End-to-end distributed ML (U2-U5): GBT pipeline trained on a "
+    "deterministic 80% split of the cleaned frame, threshold-scored "
+    "(0.26) on the held-out 20%, A18-evaluated. Training is iterative/"
+    "non-SQL → rows-only check; pipeline semantics are pinned in "
+    "tests/test_ml.py.",
+)
+def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cleaned = clean_crashes(synth_bronze_spark(spark, sf_dir))
+    key = F.substring("crash_record_id", 3, 8).cast("int")
+    train_df = cleaned.filter(key % 5 != 0)
+    test_df = cleaned.filter(key % 5 == 0)
+    model = MLP.train(train_df, max_iter=5, max_depth=3)
+    scored = MLP.score(model, test_df, threshold=MLP.DEFAULT_THRESHOLD)
+    y, p = F.col("hit_and_run_i"), F.col("hit_run_pred")
+    agg = scored.agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+    )
+    return _metrics_df(agg)
