@@ -57,8 +57,15 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="ccpd_bench")
 
-    # warm up JVM / parquet footers once, not billed to any query
+    # warm up once, not billed to any query: JVM + parquet footers +
+    # the Python-worker/Arrow runtime (first mapInPandas in a session
+    # pays a multi-second bootstrap)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    import pandas as _pd
+
+    spark.range(8).mapInPandas(
+        lambda it: ( _pd.DataFrame({"id": b["id"]}) for b in it ), "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(QUERIES.items()):

@@ -135,4 +135,6 @@ def make_media_fixture(spark, n: int = 64) -> DataFrame:
                 },
             )
         )
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    # few, fat rows: don't spread 96 rows over local[32]'s default
+    # parallelism — 8 partitions keeps task overhead < data
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(8)

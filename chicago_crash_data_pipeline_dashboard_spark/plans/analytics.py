@@ -698,3 +698,46 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q21. Silver-transform shape: many-to-one pre-agg + sorted-set lists +
+#      left join + JSON stringification (J2-J4/A1-A2/W2/F18)
+# --------------------------------------------------------------------------
+@register(
+    "customer_orders_wide",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS ord_count,
+             to_json(list_sort(list_distinct(
+               list(o_orderpriority) FILTER (WHERE o_orderpriority IS NOT NULL)
+             ))) AS ord_priority_json,
+             to_json(list_sort(list_distinct(
+               list(o_orderstatus) FILTER (WHERE o_orderstatus IS NOT NULL)
+             ))) AS ord_status_json
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           a.ord_count, a.ord_priority_json, a.ord_status_json
+    FROM customer c LEFT JOIN agg a ON a.o_custkey = c.c_custkey
+    """,
+    doc="The reference Silver transform shape on real tables "
+    "(transformer.py:207-258 + 263-305): group the many side to one row "
+    "per key (count + sorted-distinct string lists ≡ Polars "
+    "drop_nulls().unique().sort().implode()), left-join onto the one "
+    "side (customers without orders keep nulls), JSON-stringify the "
+    "list columns (F18 make_csv_safe). One shuffle for the pre-agg; "
+    "the 1:1 join avoids the row explosion a direct fact join causes.",
+)
+def customer_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("ord_count"),
+        F.to_json(F.sort_array(F.collect_set("o_orderpriority"))).alias("ord_priority_json"),
+        F.to_json(F.sort_array(F.collect_set("o_orderstatus"))).alias("ord_status_json"),
+    )
+    return c.select("c_custkey", "c_mktsegment").join(
+        agg, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).drop("o_custkey")

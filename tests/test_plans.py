@@ -1,0 +1,98 @@
+"""Physical-plan quality gates: the optimizations SURVEY §4 promises
+must actually appear in the executed plans — pushdown, pruning,
+broadcast, whole-stage codegen, no accidental Python in JVM-only
+paths — plus skew-utility correctness."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from chicago_crash_data_pipeline_dashboard_spark.operators.skew import salted_join, two_phase_agg
+from chicago_crash_data_pipeline_dashboard_spark.plans import QUERIES
+from chicago_crash_data_pipeline_dashboard_spark.plans import analytics, llm_ops  # noqa: F401
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_push_into_scan(spark, sf_oracle):
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 3 referenced columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_small_dims_broadcast(spark, sf_oracle):
+    plan = plan_of(QUERIES["revenue_by_nation"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_oracle):
+    # under AQE the *(n) codegen markers only appear on the finalized
+    # plan — execute, then inspect the same DataFrame's plan
+    df = QUERIES["pricing_summary"].fn(spark, sf_oracle)
+    df.collect()
+    plan = plan_of(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "*(1)" in plan  # the whole-stage-codegen stage marker
+
+
+def test_text_stats_stays_jvm_side(spark, sf_oracle):
+    """Text analysis must be higher-order column functions — any
+    BatchEvalPython/ArrowEvalPython node means a Python UDF crept in."""
+    for name in ["doc_text_stats", "doc_lang_confusion", "doc_simhash", "emb_knn_brute"]:
+        plan = plan_of(QUERIES[name].fn(spark, sf_oracle), "simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_salted_join_matches_plain_join(spark, sf_oracle):
+    o = spark.read.parquet(f"{sf_oracle}/orders.parquet").select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{sf_oracle}/customer.parquet").select("c_custkey", "c_mktsegment")
+    plain = (
+        o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .groupBy("c_mktsegment").count()
+    )
+    salted = (
+        salted_join(o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", n_salts=8)
+        .groupBy("c_mktsegment").count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_two_phase_agg_exact(spark, sf_oracle):
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    direct = {
+        tuple(r)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    salted = {
+        tuple(r)
+        for r in two_phase_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "q": (F.sum("l_quantity"), F.sum("q")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert direct == salted
