@@ -159,3 +159,26 @@ def dict_map(col: Column, mapping: dict, default=None) -> Column:
 def pct(part: Column, total: Column) -> Column:
     """F22: percentage derivation."""
     return part / total * 100.0
+
+
+# --- F16: the dashboard's dict-map recodes (streamlit_frontend.py) -------
+
+_DAY_LABELS_0_6 = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+
+
+def day_label_eda(day_of_week: Column) -> Column:
+    """F16 (streamlit_frontend.py:1174-1243): the EDA tab maps
+    ``{0:'Sun', …, 6:'Sat'}`` — but the data is Socrata 1-7 (Sun=1).
+    Day 7 has no key and maps to null, and every label is shifted by
+    one. REPRODUCED AS-IS for fidelity (SURVEY §4.3 flags it as a
+    reference bug; parity beats correction here)."""
+    expr = F.when(F.lit(False), F.lit(None).cast("string"))
+    for k, label in enumerate(_DAY_LABELS_0_6):
+        expr = expr.when(day_of_week == k, F.lit(label))
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def yes_no_label(flag: Column) -> Column:
+    """F16 (streamlit_frontend.py:1015): ``{0:'No', 1:'Yes'}``; other
+    values (and null) → null, like a pandas .map miss."""
+    return F.when(flag == 0, "No").when(flag == 1, "Yes").otherwise(F.lit(None).cast("string"))

@@ -741,3 +741,35 @@ def customer_orders_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", "c_mktsegment").join(
         agg, F.col("c_custkey") == F.col("o_custkey"), "left"
     ).drop("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# Q22. F16 dict-map recode — including the reference's day-label bug
+# --------------------------------------------------------------------------
+@register(
+    "eda_day_labels",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow,
+           CASE EXTRACT(dow FROM ts) + 1
+             WHEN 0 THEN 'Sun' WHEN 1 THEN 'Mon' WHEN 2 THEN 'Tue'
+             WHEN 3 THEN 'Wed' WHEN 4 THEN 'Thu' WHEN 5 THEN 'Fri'
+             WHEN 6 THEN 'Sat' END AS day_label,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="F16 dict-map recode REPRODUCING the reference's day-of-week bug "
+    "(streamlit_frontend.py:1174-1243): a 0-6 label map applied to 1-7 "
+    "Socrata data — day 7 (Saturday) maps to null and every label is "
+    "shifted. Kept bug-for-bug per SURVEY §4.3.",
+)
+def eda_day_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import day_label_eda
+
+    ev = load(spark, sf_dir, "events")
+    dow = F.dayofweek("ts")
+    return (
+        ev.select(dow.alias("dow"), day_label_eda(dow).alias("day_label"))
+        .groupBy("dow", "day_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
