@@ -773,3 +773,29 @@ def eda_day_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "day_label")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q23. Sketch-based approximate stats — the 100 TB path for A11/A12/A13
+# --------------------------------------------------------------------------
+@register(
+    "approx_sketch_stats",
+    oracle=None,
+    doc="Approximate sketches per group: HyperLogLog++ distinct counts "
+    "(approx_count_distinct) and t-digest-style quantiles "
+    "(approx_percentile) — the single-pass, mergeable alternatives to the "
+    "exact percentile/countDistinct queries at 100 TB. Sketches are "
+    "engine-specific, so no cross-engine hash oracle (rows-only); the "
+    "exact twins (quantiles, order_profile) carry the full gate, and "
+    "tests assert the sketch lands within its error bound of the exact "
+    "answer.",
+)
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.round(pcts[0], 2).alias("approx_p50_price"),
+        F.round(pcts[1], 2).alias("approx_p95_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,176 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no stateful stream processing (its "streams" are
+RabbitMQ micro-batches); these are the Structured-Streaming-native
+operators a scaled-up version of its ingest needs (SURVEY §2.8 gap +
+driver mandate):
+
+- ``sessionize``: event-time session windows with a configurable
+  inactivity gap — per-key Arrow-batched state (session start/end/
+  count). Sessions closed by a later in-batch event emit immediately;
+  open sessions flush via EVENT-TIME timeouts when the watermark
+  passes last_event + gap (deterministic — no wall-clock batches, and
+  availableNow drains terminate);
+- ``running_dedup``: exactly-once-per-key emission across micro-batches
+  — the streaming form of the gold PK guard (ST5) when the sink can't
+  anti-join.
+
+State is per-group and bounded: sessionize keeps O(1) per active key,
+running_dedup keeps the seen-key set (use TTL/timeout for unbounded key
+spaces — parameterized).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ts", T.DoubleType(), True),
+        T.StructField("last_ts", T.DoubleType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def _sessionize_fn(gap_seconds: float):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        out = []
+        if state.hasTimedOut:
+            # timeout invocation delivers no rows — flush the open session
+            if state.exists:
+                start, last, n = state.get
+                out.append((key[0], start, last, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            ts = sorted(rows["ts"].map(lambda t: t.timestamp()))
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = ts[0], ts[0], 0
+            for t in ts:
+                if t - last > gap_seconds:
+                    out.append((key[0], start, last, n))
+                    start, n = t, 0
+                last = max(last, t)
+                n += 1
+            state.update((start, last, n))
+            # flush when event time passes the inactivity gap (clamped
+            # above the current watermark — timers must be in its future)
+            deadline_ms = int((last + gap_seconds) * 1000)
+            state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+        if not out:
+            return iter([])
+        df = pd.DataFrame(out, columns=["key", "session_start", "session_end", "n_events"])
+        for c in ("session_start", "session_end"):
+            df[c] = pd.to_datetime(df[c], unit="s")
+        return iter([df])
+
+    return fn
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_seconds: float = 3600.0,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Session windows with an inactivity gap over a STREAMING frame.
+
+    In-batch-closed sessions emit immediately; open sessions flush when
+    the event-time watermark passes last_event + gap. One shuffle on
+    the key; state is one (start, last, count) triple per active key.
+    """
+    grouped = (
+        events.select(
+            events[key_col].cast("string").alias("key"), events[ts_col].alias("ts")
+        )
+        .withWatermark("ts", watermark_delay)
+        .groupBy("key")
+    )
+    return grouped.applyInPandasWithState(
+        _sessionize_fn(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_seconds: float = 3600.0,
+) -> DataFrame:
+    """Batch twin of ``sessionize`` — same semantics via window
+    functions (lag → gap flag → running session id → group) so the
+    stateful path has a deterministic cross-check (and batch callers
+    get sessions without streaming machinery). Includes the final open
+    session, which the streaming path only emits on timeout."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("key").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = (
+        events.select(F.col(key_col).cast("string").alias("key"), F.col(ts_col).alias("ts"))
+        .withColumn("_new", (F.coalesce(gap > gap_seconds, F.lit(True))).cast("int"))
+        .withColumn("_sid", F.sum("_new").over(w))
+    )
+    return sess.groupBy("key", "_sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("_sid")
+
+
+_SEEN_SCHEMA = T.StructType([T.StructField("seen", T.LongType(), True)])
+
+
+def _dedup_fn():
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists or rows.empty:
+            if state.exists:
+                (n,) = state.get
+                state.update((n + len(rows),))
+            return iter([])
+        state.update((len(rows),))
+        return iter([rows.head(1)])
+
+    return fn
+
+
+def running_dedup(df: DataFrame, key_col: str) -> DataFrame:
+    """Emit each key's FIRST row across the whole stream; later
+    micro-batch re-deliveries are swallowed (state = seen-count per
+    key). The streaming analog of the gold PK insert-ignore."""
+    out_schema = df.schema
+    return df.groupBy(key_col).applyInPandasWithState(
+        _dedup_fn(),
+        outputStructType=out_schema,
+        stateStructType=_SEEN_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

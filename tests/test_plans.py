@@ -96,3 +96,26 @@ def test_two_phase_agg_exact(spark, sf_oracle):
         ).collect()
     }
     assert direct == salted
+
+
+def test_approx_sketches_within_bounds(spark, sf_oracle):
+    """approx_count_distinct (rsd 2%) and approx_percentile(acc 10k)
+    must land near the exact answers they replace at scale."""
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: (r.n, r.p50)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.approx_orders, r.approx_p50_price)
+        for r in QUERIES["approx_sketch_stats"].fn(spark, sf_oracle).collect()
+    }
+    for flag, (n, p50) in exact.items():
+        an, ap50 = approx[flag]
+        assert abs(an - n) / n < 0.05
+        assert abs(ap50 - p50) / p50 < 0.05
