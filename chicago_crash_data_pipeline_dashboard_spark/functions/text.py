@@ -113,6 +113,14 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
 
 
+def hash60(s: Column) -> Column:
+    """Engine-portable 60-bit string hash: first 15 hex chars of md5 as
+    an integer (fits int64 in every engine). Used to shrink shuffle
+    keys — joining on an 8-byte long instead of a shingle string —
+    while an oracle reproduces it exactly."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def hash32(s: Column) -> Column:
     """Engine-portable 32-bit string hash: first 8 hex chars of md5 as
     an integer. Matches DuckDB ``('0x'||substr(md5(s),1,8))::BIGINT``
@@ -121,16 +129,33 @@ def hash32(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once per row and pass it to ``body`` as a lambda
+    variable: ``transform(array(value), v -> body(v))[0]``.
+
+    Catalyst has no let-binding and inlines sub-expressions into
+    higher-order lambdas, re-evaluating them PER ELEMENT — e.g. a
+    tokenizing regex split inside a 100-element shingle transform runs
+    100× per row. Routing the value through a 1-element array pins one
+    evaluation; lambda-variable references are lookups, not recompute.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (the MinHash/Jaccard unit). Documents
     shorter than n tokens yield their whole text as one shingle."""
-    toks = tokens(text)
-    k = F.size(toks)
-    shingled = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.array_distinct(shingled)
+
+    def body(toks: Column) -> Column:
+        k = F.size(toks)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+
+    return _let(tokens(text), body)
 
 
 def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:

@@ -72,10 +72,20 @@ def parse_types(df: DataFrame) -> DataFrame:
     return out
 
 
-def clean_crashes(df: DataFrame, exact_median: bool = True) -> DataFrame:
+def clean_crashes(
+    df: DataFrame, exact_median: bool = True, persist_intermediate: bool = True
+) -> DataFrame:
     """Full cleaning chain. Input: Silver crashes (string or typed
     columns). Output: Gold-shaped frame (no audit columns yet — the
-    upsert writer adds corr_id/inserted_at/updated_at, M3)."""
+    upsert writer adds corr_id/inserted_at/updated_at, M3).
+
+    The exact-median imputation makes this a two-pass plan (stats job,
+    then the fill). ``persist_intermediate`` materializes the pre-fill
+    frame once so the stats job and the final plan don't both recompute
+    the upstream chain — Spark's cache manager also shares it across
+    queries built on the same input plan. MEMORY_AND_DISK; LRU-evicted,
+    recompute-on-miss keeps it correct either way.
+    """
     out = parse_types(select_required(df))
 
     # F3 bools + F4/F5 time features — one batched projection
@@ -127,6 +137,8 @@ def clean_crashes(df: DataFrame, exact_median: bool = True) -> DataFrame:
         and c not in MEDIAN_FILL_EXCLUDE
         and c != "crash_record_id"
     ]
+    if numeric_cols and persist_intermediate:
+        out = out.persist()
     if numeric_cols:
         # exact interpolating percentile — matches pandas .median(); at
         # 100 TB swap to approx_percentile(c, 0.5, 1e6) when oracle

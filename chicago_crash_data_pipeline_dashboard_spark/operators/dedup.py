@@ -62,6 +62,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index.
 
@@ -69,9 +70,25 @@ def ngram_jaccard_pairs(
     Shingles shared by more than ``max_bucket`` docs are dropped
     (stop-shingle skew guard — at 100 TB one 'the end' shingle would
     otherwise create a quadratic bucket).
+
+    Shingles are hashed to int64 BEFORE the self-join — an 8-byte
+    shuffle key instead of an n-word string. ``xxhash64`` is the fast
+    JVM path; ``md5`` (60-bit) is engine-portable for the differential
+    oracle. Hash collisions would merge shingles identically on both
+    engines, so results stay comparable either way.
     """
+    if hash_mode == "xxhash64":
+        def _h(s):
+            return F.xxhash64(s)
+    elif hash_mode == "md5":
+        _h = TX.hash60
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     shingled = df.select(
-        F.col(id_col).alias("doc"), TX.word_shingles(F.col(text_col), n).alias("shingles")
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform(TX.word_shingles(F.col(text_col), n), _h)
+        ).alias("shingles"),
     )
     sizes = shingled.select("doc", F.size("shingles").cast("long").alias("n_sh"))
     inv = shingled.select("doc", F.explode("shingles").alias("shingle"))

@@ -253,7 +253,10 @@ def doc_dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (SELECT doc_id AS doc, {_shingles_sql(3)} AS shingles FROM documents),
+    WITH sh AS (SELECT doc_id AS doc,
+                list_distinct(list_transform({_shingles_sql(3)},
+                  s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS shingles
+                FROM documents),
     sizes AS (SELECT doc, len(shingles) AS n_sh FROM sh),
     inv0 AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
     hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > 1000),
@@ -272,13 +275,15 @@ def doc_dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
     """,
     doc="Exact n-gram Jaccard near-dup pairs via an inverted shingle index "
-    "(operators/dedup.py): explode → self-join on shingle → pair-count "
-    "intersection; hot-shingle skew guard (>1000 docs) bounds the "
-    "quadratic bucket at scale.",
+    "(operators/dedup.py): explode → self-join on 60-bit hashed shingles "
+    "(8-byte shuffle keys) → pair-count intersection; hot-shingle skew "
+    "guard (>1000 docs) bounds the quadratic bucket at scale.",
 )
 def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_bucket=1000)
+    return DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_bucket=1000, hash_mode="md5"
+    )
 
 
 def _minhash_oracle(num_hashes: int, bands: int, shingle_n: int, seed: int, threshold: float) -> str:
