@@ -32,6 +32,16 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from precomputed norms — compute ``norm()`` once per
+    VECTOR (a narrow map before the pair join) instead of re-deriving
+    both norms inside every pair expression: ~3× fewer array folds on
+    the quadratic side. Bit-identical to ``cosine`` (same sqrt of the
+    same sequential dot)."""
+    denom = norm_a * norm_b
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     diff = F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))

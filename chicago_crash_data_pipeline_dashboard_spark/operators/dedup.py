@@ -301,14 +301,24 @@ def embedding_near_duplicates(
     sig = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("vec"),
+        VX.norm(F.col(vec_col)).alias("nrm"),
         VX.lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
-    a = sig.select("bucket", F.col("doc").alias("doc_a"), F.col("vec").alias("vec_a"))
-    b = sig.select("bucket", F.col("doc").alias("doc_b"), F.col("vec").alias("vec_b"))
+    a = sig.select(
+        "bucket", F.col("doc").alias("doc_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = sig.select(
+        "bucket", F.col("doc").alias("doc_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos", VX.cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "cos",
+            VX.cosine_with_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")
+            ),
+        )
         .filter(F.col("cos") >= threshold)
     )
     return pairs.select("doc_a", "doc_b", F.round("cos", 6).alias("cosine"))

@@ -31,12 +31,28 @@ def brute_force_topk(
     """Exact top-k: for each query vector, the k nearest corpus vectors
     by cosine (self-matches excluded). Deterministic tie-break on
     (cosine desc, neighbor id asc)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        VX.norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        VX.norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(VX.cosine(F.col("cvec"), F.col("qvec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                VX.cosine_with_norms(
+                    F.col("cvec"), F.col("qvec"), F.col("cn"), F.col("qn")
+                ),
+                6,
+            ),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -68,16 +84,19 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        VX.norm(F.col(vec_col)).alias("cn"),
         VX.lsh_signature(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        VX.norm(F.col(vec_col)).alias("qn"),
         VX.lsh_signature(F.col(vec_col), planes).alias("qsig"),
     )
     if multi_probe:
         q = q.select(
-            "query_id", "qvec", F.explode(_flip_signatures(F.col("qsig"), n_planes)).alias("bucket")
+            "query_id", "qvec", "qn",
+            F.explode(_flip_signatures(F.col("qsig"), n_planes)).alias("bucket"),
         )
     else:
         q = q.withColumnRenamed("qsig", "bucket")
@@ -85,7 +104,15 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(VX.cosine(F.col("cvec"), F.col("qvec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                VX.cosine_with_norms(
+                    F.col("cvec"), F.col("qvec"), F.col("cn"), F.col("qn")
+                ),
+                6,
+            ),
+        )
         .select("query_id", "neighbor_id", "cos")
         .distinct()  # multi-probe can hit the same pair via two buckets
     )

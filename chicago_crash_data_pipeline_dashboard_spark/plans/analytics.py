@@ -221,11 +221,15 @@ def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+    # one percentile buffer per COLUMN (array of fractions), not per
+    # fraction — halves the aggregation state
+    qty = F.expr("percentile(l_quantity, array(0.5, 0.95))")
+    price = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
+    return li.agg(qty.alias("q"), price.alias("p")).select(
+        F.round(F.col("q")[0], 6).alias("median_qty"),
+        F.round(F.col("q")[1], 6).alias("p95_qty"),
+        F.round(F.col("p")[0], 6).alias("median_price"),
+        F.round(F.col("p")[1], 6).alias("p95_price"),
     )
 
 

@@ -119,3 +119,32 @@ def test_approx_sketches_within_bounds(spark, sf_oracle):
         an, ap50 = approx[flag]
         assert abs(an - n) / n < 0.05
         assert abs(ap50 - p50) / p50 < 0.05
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_oracle, tmp_path):
+    """Same-bucketed tables must sort-merge join with NO Exchange —
+    the at-rest co-location that replaces the fact-side shuffle at
+    scale (operators/bucketing.py)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed_table,
+    )
+
+    o = spark.read.parquet(f"{sf_oracle}/orders.parquet").select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{sf_oracle}/customer.parquet").select("c_custkey", "c_mktsegment")
+    write_bucketed_table(o, "tb_orders", "o_custkey", 8, path=str(tmp_path / "o"))
+    write_bucketed_table(c, "tb_cust", "c_custkey", 8, path=str(tmp_path / "c"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        j = bucketed_join(spark, "tb_orders", "tb_cust", "o_custkey", "c_custkey")
+        plan = plan_of(j, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        # and the result is correct
+        expected = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS tb_orders")
+        spark.sql("DROP TABLE IF EXISTS tb_cust")
