@@ -122,3 +122,92 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means over the corpus; returns the
+    cluster-assigned corpus and the centroid list.
+
+    At 100 TB: fit on a sample, assign in one narrow map, and write the
+    corpus PARTITIONED by cluster id — each probe then reads only its
+    clusters' files (partition pruning = the inverted file)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_fv")
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cluster"
+    ).fit(feat)
+    assigned = model.transform(feat).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        VX.norm(F.col(vec_col)).alias("cn"),
+        F.col("_cluster"),
+    )
+    return assigned, model.clusterCenters()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest centroids
+    per query, exact cosine rerank within the probed clusters. Recall
+    tunes with n_probe/n_clusters; the corpus-side work is one k-means
+    assignment plus a bucket join (no all-pairs scan)."""
+    assigned, centroids = ivf_index(corpus, id_col, vec_col, n_clusters, seed)
+
+    # (cluster, L2-to-centroid) structs → sort by distance → first n_probe
+    cents = F.array(
+        *[
+            F.struct(
+                VX.l2_distance(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+                ).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.transform(F.slice(F.array_sort(cents), 1, n_probe), lambda s: s["c"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        VX.norm(F.col(vec_col)).alias("qn"),
+        F.explode(probes).alias("_cluster"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "_cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                VX.cosine_with_norms(
+                    F.col("cvec"), F.col("qvec"), F.col("cn"), F.col("qn")
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cos")
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )

@@ -512,3 +512,20 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("media_id").alias("n_videos"),
         F.count(F.lit(1)).alias("n_frames"),
     )
+
+
+@register(
+    "emb_ivf_topk",
+    oracle=None,
+    doc="IVF approximate top-k (operators/similarity.py ivf_topk): "
+    "k-means coarse quantizer (16 clusters, seeded), 4-probe nearest-"
+    "centroid search, exact in-cluster cosine rerank. Iterative k-means "
+    "is not SQL-expressible → rows-only check; recall vs the exact "
+    "brute-force oracle is pinned in tests/test_llm_ops.py.",
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        e, e.filter(F.col("vec_id") < _NQ),
+        id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, n_probe=4, seed=42,
+    )

@@ -172,3 +172,13 @@ def test_frame_sample_plan(spark):
     # duration 5000+i*100 → ids 2,5,8 → 5200,5500,5800ms → 6 samples each
     assert set(by_id) == {2, 5, 8}
     assert all(ts == sorted(ts) and ts[0] == 0 and len(ts) == 6 for ts in by_id.values())
+
+
+def test_ivf_topk_recall_on_testdata(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = SIM.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = SIM.ivf_topk(emb, q, k=5, n_clusters=16, n_probe=4)
+    assert approx.count() == exact.count() == 40  # 8 queries × k
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
+    assert hit / exact.count() >= 0.5  # 4/16-probe recall floor

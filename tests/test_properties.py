@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): cleaning and text column
+expressions vs pure-Python reference models over adversarial inputs —
+a layer the reference has nothing like (SURVEY §5). Each example
+batches many strings into ONE Spark job to keep runtime sane."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from chicago_crash_data_pipeline_dashboard_spark.functions import cleaning as C
+from chicago_crash_data_pipeline_dashboard_spark.functions import text as TX
+
+TRUTHY = {"y", "yes", "true", "t", "1", "1.0"}
+
+# printable-ish ASCII + whitespace, incl. the tokens that matter
+token_st = st.one_of(
+    st.none(),
+    st.sampled_from(["Y", "n", " yes ", "TRUE", "t", "1", "1.0", "0", "no", "1.00"]),
+    st.text(alphabet=" \tabyYtT10.", max_size=8),
+)
+text_st = st.text(
+    alphabet=" abcdefgh.,!?the of and", max_size=60
+)
+
+
+def _bool_model(v):
+    return 1 if v is not None and v.strip().lower() in TRUTHY else 0
+
+
+def _tokcount_model(s):
+    return 0 if s is None or not s.strip() else len(s.strip().split())
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(token_st, min_size=1, max_size=30))
+def test_standardize_boolean_matches_model(spark, values):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, v string")
+    got = {r.i: r.b for r in df.select("i", C.standardize_boolean(F.col("v")).alias("b")).collect()}
+    for i, v in enumerate(values):
+        assert got[i] == _bool_model(v), f"value {v!r}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(text_st, min_size=1, max_size=30))
+def test_token_count_matches_python_split(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r.i: r.n for r in df.select("i", TX.token_count(F.col("t")).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _tokcount_model(t), f"text {t!r}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(text_st.filter(lambda s: s.strip()), min_size=1, max_size=20))
+def test_word_shingle_invariants(spark, texts):
+    n = 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r.i: r.sh for r in df.select("i", TX.word_shingles(F.col("t"), n).alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        sh = got[i]
+        toks = t.strip().lower().split()
+        assert len(sh) >= 1
+        assert len(sh) == len(set(sh))  # distinct
+        assert len(sh) <= max(len(toks) - n + 1, 1)
+        for s in sh:
+            assert len(s.split(" ")) <= n
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.floats(min_value=-5, max_value=30)), min_size=1, max_size=25))
+def test_hour_bin_matches_model(spark, hours):
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hours)], "i int, h double")
+    got = {r.i: r.b for r in df.select("i", C.hour_bin(F.col("h")).alias("b")).collect()}
+
+    def model(h):
+        if h is None:
+            return None
+        if h <= 6:
+            return "night"
+        if h <= 12:
+            return "morning"
+        if h <= 18:
+            return "afternoon"
+        if h <= 23:
+            return "evening"
+        return None
+
+    for i, h in enumerate(hours):
+        assert got[i] == model(h), f"hour {h!r}"
+
+
+def test_corrupt_bronze_file_does_not_poison_read(spark, tmp_path):
+    """S6 parity: the reference returns [] for an unparseable page and
+    keeps going (transformer.py:127-168); Spark's PERMISSIVE JSON read
+    must keep every valid row when a garbage file sits in the layout."""
+    from chicago_crash_data_pipeline_dashboard_spark.schemas import BRONZE_CRASHES
+    from chicago_crash_data_pipeline_dashboard_spark.sources.bronze import (
+        read_bronze,
+        write_bronze,
+    )
+
+    rows = [("CR1", "2025-01-02T03:04:05"), ("CR2", "2025-02-03T04:05:06")]
+    df = spark.createDataFrame(rows, ["crash_record_id", "crash_date"])
+    base = str(tmp_path)
+    write_bronze(df, base, "crashes", corr="r1")
+    part = f"{base}/crashes/year=2025/corr=r1"
+    with open(f"{part}/garbage.json", "w") as f:
+        f.write("this is { not json ]]")
+    back = read_bronze(spark, base, "crashes", BRONZE_CRASHES, corr="r1")
+    ids = sorted(r.crash_record_id for r in back.collect() if r.crash_record_id is not None)
+    assert ids == ["CR1", "CR2"]
