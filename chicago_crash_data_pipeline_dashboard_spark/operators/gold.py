@@ -33,22 +33,40 @@ PK = "crash_record_id"
 
 
 class GoldTable:
-    """Parquet-backed gold.crashes with PK-insert-ignore semantics."""
+    """Parquet-backed gold.crashes with PK-insert-ignore semantics.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``partition_on_year=True`` lays the table out as ``year=YYYY/``
+    directories (event-time year from crash_date) — at 100 TB the
+    dashboard's date-ranged queries then prune whole partitions at
+    file-listing time instead of scanning the table (asserted in
+    tests/test_plans.py).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, partition_on_year: bool = False):
         self.spark = spark
         self.path = path
+        self.partition_on_year = partition_on_year
+
+    def _schema(self):
+        if not self.partition_on_year:
+            return GOLD_CRASHES
+        from pyspark.sql import types as T
+
+        return T.StructType(list(GOLD_CRASHES.fields) + [T.StructField("year", T.IntegerType(), True)])
 
     # -- M1: idempotent create ------------------------------------------
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        if not os.path.isdir(self.path):
+            return False
+        for root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self) -> DataFrame:
         if not self.exists():
-            return self.spark.createDataFrame([], GOLD_CRASHES)
-        return self.spark.read.schema(GOLD_CRASHES).parquet(self.path)
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.schema(self._schema()).parquet(self.path)
 
     # -- M2 + M3: upsert -------------------------------------------------
     def upsert(self, df: DataFrame, corr_id: str) -> dict[str, int]:
@@ -59,12 +77,19 @@ class GoldTable:
             .withColumn("inserted_at", F.current_timestamp())
             .withColumn("updated_at", F.current_timestamp())
         )
-        # align to gold column order/types
+        # align to gold column order/types; absent columns become null
+        # (DuckDB INSERT's missing-column default)
+        present = set(batch.columns)
         batch = batch.select(
-            [F.col(f.name).cast(f.dataType) for f in GOLD_CRASHES.fields]
+            [
+                (F.col(f.name) if f.name in present else F.lit(None)).cast(f.dataType).alias(f.name)
+                for f in GOLD_CRASHES.fields
+            ]
         )
         batch = batch.filter(F.col(PK).isNotNull())
         batch = dedup_keep_first(with_row_order(batch), PK).drop("_row_order")
+        if self.partition_on_year:
+            batch = batch.withColumn("year", F.year(F.col("crash_date")))
 
         n_batch = df.count()
         before = self.read().count() if self.exists() else 0
@@ -78,7 +103,10 @@ class GoldTable:
         # cache the delta so the write and the count see one computation
         new_rows = new_rows.persist()
         inserted = new_rows.count()
-        new_rows.write.mode("append").parquet(self.path)
+        writer = new_rows.write.mode("append")
+        if self.partition_on_year:
+            writer = writer.partitionBy("year")
+        writer.parquet(self.path)
         new_rows.unpersist()
 
         return {

@@ -529,3 +529,54 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < _NQ),
         id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, n_probe=4, seed=42,
     )
+
+
+@register(
+    "doc_training_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {_QUALITY} AS quality,
+             CAST({_TOKCNT} AS BIGINT) AS n_tokens,
+             {_FPRINT} AS f,
+             len(list_filter({_TOKS}, t -> list_contains({_EN_SW}, t))) AS h_en
+      FROM documents
+    ),
+    gated AS (SELECT * FROM scored WHERE h_en > 0 AND quality >= 0.3),
+    keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY f)
+    SELECT g.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(g.quality AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+    FROM gated g JOIN keep USING (doc_id)
+    GROUP BY g.source
+    """,
+    doc="The end-to-end training-data curation pipeline in one lazy plan: "
+    "language gate (English stopword hits > 0) → quality gate (score ≥ "
+    "0.3) → exact dedup (min-id per content fingerprint) → per-source "
+    "corpus stats. Narrow maps into one fingerprint shuffle + one "
+    "group-by; the shape that curates a 100 TB crawl.",
+)
+def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    en_hits = F.size(F.filter(TX.tokens(t), lambda x: x.isin(TX.STOPWORDS["en"])))
+    scored = d.select(
+        "doc_id",
+        "source",
+        TX.quality_score(t).alias("quality"),
+        TX.token_count(t).alias("n_tokens"),
+        TX.fingerprint(t).alias("f"),
+        en_hits.alias("h_en"),
+    )
+    gated = scored.filter((F.col("h_en") > 0) & (F.col("quality") >= 0.3))
+    keep = gated.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(keep, "doc_id", "left_semi")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        # decimal-routed sum: order-independent, exact across engines
+        F.round(
+            F.sum(F.col("quality").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_quality"),
+    )

@@ -148,3 +148,29 @@ def test_bucketed_join_is_shuffle_free(spark, sf_oracle, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS tb_orders")
         spark.sql("DROP TABLE IF EXISTS tb_cust")
+
+
+def test_year_partitioned_gold_prunes(spark, tmp_path):
+    """Year-partitioned gold: a year filter must prune partitions at
+    file-listing time (PartitionFilters), not scan-and-filter."""
+    import datetime as dt
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators.gold import GoldTable
+
+    rows = [
+        ("CR%d" % i, dt.date(2020 + i % 3, 1 + i % 12, 1 + i % 28))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "crash_record_id string, crash_date date")
+    gold = GoldTable(spark, str(tmp_path / "gold"), partition_on_year=True)
+    stats = gold.upsert(df, corr_id="r1")
+    assert stats["inserted"] == 90
+
+    q = gold.read().filter(F.col("year") == 2021)
+    plan = plan_of(q)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "year" in pf and "2021" in pf
+    assert q.count() == 30
+    # idempotent re-run still holds under partitioning
+    assert gold.upsert(df, corr_id="r2")["inserted"] == 0
+    assert gold.verify_integrity()["ok"] == 1
