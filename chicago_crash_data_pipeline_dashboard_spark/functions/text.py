@@ -57,19 +57,24 @@ def punct_ratio(text: Column) -> Column:
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang``."""
-    toks = tokens(text)
     sw = STOPWORDS[lang]
-    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
-    total = F.size(toks)
-    return F.when(total <= 0, F.lit(0.0)).otherwise(hits.cast("double") / total)
+
+    def body(toks: Column) -> Column:
+        hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+        total = F.size(toks)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(hits.cast("double") / total)
+
+    return _let(tokens(text), body)
 
 
 def mean_token_length(text: Column) -> Column:
-    toks = tokens(text)
-    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
-        total_len.cast("double") / F.size(toks)
-    )
+    def body(toks: Column) -> Column:
+        total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+            total_len.cast("double") / F.size(toks)
+        )
+
+    return _let(tokens(text), body)
 
 
 def quality_score(text: Column) -> Column:
@@ -99,13 +104,23 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Argmax language by stopword hits, ties broken by LANG_ORDER;
-    zero hits everywhere → 'und' (undetermined)."""
-    scores = lang_scores(text)
-    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
-    expr = F.when(best <= 0, F.lit("und"))
-    for lang in LANG_ORDER:
-        expr = expr.when(scores[lang] == best, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
+    zero hits everywhere → 'und' (undetermined). The token array is
+    let-bound: one tokenize per row, not one per (language × reference)."""
+
+    def _hits(sw: list[str]):
+        return lambda t: t.isin(sw)
+
+    def body(toks: Column) -> Column:
+        scores = {
+            lang: F.size(F.filter(toks, _hits(sw))) for lang, sw in STOPWORDS.items()
+        }
+        best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+        expr = F.when(best <= 0, F.lit("und"))
+        for lang in LANG_ORDER:
+            expr = expr.when(scores[lang] == best, F.lit(lang))
+        return expr.otherwise(F.lit("und"))
+
+    return _let(tokens(text), body)
 
 
 def fingerprint(text: Column) -> Column:
