@@ -803,3 +803,82 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pcts[1], 2).alias("approx_p95_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q24. Hierarchical rollup (grouping sets) — subtotal/grand-total in one pass
+# --------------------------------------------------------------------------
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="ROLLUP grouping sets: per-nation, per-region subtotal, and grand "
+    "total in ONE aggregation pass (grouping_id distinguishes levels) — "
+    "beyond the reference's flat groupbys, the dashboard-summary shape "
+    "at warehouse scale. Dims broadcast; single fact shuffle.",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            # gid bit layout matches the oracle: r_name = MSB, n_name = LSB
+            F.when(F.col("gid").bitwiseAND(2) == 2, "ALL").otherwise(F.col("r_name")).alias("region"),
+            F.when(F.col("gid").bitwiseAND(1) == 1, "ALL").otherwise(F.col("n_name")).alias("nation"),
+            "gid", "n_orders", "revenue",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q25. Set operations — UNION / INTERSECT / EXCEPT over key sets
+# --------------------------------------------------------------------------
+@register(
+    "order_key_setops",
+    oracle="""
+    WITH f AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+    u AS (SELECT k FROM f UNION SELECT k FROM o),
+    i AS (SELECT k FROM f INTERSECT SELECT k FROM o),
+    e AS (SELECT k FROM f EXCEPT SELECT k FROM o)
+    SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_union,
+           CAST((SELECT count(*) FROM i) AS BIGINT) AS n_intersect,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_except
+    """,
+    doc="Set algebra over customer key sets (finished vs open orders): "
+    "union/intersect/except distinct. Spark compiles these to "
+    "aggregate/semi/anti shuffles on the key.",
+)
+def order_key_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    f_k = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k")).distinct()
+    o_k = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")).distinct()
+    u = f_k.union(o_k).distinct().count()
+    i = f_k.intersect(o_k).count()
+    e = f_k.exceptAll(o_k).distinct().count()
+    return load(spark, sf_dir, "region").limit(1).select(
+        F.lit(u).alias("n_union"), F.lit(i).alias("n_intersect"), F.lit(e).alias("n_except")
+    )
