@@ -670,6 +670,20 @@ def hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q20. Star-schema rollup: revenue by region/nation (multi-join)
 # --------------------------------------------------------------------------
+def _order_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⨝ customer ⨝ nation ⨝ region with every dim broadcast —
+    the shared star-join spine of the revenue queries."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+
+
 @register(
     "revenue_by_nation",
     oracle="""
@@ -688,14 +702,8 @@ def hash_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped-metric queries take at warehouse scale.",
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        _order_dims(spark, sf_dir)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
@@ -828,17 +836,9 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at warehouse scale. Dims broadcast; single fact shuffle.",
 )
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
-    j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
     return (
-        j.rollup("r_name", "n_name")
+        _order_dims(spark, sf_dir)
+        .rollup("r_name", "n_name")
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -869,16 +869,25 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT count(*) FROM e) AS BIGINT) AS n_except
     """,
     doc="Set algebra over customer key sets (finished vs open orders): "
-    "union/intersect/except distinct. Spark compiles these to "
-    "aggregate/semi/anti shuffles on the key.",
+    "union/intersect/except distinct, computed as ONE lazy plan — a "
+    "full-outer join of the two distinct key sets classifies every key "
+    "in a single orders pass (no eager actions in the plan builder).",
 )
 def order_key_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    f_k = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k")).distinct()
-    o_k = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")).distinct()
-    u = f_k.union(o_k).distinct().count()
-    i = f_k.intersect(o_k).count()
-    e = f_k.exceptAll(o_k).distinct().count()
-    return load(spark, sf_dir, "region").limit(1).select(
-        F.lit(u).alias("n_union"), F.lit(i).alias("n_intersect"), F.lit(e).alias("n_except")
+    f_k = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k")).distinct()
+        .withColumn("in_f", F.lit(1))
+    )
+    o_k = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("k")).distinct()
+        .withColumn("in_o", F.lit(1))
+    )
+    both = f_k.join(o_k, "k", "full_outer")
+    return both.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(((F.col("in_f") == 1) & (F.col("in_o") == 1)).cast("long")).alias("n_intersect"),
+        F.sum(((F.col("in_f") == 1) & F.col("in_o").isNull()).cast("long")).alias("n_except"),
     )
