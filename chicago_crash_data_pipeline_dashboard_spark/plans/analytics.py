@@ -150,7 +150,8 @@ def value_counts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     withkeys = ev.select(
-        F.hour("ts").alias("crash_hour"),
+        # long for type parity: DuckDB EXTRACT(hour) is BIGINT
+        F.hour("ts").cast("long").alias("crash_hour"),
         F.dayofweek("ts").alias("dow"),
     )
     piv = (
@@ -722,12 +723,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT o_custkey,
              CAST(count(*) AS BIGINT) AS ord_count,
-             to_json(list_sort(list_distinct(
+             CAST(to_json(list_sort(list_distinct(
                list(o_orderpriority) FILTER (WHERE o_orderpriority IS NOT NULL)
-             ))) AS ord_priority_json,
-             to_json(list_sort(list_distinct(
+             ))) AS VARCHAR) AS ord_priority_json,
+             CAST(to_json(list_sort(list_distinct(
                list(o_orderstatus) FILTER (WHERE o_orderstatus IS NOT NULL)
-             ))) AS ord_status_json
+             ))) AS VARCHAR) AS ord_status_json
       FROM orders GROUP BY o_custkey
     )
     SELECT c.c_custkey, c.c_mktsegment,
