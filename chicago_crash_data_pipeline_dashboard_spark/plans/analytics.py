@@ -892,3 +892,46 @@ def order_key_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("in_f") == 1) & (F.col("in_o") == 1)).cast("long")).alias("n_intersect"),
         F.sum(((F.col("in_f") == 1) & F.col("in_o").isNull()).cast("long")).alias("n_except"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q26. Sliding event-time windows (2-day window, 1-day slide)
+# --------------------------------------------------------------------------
+@register(
+    "sliding_event_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([
+               date_trunc('day', ts) - INTERVAL 1 DAY,
+               date_trunc('day', ts)
+             ]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           CAST(window_start + INTERVAL 2 DAY AS TIMESTAMP) AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM w
+    GROUP BY window_start
+    """,
+    doc="Sliding event-time windows (size 2 days, slide 1 day) — Spark's "
+    "window() assigns each row to size/slide overlapping windows via "
+    "Expand (the batch twin of the streaming sliding aggregation). The "
+    "oracle unnests the two window starts per row explicitly.",
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
