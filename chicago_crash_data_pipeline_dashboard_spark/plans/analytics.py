@@ -935,3 +935,42 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q27. Session windows (batch twin of the stateful streaming operator)
+# --------------------------------------------------------------------------
+@register(
+    "event_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, ts,
+             CASE WHEN EXTRACT(epoch FROM ts) -
+                       lag(EXTRACT(epoch FROM ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                       > 3600 OR
+                       lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT key, ts,
+             SUM(new_sess) OVER (PARTITION BY key ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT key, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY key, sid
+    """,
+    doc="Inactivity-gap session windows (1 h gap) over event time — the "
+    "batch twin of streaming/stateful.py sessionize (their equivalence "
+    "is pinned in tests/test_stateful.py); here the window-function "
+    "form itself goes under the differential gate: lag → gap flag → "
+    "running session id → group.",
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import sessionize_batch
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize_batch(ev, key_col="event_type", ts_col="ts", gap_seconds=3600.0)
