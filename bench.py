@@ -67,9 +67,13 @@ def main() -> None:
         lambda it: ( _pd.DataFrame({"id": b["id"]}) for b in it ), "id long"
     ).count()
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")  # regex, dev-only filter
+
     timings: dict[str, float] = {}
     for name, spec in sorted(QUERIES.items()):
         if name in SKIP:
+            continue
+        if only and not __import__("re").search(only, name):
             continue
         samples = []
         for _ in range(RUNS):

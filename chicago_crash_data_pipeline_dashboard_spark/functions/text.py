@@ -123,6 +123,51 @@ def lang_id(text: Column) -> Column:
     return _let(tokens(text), body)
 
 
+def text_profile(text: Column) -> Column:
+    """Every per-document text statistic from ONE tokenization pass, as
+    ``struct(n_tokens, punct_ratio, mean_tok_len, sw_ratio, en_hits,
+    quality)``.
+
+    The standalone builders (token_count / punct_ratio / stopword_ratio
+    / quality_score) each re-tokenize; a query selecting several of
+    them pays the regex split per column. This fuses them behind two
+    nested ``_let`` bindings (token array, punct ratio), so the split
+    and the punctuation regex run once per row; consuming queries
+    select multiple fields of the one struct and codegen's
+    subexpression elimination evaluates it once. Field formulas are
+    bit-identical to the standalone builders (same oracle SQL applies).
+    """
+    prc = punct_ratio(text)
+
+    def outer(prv: Column) -> Column:
+        def body(toks: Column) -> Column:
+            sz = F.size(toks)
+            n_tok = F.when(F.trim(text) == "", F.lit(0)).otherwise(sz).cast("long")
+            total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            mean_len = F.when(sz <= 0, F.lit(0.0)).otherwise(total_len.cast("double") / sz)
+            en = STOPWORDS["en"]
+            en_hits = F.size(F.filter(toks, lambda t: t.isin(en)))
+            sw_ratio = F.when(sz <= 0, F.lit(0.0)).otherwise(en_hits.cast("double") / sz)
+            quality = F.round(
+                0.5 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+                + 0.25 * (1.0 - F.least(prv * 5.0, F.lit(1.0)))
+                + 0.25 * F.least(sw_ratio * 4.0, F.lit(1.0)),
+                6,
+            )
+            return F.struct(
+                n_tok.alias("n_tokens"),
+                prv.alias("punct_ratio"),
+                mean_len.alias("mean_tok_len"),
+                sw_ratio.alias("sw_ratio"),
+                en_hits.cast("long").alias("en_hits"),
+                quality.alias("quality"),
+            )
+
+        return _let(tokens(text), body)
+
+    return _let(prc, outer)
+
+
 def fingerprint(text: Column) -> Column:
     """Whole-document content fingerprint: md5 of normalized text."""
     return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))

@@ -47,6 +47,13 @@ def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` once per row (Catalyst has no let-binding and
+    re-evaluates sub-expressions referenced inside higher-order lambdas
+    per element): ``transform(array(value), v -> body(v))[0]``."""
+    return F.transform(F.array(value), body)[0]
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH (driver-side
     constants, broadcast into the plan as literals)."""
@@ -58,17 +65,33 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection signature: one bit per hyperplane, packed
-    into a long. 2 planes ⇒ 4 buckets, n ⇒ 2^n buckets."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                _d(vec),
-                F.array(*[F.lit(w) for w in plane]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    return sig
+    into a long. 2 planes ⇒ 4 buckets, n ⇒ 2^n buckets.
+
+    The plane matrix enters the plan as ONE constant-folded
+    ``from_json`` literal and the per-plane projection is a HOF loop —
+    a handful of expression nodes instead of n_planes × dim scalar
+    literals (which cost ~1 s of py4j driver time per query to build).
+    Projection values are bit-identical to the unrolled form (same
+    sequential fold over the same doubles)."""
+    import json
+
+    planes_lit = F.from_json(
+        F.lit(json.dumps([[float(w) for w in p] for p in planes])),
+        "array<array<double>>",
+    )
+    pows = F.lit([1 << i for i in range(len(planes))])
+    projs = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(_d(vec), p, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            pows,
+            lambda pr, w: F.when(pr >= 0, w).otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

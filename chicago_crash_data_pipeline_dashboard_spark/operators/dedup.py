@@ -71,11 +71,26 @@ def ngram_jaccard_pairs(
     (stop-shingle skew guard — at 100 TB one 'the end' shingle would
     otherwise create a quadratic bucket).
 
-    Shingles are hashed to int64 BEFORE the self-join — an 8-byte
-    shuffle key instead of an n-word string. ``xxhash64`` is the fast
-    JVM path; ``md5`` (60-bit) is engine-portable for the differential
-    oracle. Hash collisions would merge shingles identically on both
-    engines, so results stay comparable either way.
+    Shingles are hashed to int64 BEFORE the shuffle — an 8-byte key
+    instead of an n-word string. ``xxhash64`` is the fast JVM path;
+    ``md5`` (60-bit) is engine-portable for the differential oracle.
+    Hash collisions would merge shingles identically on both engines,
+    so results stay comparable either way.
+
+    Plan shape (2 shuffles, 1 pass over the text):
+
+    1. one narrow map computes (doc, n_sh, shingle) — the per-doc
+       distinct-shingle count rides along with every inverted-index row,
+       so no separate sizes frame (which would re-run the expensive
+       shingle+hash map) and no post-join to attach |A|/|B|;
+    2. groupBy(shingle) collects the bucket; buckets larger than
+       ``max_bucket`` are dropped HERE (same rows as a pre-join hot-list,
+       since bucket size == shingle frequency) — no second groupBy, no
+       anti-join;
+    3. in-bucket combinations explode directly to (doc_a, n_a, doc_b,
+       n_b) and one groupBy counts intersections. n_a/n_b are
+       functionally dependent on doc_a/doc_b, so adding them to the
+       grouping key changes nothing but saves both joins.
     """
     if hash_mode == "xxhash64":
         def _h(s):
@@ -90,44 +105,41 @@ def ngram_jaccard_pairs(
             F.transform(TX.word_shingles(F.col(text_col), n), _h)
         ).alias("shingles"),
     )
-    sizes = shingled.select("doc", F.size("shingles").cast("long").alias("n_sh"))
-    inv = shingled.select("doc", F.explode("shingles").alias("shingle"))
-    # skew guard
-    hot = inv.groupBy("shingle").count().filter(F.col("count") > max_bucket).select("shingle")
-    inv = inv.join(hot, "shingle", "left_anti")
-
-    # pair generation: group each shingle's (bounded, sorted) doc list
-    # and explode the in-array combinations — one groupBy instead of a
-    # self-join, and no doubled (a,b)/(b,a) intermediate (~30% faster
-    # than the join form; identical pairs)
+    inv = shingled.select(
+        "doc",
+        F.size("shingles").cast("long").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    buckets = (
+        inv.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "n_sh"))).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+    )
     docs = F.col("docs")
     pair_structs = F.flatten(
         F.transform(
             docs,
             lambda x, i: F.transform(
                 F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    x["n_sh"].alias("n_a"),
+                    y["doc"].alias("doc_b"),
+                    y["n_sh"].alias("n_b"),
+                ),
             ),
         )
     )
-    buckets = inv.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("docs"))
     pairs = (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .groupBy("doc_a", "doc_b")
+        .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    out = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = pairs.withColumn(
+        "jaccard",
+        F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("doc_a", "doc_b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -187,30 +199,32 @@ def minhash_signatures(
     return sh.select("doc", sig.alias("signature"))
 
 
+def _band_structs(bands: int, rows_per_band: int):
+    """(band, bucket-key) structs; the bucket key is the joined band-
+    slice values (portable across engines); equality of keys ≡ equality
+    of the slice tuple."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col("signature")[j].cast("string")
+                        for j in range(i * rows_per_band, (i + 1) * rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
     """Band the signature; docs sharing any band-bucket are candidates.
-    One shuffle on (band, bucket-key). The bucket key is the joined
-    band-slice values (portable across engines); equality of keys ≡
-    equality of the slice tuple."""
+    One shuffle on (band, bucket-key)."""
     banded = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("signature")[j].cast("string")
-                                for j in range(i * rows_per_band, (i + 1) * rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc", F.explode(_band_structs(bands, rows_per_band)).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
     a = banded.select("band", "bucket", F.col("doc").alias("doc_a"))
     b = banded.select("band", "bucket", F.col("doc").alias("doc_b"))
@@ -234,15 +248,28 @@ def minhash_near_duplicates(
     hash_mode: str = "murmur3",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by signature-estimated
-    Jaccard (fraction of equal signature positions) ≥ threshold."""
+    Jaccard (fraction of equal signature positions) ≥ threshold.
+
+    Single-pass shape: the signature RIDES ALONG with each banded row,
+    so the band-bucket self-join already has both signatures in hand —
+    no re-join of the signature frame (which would re-run the md5 +
+    permutation map twice more) and only one extra shuffle for the
+    final pair distinct. The carried payload is num_hashes longs per
+    banded row — small next to the text it replaces."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed, hash_mode)
-    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
-    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
+    banded = sigs.select(
+        "doc", "signature", F.explode(_band_structs(bands, rows_per_band)).alias("bb")
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+    a = banded.select(
+        "band", "bucket", F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b")
+    )
     est = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn(
             "est_jaccard",
             F.size(
@@ -254,8 +281,10 @@ def minhash_near_duplicates(
             / F.lit(num_hashes),
         )
     )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    return (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .distinct()
     )
 
 

@@ -124,35 +124,109 @@ def lsh_topk(
     )
 
 
+def _fit_quantizer(sample, n_clusters: int, seed: int, max_iter: int = 20):
+    """Seeded Lloyd k-means on a driver-side numpy sample (k-means++
+    init). The coarse quantizer of an IVF index is ALWAYS trained on a
+    bounded sample in production (FAISS-style) — the full corpus only
+    flows through the one-pass assignment map, so no per-iteration
+    distributed jobs exist at any scale."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    centers = [x[rng.randint(len(x))]]
+    for _ in range(1, n_clusters):
+        d2 = np.min(
+            ((x[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(x[rng.choice(len(x), p=probs)])
+    c = np.asarray(centers)
+    for _ in range(max_iter):
+        assign = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        new_c = np.array(
+            [x[assign == j].mean(axis=0) if (assign == j).any() else c[j] for j in range(n_clusters)]
+        )
+        if np.allclose(new_c, c):
+            break
+        c = new_c
+    return c
+
+
+def _centroid_dists(vec_col, centroids):
+    """L2 distance to every centroid as ONE array column.
+
+    The centroid matrix enters the plan as ONE constant
+    (``from_json`` of a string literal, constant-folded by Catalyst to
+    an array<array<double>>) — not 16×64 scalar literal nodes, and not
+    a py4j element-by-element transfer (a nested ``F.lit`` costs ~1 s
+    of driver time for a 16×64 matrix; the JSON string is a single
+    call). JSON round-trips doubles exactly (repr → correctly-rounded
+    parse), and the distance loop is a HOF over the constant."""
+    import json
+
+    cents = F.from_json(
+        F.lit(json.dumps([[float(x) for x in c] for c in centroids])),
+        "array<array<double>>",
+    )
+    return F.transform(cents, lambda c: VX.l2_distance(vec_col, c))
+
+
+def _nearest_centroid(vec_col, centroids) -> "F.Column":
+    """argmin L2 over the centroid list (first index on ties)."""
+    return VX.let(
+        _centroid_dists(vec_col, centroids),
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+    )
+
+
+def _probe_clusters(vec_col, centroids, n_probe: int):
+    """Indices of the ``n_probe`` nearest centroids, ties broken by
+    cluster id (same ordering as sorting (distance, id) structs)."""
+    k = len(centroids)
+
+    def body(d):
+        structs = F.zip_with(
+            d,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda dist, i: F.struct(dist.alias("d"), i.alias("c")),
+        )
+        return F.transform(F.slice(F.array_sort(structs), 1, n_probe), lambda s: s["c"])
+
+    return VX.let(_centroid_dists(vec_col, centroids), body)
+
+
 def ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 42,
+    train_sample: int = 65536,
 ):
-    """IVF coarse quantizer: k-means over the corpus; returns the
-    cluster-assigned corpus and the centroid list.
+    """IVF coarse quantizer: seeded k-means centroids fit on a bounded
+    driver-side sample, then ONE narrow assignment map over the corpus
+    (no iterative distributed jobs). Returns the cluster-assigned
+    corpus and the centroid list.
 
-    At 100 TB: fit on a sample, assign in one narrow map, and write the
-    corpus PARTITIONED by cluster id — each probe then reads only its
-    clusters' files (partition pruning = the inverted file)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    At 100 TB: the sample cap keeps quantizer training O(sample);
+    assignment stays a narrow map; write the corpus PARTITIONED by
+    cluster id — each probe then reads only its clusters' files
+    (partition pruning = the inverted file)."""
+    n = corpus.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    sample_df = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    sample = [r[0] for r in sample_df.select(vec_col).collect()]
+    centroids = _fit_quantizer(sample, n_clusters, seed)
 
-    feat = corpus.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_fv")
-    )
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cluster"
-    ).fit(feat)
-    assigned = model.transform(feat).select(
+    assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         VX.norm(F.col(vec_col)).alias("cn"),
-        F.col("_cluster"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("_cluster"),
     )
-    return assigned, model.clusterCenters()
+    return assigned, centroids
 
 
 def ivf_topk(
@@ -171,19 +245,7 @@ def ivf_topk(
     assignment plus a bucket join (no all-pairs scan)."""
     assigned, centroids = ivf_index(corpus, id_col, vec_col, n_clusters, seed)
 
-    # (cluster, L2-to-centroid) structs → sort by distance → first n_probe
-    cents = F.array(
-        *[
-            F.struct(
-                VX.l2_distance(
-                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
-                ).alias("d"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    probes = F.transform(F.slice(F.array_sort(cents), 1, n_probe), lambda s: s["c"])
+    probes = _probe_clusters(F.col(vec_col), centroids, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),

@@ -134,13 +134,14 @@ _QUALITY = (
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
+    p = TX.text_profile(t)  # one tokenize+punct pass for all five stats
     return d.select(
         "doc_id",
-        TX.token_count(t).alias("n_tokens"),
+        p["n_tokens"].alias("n_tokens"),
         TX.char_count(t).alias("n_chars_txt"),
-        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(TX.mean_token_length(t), 6).alias("mean_tok_len"),
-        TX.quality_score(t).alias("quality"),
+        F.round(p["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(p["mean_tok_len"], 6).alias("mean_tok_len"),
+        p["quality"].alias("quality"),
     )
 
 
@@ -560,14 +561,14 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
-    en_hits = F.size(F.filter(TX.tokens(t), lambda x: x.isin(TX.STOPWORDS["en"])))
+    p = TX.text_profile(t)  # one tokenize pass for quality/counts/hits
     scored = d.select(
         "doc_id",
         "source",
-        TX.quality_score(t).alias("quality"),
-        TX.token_count(t).alias("n_tokens"),
+        p["quality"].alias("quality"),
+        p["n_tokens"].alias("n_tokens"),
         TX.fingerprint(t).alias("f"),
-        en_hits.alias("h_en"),
+        p["en_hits"].cast("int").alias("h_en"),
     )
     gated = scored.filter((F.col("h_en") > 0) & (F.col("quality") >= 0.3))
     keep = gated.groupBy("f").agg(F.min("doc_id").alias("doc_id"))

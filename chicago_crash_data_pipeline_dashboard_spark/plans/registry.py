@@ -38,6 +38,17 @@ class OracleSpec:
 
 QUERIES: dict[str, OracleSpec] = {}
 
+# Tables whose consumers are CPU-bound narrow maps (shingling, md5
+# hashing, per-token HOFs over long text). For these, an under-split
+# scan (single-row-group parquet file → ONE task) serializes the whole
+# map onto one core, so rebalancing to the default parallelism pays for
+# its shuffle many times over. Everything else is left at the scan's
+# natural split: measured on the full bench, a blanket repartition adds
+# a sort+exchange tax (~0.5-1.5 s/query locally) that outweighs the map
+# parallelism for cheap row-table scans, and interacts badly with
+# iterative MLlib fits.
+_REBALANCE_TABLES = {"documents"}
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator adding a query to the global registry."""
@@ -64,4 +75,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         # integer DIV — double division loses ULPs on int64 nanos
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Scan rebalancing: parquet splits at row-group granularity, so a
+    # single-row-group file scans as ONE task no matter how many cores
+    # the cluster has — every narrow map downstream runs single-threaded.
+    # For the text-heavy tables (see _REBALANCE_TABLES) fan the scan out
+    # to the default parallelism; filters and column pruning still push
+    # through the exchange into the scan. On a real cluster reading many
+    # well-sized files this is a no-op branch (splits >= cores).
+    if name in _REBALANCE_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
