@@ -1,0 +1,95 @@
+"""As-of (point-in-time) join — an operator Spark's DataFrame API
+lacks natively.
+
+``asof_join(left, right, on, by)`` attaches to every left row the most
+recent right row with ``right.on <= left.on`` within the same ``by``
+key (backward as-of; the financial "last known value" join).
+
+Scale design — the union+window form, NOT a range join:
+
+- a naive inequality join (``l.ts >= r.ts``) is a quadratic range join
+  per key and explodes on hot keys;
+- instead, union both sides with a side marker, shuffle ONCE on the
+  ``by`` key, sort each partition by (ts, marker), and carry the last
+  seen right-side payload forward with ``last(..., ignoreNulls=True)``
+  over an unbounded-preceding window. Cost: one shuffle + one
+  partition-local sort over |L|+|R| rows, independent of key skew's
+  quadratic blow-up (a hot key costs |L_k|+|R_k| log, not |L_k|·|R_k|).
+
+Tie semantics: right rows order BEFORE left rows at equal ``on``
+values (marker 0 < 1), so an exactly-simultaneous right row IS visible
+to the left row — matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``,
+which the differential oracle uses as an independent implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: left rows + latest right ``value_cols``
+    (and the matching right ``on`` as ``{on}{suffix}``) with
+    ``right.on <= left.on``, per ``by`` group. Left rows with no prior
+    right row keep NULLs.
+
+    ``right`` should hold at most one row per (by, on) — dedupe first
+    (e.g. ``dedup_keep_first``) — otherwise which tied row wins is
+    tie-broken by the window order below deterministically only if
+    value columns are included in the sort; we dedupe defensively.
+    """
+    value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
+
+    # defensive dedupe: one right row per (by, on) — keep the row with
+    # the greatest value tuple (deterministic regardless of input order)
+    w_dedup = W.partitionBy(by, on).orderBy(*[F.desc(c) for c in value_cols])
+    r = (
+        right.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    l_tagged = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(dict(r.dtypes)[on]).alias("_r_on"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r_tagged = r.select(
+        F.col(by), F.col(on), F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(on).alias("_r_on"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
+        ).alias("_l"),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
+            for c in value_cols
+        ],
+        F.last("_r_on", ignorenulls=True).over(w).alias("_carry_on"),
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        F.col("_carry_on").alias(f"{on}{suffix}"),
+        *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return out

@@ -143,6 +143,108 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Near-dup pairs by df-weighted cosine over the shared vocabulary —
+    the weighted complement of ``ngram_jaccard_pairs`` (rare terms count
+    more than stop-terms).
+
+    Weight: ``w(doc, term) = tf · (N / df)`` — a log-free tf-idf
+    variant whose arithmetic (integer ratio, one multiply) is exactly
+    reproducible across engines (``ln`` is not correctly-rounded in
+    either, so the classic formula can't be differentially tested
+    bit-for-bit). The vocabulary is restricted to terms appearing in
+    2..``max_df`` documents: df=1 terms can't contribute to any pair,
+    and ultra-common terms are the same quadratic skew hazard the
+    Jaccard guard drops; norms are over the same restricted vocabulary
+    so the measure is a true cosine in that subspace.
+
+    Plan shape: tf groupBy(doc, term-hash) → groupBy(term) buckets (df
+    = bucket size, so weights are computed INSIDE the bucket array —
+    no df-join) → in-bucket pair explosion carrying (doc, w) → pair
+    groupBy with decimal-routed dot products (order-independent, exact)
+    → two joins attaching decimal-routed norms. Per-term arrays are
+    bounded by ``max_df``.
+    """
+    if hash_mode == "xxhash64":
+        def _h(s):
+            return F.xxhash64(s)
+    elif hash_mode == "md5":
+        _h = TX.hash60
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(TX.tokens(F.col(text_col))).alias("term_str"),
+    )
+    tf = toks.groupBy("doc", _h(F.col("term_str")).alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+
+    buckets = (
+        tf.groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "tf"))).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_df))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "docs",
+            F.transform(
+                F.col("docs"),
+                lambda x: F.struct(
+                    x["doc"].alias("doc"),
+                    (x["tf"] * (F.col("n_docs") / F.size(F.col("docs")))).alias("w"),
+                ),
+            ),
+        )
+    )
+    weighted = buckets.select("term", F.explode("docs").alias("x")).select(
+        "term", F.col("x.doc").alias("doc"), F.col("x.w").alias("w")
+    )
+    norms = weighted.groupBy("doc").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(25,6)")).cast("double")
+        ).alias("nrm")
+    )
+
+    docs = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    (x["w"] * y["w"]).alias("ww"),
+                ),
+            ),
+        )
+    )
+    dots = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.ww")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ww").cast("decimal(25,6)")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    out = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cosine", F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+
+
 def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(num_hashes)]

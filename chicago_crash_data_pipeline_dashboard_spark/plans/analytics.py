@@ -974,3 +974,46 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return sessionize_batch(ev, key_col="event_type", ts_col="ts", gap_seconds=3600.0)
+
+
+# --------------------------------------------------------------------------
+# Q28. As-of (point-in-time) join — last click before each error
+# --------------------------------------------------------------------------
+@register(
+    "event_asof_last_click",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           CAST(c.ts AS TIMESTAMP) AS last_click_ts, c.click_value
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc="Backward as-of join (operators/asof.py): for every 'error' event, "
+    "the most recent same-user 'click' at-or-before it. Spark has no native "
+    "as-of join; this is the union+window form — one shuffle on the key and "
+    "a partition-local sort, never a per-key quadratic range join. The "
+    "oracle is DuckDB's native ASOF LEFT JOIN (an independent "
+    "implementation of the same semantics).",
+)
+def event_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = asof_join(errors, clicks, on="ts", by="user_id", value_cols=["click_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("last_click_ts"),
+        F.col("click_value_right").alias("click_value"),
+    )

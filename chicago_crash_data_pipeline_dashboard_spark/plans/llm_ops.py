@@ -287,6 +287,48 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(list_transform({_TOKS},
+               t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT))) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+    vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+              HAVING count(*) BETWEEN 2 AND 1000),
+    w AS (SELECT tf.doc, tf.term,
+                 tf.tf * ((SELECT count(DISTINCT doc_id) FROM documents) / vocab.df) AS w
+          FROM tf JOIN vocab USING (term)),
+    norms AS (SELECT doc, sqrt(CAST(SUM(CAST(w*w AS DECIMAL(25,6))) AS DOUBLE)) AS nrm
+              FROM w GROUP BY doc),
+    dots AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                    CAST(SUM(CAST(a.w*b.w AS DECIMAL(25,6))) AS DOUBLE) AS dot
+             FROM w a JOIN w b USING (term)
+             WHERE a.doc < b.doc GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc = dots.doc_a
+    JOIN norms nb ON nb.doc = dots.doc_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.8
+    """,
+    doc="df-weighted cosine near-dup pairs (operators/dedup.py "
+    "tfidf_cosine_pairs): rare terms weigh more than stop-terms — the "
+    "weighted complement of the Jaccard dedup. Weights use the log-free "
+    "tf·(N/df) form so the math is bit-reproducible across engines; dot "
+    "products and norms are decimal-routed (order-independent). Same "
+    "2-shuffle bucket-explosion shape as the Jaccard pairs, weights "
+    "computed inside the term bucket (df = bucket size, no df join).",
+)
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.tfidf_cosine_pairs(
+        d, "doc_id", "text", threshold=0.8, max_df=1000, hash_mode="md5"
+    )
+
+
 def _minhash_oracle(num_hashes: int, bands: int, shingle_n: int, seed: int, threshold: float) -> str:
     rows = num_hashes // bands
     params = DD._hash_params(num_hashes, seed)

@@ -59,6 +59,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Long sessions compile hundreds of large whole-stage-codegen
+        # methods; at the JVM default (240 MB) the code cache fills
+        # mid-session, the JIT shuts off, and HOF-heavy queries degrade
+        # ~10x (observed: same query 3 s early-session, 28 s late).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no
