@@ -1,0 +1,99 @@
+"""Connected components over a pair/edge list — the dedup-clustering
+step that turns near-duplicate PAIRS (Jaccard / MinHash / SimHash /
+embedding output) into groups with one canonical document each.
+
+Algorithm: minimum-label propagation WITH pointer jumping — every
+node starts as its own component id; each round takes the min id over
+itself and its neighbors, then follows its label's label
+(``comp := comp[comp]``). The jump halves label-tree depth each round,
+so convergence needs O(log diameter) rounds, not O(diameter) — at
+local scale each round costs ~0.5 s of job latency regardless of data
+size, and at 100 TB each round is a full shuffle, so round count is
+THE cost either way (same reason the large-star/small-star algorithm
+of Kiveris et al., "Connected Components in MapReduce and Beyond",
+exists). Per round: two joins + one groupBy (shuffles on the node
+id), a ``localCheckpoint`` to truncate lineage (otherwise the plan
+doubles every round and the driver becomes the bottleneck), and one
+count action for the convergence test.
+
+Min-label semantics map 1:1 onto a recursive-CTE oracle (transitive
+closure + group-min), putting even this iterative operator under the
+differential gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, comp) for every node appearing in ``edges``; ``comp`` is
+    the minimum node id reachable from the node (undirected)."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("comp"))
+        )
+        propagated = (
+            labels.select("node", "comp")
+            .union(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp := comp[comp] (label of my label). The
+        # label is always an existing node id, so the self-join hits.
+        hop = propagated.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new_labels = (
+            propagated.join(hop, "comp", "left")
+            .select("node", F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pair list → per-cluster summary: canonical id (= min
+    member), member count, sorted member list. The keep-one-per-cluster
+    policy of a curation pipeline is then a semi-join on
+    ``cluster == node``."""
+    comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    return (
+        comp.groupBy(F.col("comp").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("node")).alias("doc_ids"),
+        )
+    )

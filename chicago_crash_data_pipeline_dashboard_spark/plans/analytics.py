@@ -1017,3 +1017,40 @@ def event_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_right").alias("last_click_ts"),
         F.col("click_value_right").alias("click_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q29. Interval join (batch twin of the stream-stream join)
+# --------------------------------------------------------------------------
+@register(
+    "event_error_click_window",
+    oracle="""
+    SELECT e.event_id AS err_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 6 HOUR
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+    doc="Event-time interval join: clicks within 6 h after each same-user "
+    "error — the batch twin of streaming/joins.py interval_join (their "
+    "stream≡batch equivalence is pinned in tests/test_stream_joins.py). "
+    "The equality conjunct (user_id) drives a hash join; the time range "
+    "is a post-join filter, so no per-key quadratic range join.",
+)
+def event_error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    out = interval_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="c_ts",
+        interval_seconds=6 * 3600, watermark_delay="2 hours",
+    )
+    return out.select("err_id", "click_id")

@@ -251,23 +251,30 @@ def doc_dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-@register(
-    "doc_jaccard_pairs",
-    oracle=f"""
-    WITH sh AS (SELECT doc_id AS doc,
-                list_distinct(list_transform({_shingles_sql(3)},
+def _jaccard_ctes(n: int, max_bucket: int) -> str:
+    """CTE chain (sh → sizes → inv → pairs) shared by the Jaccard-pair
+    oracle and the dedup-cluster oracle built on those pairs."""
+    return f"""
+    sh AS (SELECT doc_id AS doc,
+                list_distinct(list_transform({_shingles_sql(n)},
                   s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS shingles
                 FROM documents),
     sizes AS (SELECT doc, len(shingles) AS n_sh FROM sh),
     inv0 AS (SELECT doc, unnest(shingles) AS shingle FROM sh),
-    hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > 1000),
+    hot AS (SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) > {max_bucket}),
     inv AS (SELECT * FROM inv0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
     pairs AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
       FROM inv a JOIN inv b USING (shingle)
       WHERE a.doc < b.doc
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@register(
+    "doc_jaccard_pairs",
+    oracle=f"""
+    WITH {_jaccard_ctes(3, 1000)}
     SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
            round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
     FROM pairs
@@ -285,6 +292,48 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5, max_bucket=1000, hash_mode="md5"
     )
+
+
+@register(
+    "doc_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes(3, 1000)},
+    jp AS (
+      SELECT doc_a, doc_b
+      FROM pairs
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+              UNION SELECT doc_b AS a, doc_a AS b FROM jp),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    SELECT comp AS cluster, CAST(count(*) AS BIGINT) AS n_docs,
+           list_sort(list(node)) AS doc_ids
+    FROM comp GROUP BY comp
+    """,
+    doc="Near-dup CLUSTERS: connected components (operators/graph.py, "
+    "iterative min-label propagation with localCheckpoint lineage "
+    "truncation) over the exact-Jaccard pair list — the step that turns "
+    "pairwise dedup output into keep-one-per-group decisions. The oracle "
+    "computes the same components via a recursive-CTE transitive closure "
+    "+ group-min, putting the iterative distributed algorithm under the "
+    "full differential gate.",
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dedup_clusters
+
+    d = load(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_bucket=1000, hash_mode="md5"
+    )
+    return dedup_clusters(pairs, "doc_a", "doc_b")
 
 
 @register(
