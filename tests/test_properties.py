@@ -110,3 +110,95 @@ def test_corrupt_bronze_file_does_not_poison_read(spark, tmp_path):
     back = read_bronze(spark, base, "crashes", BRONZE_CRASHES, corr="r1")
     ids = sorted(r.crash_record_id for r in back.collect() if r.crash_record_id is not None)
     assert ids == ["CR1", "CR2"]
+
+
+# --------------------------------------------------------------------------
+# Connected components and as-of join vs pure-Python models
+# --------------------------------------------------------------------------
+
+edge_st = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _cc_model(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=5, deadline=None)
+@given(edge_st)
+def test_connected_components_match_union_find(spark, edges):
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == _cc_model(edges)
+
+
+asof_rows_st = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+
+
+def _asof_model(left, right):
+    # latest right (ts, value) with ts <= left ts, per key; dedupe right
+    # per (key, ts) keeping max value — mirrors asof_join's contract
+    best = {}
+    for k, ts, v in right:
+        cur = best.get((k, ts))
+        if cur is None or v > cur:
+            best[(k, ts)] = v
+    out = {}
+    for i, (k, ts) in enumerate(left):
+        cands = [(t, v) for (kk, t), v in best.items() if kk == k and t <= ts]
+        out[i] = max(cands) if cands else None
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(asof_rows_st, asof_rows_st)
+def test_asof_join_matches_model(spark, lrows, rrows):
+    import datetime as dt
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(x):
+        return base + dt.timedelta(minutes=x)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(lrows)], "i long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, ts(t), float(i)) for i, (k, t) in enumerate(rrows)],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r["i"]: (r["ts_right"], r["v_right"])
+        for r in asof_join(left, right, on="ts", by="k", value_cols=["v"]).collect()
+    }
+    model = _asof_model(lrows, [(k, t, float(i)) for i, (k, t) in enumerate(rrows)])
+    assert set(got) == set(model)
+    for i, expect in model.items():
+        if expect is None:
+            assert got[i] == (None, None), f"row {i}"
+        else:
+            assert got[i] == (ts(expect[0]), expect[1]), f"row {i}"
