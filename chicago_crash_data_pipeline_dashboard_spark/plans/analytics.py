@@ -1054,3 +1054,36 @@ def event_error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_seconds=6 * 3600, watermark_delay="2 hours",
     )
     return out.select("err_id", "click_id")
+
+
+# --------------------------------------------------------------------------
+# Q30. Z-order (Morton) clustering key
+# --------------------------------------------------------------------------
+def _zorder_oracle(bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((user_id >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((hour(ts)::BIGINT >> {b}) & 1) << {2 * b + 1})")
+    z = " + ".join(terms)
+    return f"""
+    SELECT event_id, CAST({z} AS BIGINT) AS z
+    FROM events
+    """
+
+
+@register(
+    "event_zorder_keys",
+    oracle=_zorder_oracle(16),
+    doc="Morton / Z-order clustering key (operators/layout.py z_value): "
+    "bit-interleave of (user_id, hour-of-day) — pure shift/mask column "
+    "arithmetic under the differential gate. write_zordered range-"
+    "partitions + sorts on this key so every output file bounds BOTH "
+    "dimensions (min/max file skipping on either predicate); the layout "
+    "effect itself is asserted in tests/test_layout.py.",
+)
+def event_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import z_value
+
+    ev = load(spark, sf_dir, "events")
+    z = z_value([F.col("user_id"), F.hour("ts").cast("long")], bits=16)
+    return ev.select("event_id", z.alias("z"))
