@@ -97,12 +97,25 @@ def dedup_clusters(
     """Near-dup pair list → per-cluster summary: canonical id (= min
     member), member count, sorted member list. The keep-one-per-cluster
     policy of a curation pipeline is then a semi-join on
-    ``cluster == node``."""
+    ``cluster == node``.
+
+    ``doc_ids`` is emitted as a comma-joined STRING, not an array:
+    string scalars survive any downstream tabular canonicalization
+    (pandas cannot sort/hash list cells), and the serialization is
+    deterministic because members are sorted on their native type
+    before stringification.
+    """
     comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
     return (
         comp.groupBy(F.col("comp").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("node")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
         )
     )

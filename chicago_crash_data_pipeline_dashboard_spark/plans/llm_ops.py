@@ -315,7 +315,7 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
     SELECT comp AS cluster, CAST(count(*) AS BIGINT) AS n_docs,
-           list_sort(list(node)) AS doc_ids
+           array_to_string(list_sort(list(node)), ',') AS doc_ids
     FROM comp GROUP BY comp
     """,
     doc="Near-dup CLUSTERS: connected components (operators/graph.py, "

@@ -69,6 +69,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies when it reads nanos into its micro-precision
     TIMESTAMP, so both engines see identical values.
     """
+    # Runtime-settable SQL conf: required for ANY session reading the
+    # testdata (the correctness harness builds its own vanilla session,
+    # so setting this only at session build time is not enough).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -44,8 +44,8 @@ def test_dedup_clusters_summary(spark):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     rows = {r["cluster"]: r for r in dedup_clusters(df).collect()}
     assert set(rows) == {3, 100}
-    assert rows[3]["n_docs"] == 3 and rows[3]["doc_ids"] == [3, 7, 9]
-    assert rows[100]["doc_ids"] == [100, 101]
+    assert rows[3]["n_docs"] == 3 and rows[3]["doc_ids"] == "3,7,9"
+    assert rows[100]["doc_ids"] == "100,101"
 
 
 def test_components_keep_one_policy(spark):
