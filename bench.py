@@ -70,34 +70,39 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")  # regex, dev-only filter
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in sorted(QUERIES.items()):
         if name in SKIP:
             continue
         if only and not __import__("re").search(only, name):
             continue
+        # Fault isolation: one broken query must not zero out the whole
+        # round's artifact — record its error and keep timing the rest.
         samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            # force full execution without driver materialization cost
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        try:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                # force full execution without driver materialization cost
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_median_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": RUNS,
-                "n_queries": len(timings),
-            }
-        )
-    )
+    out = {
+        "metric": "total_median_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": RUNS,
+        "n_queries": len(timings),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -63,22 +63,37 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table lazily.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS); Spark reads it
-    as nanos-since-epoch long (``spark.sql.legacy.parquet.nanosAsLong``)
-    and we convert to a microsecond timestamp here — same truncation
-    DuckDB applies when it reads nanos into its micro-precision
-    TIMESTAMP, so both engines see identical values.
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS). How Spark
+    reads that is version-dependent, so we dispatch on the LOADED dtype
+    rather than assuming one behavior:
+
+    - Spark >= 4.1 reads it natively as ``timestamp_ntz`` (micros,
+      truncated) — kept as-is; it matches DuckDB's micro-precision
+      no-zone TIMESTAMP value-for-value.
+    - Older Sparks refuse the nanos logical type unless the legacy conf
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, and then surface
+      ``ts`` as nanos-since-epoch ``bigint`` — converted to a
+      microsecond timestamp here with integer DIV (same truncation
+      DuckDB applies).
     """
-    # Runtime-settable SQL conf: required for ANY session reading the
-    # testdata (the correctness harness builds its own vanilla session,
-    # so setting this only at session build time is not enough).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Legacy fallback (pre-4.1 nanos refusal). Session-wide effect
+        # by necessity: the conf must still be set when the lazy scan
+        # actually executes, so it cannot be scoped-and-restored here.
+        # On Spark >= 4.1 the conf is ignored and this branch is dead.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer DIV — double division loses ULPs on int64 nanos
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer DIV — double division loses ULPs on int64 nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # timestamp / timestamp_ntz: already micro-precision — keep.
     # Scan rebalancing: parquet splits at row-group granularity, so a
     # single-row-group file scans as ONE task no matter how many cores
     # the cluster has — every narrow map downstream runs single-threaded.

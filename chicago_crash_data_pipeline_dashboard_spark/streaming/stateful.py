@@ -69,6 +69,10 @@ def _sessionize_fn(gap_seconds: float):
                 if t - last > gap_seconds:
                     out.append((key[0], start, last, n))
                     start, n = t, 0
+                # late-but-in-watermark events may precede the recorded
+                # start; widen the session to match the batch twin's
+                # min(ts) semantics
+                start = min(start, t)
                 last = max(last, t)
                 n += 1
             state.update((start, last, n))
@@ -130,7 +134,11 @@ def sessionize_batch(
     from pyspark.sql import functions as F
 
     w = W.partitionBy("key").orderBy("ts")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # Epoch seconds via unix_micros: TIMESTAMP_NTZ (how Spark >= 4.1
+    # reads the testdata's TIMESTAMP(NANOS) parquet) cannot be cast to
+    # DOUBLE directly, but NTZ -> LTZ is legal and unix_micros is exact.
+    ts_sec = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1e6)
+    gap = ts_sec - F.lag(ts_sec).over(w)
     sess = (
         events.select(F.col(key_col).cast("string").alias("key"), F.col(ts_col).alias("ts"))
         .withColumn("_new", (F.coalesce(gap > gap_seconds, F.lit(True))).cast("int"))
