@@ -58,18 +58,30 @@ def asof_join(
         .drop("_rn")
     )
 
+    # The right payload rides as ONE struct so a single
+    # last(ignoreNulls=True) carries a whole right ROW forward. Carrying
+    # each value column independently would mix columns from different
+    # right rows whenever a right value column is NULL (chimera rows);
+    # the struct itself is never NULL for a right row even when all its
+    # fields are, so genuine NULLs propagate — matching DuckDB ASOF.
+    r_dtypes = dict(r.dtypes)
+    payload_type = (
+        "struct<"
+        + ",".join(f"`{c}`:{r_dtypes[c]}" for c in value_cols)
+        + f",`_on`:{r_dtypes[on]}>"
+    )
     l_tagged = left.select(
         F.col(by), F.col(on), F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast(dict(r.dtypes)[on]).alias("_r_on"),
+        F.lit(None).cast(payload_type).alias("_r"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
     )
     r_tagged = r.select(
         F.col(by), F.col(on), F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(on).alias("_r_on"),
+        F.struct(
+            *[F.col(c) for c in value_cols], F.col(on).alias("_on")
+        ).alias("_r"),
         F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
+            "struct<" + ",".join(f"`{c}`:{t}" for c, t in left.dtypes) + ">"
         ).alias("_l"),
     )
 
@@ -80,16 +92,11 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in value_cols
-        ],
-        F.last("_r_on", ignorenulls=True).over(w).alias("_carry_on"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_carry")
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col("_l")[c].alias(c) for c in left.columns],
-        F.col("_carry_on").alias(f"{on}{suffix}"),
-        *[F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("_carry")["_on"].alias(f"{on}{suffix}"),
+        *[F.col("_carry")[c].alias(f"{c}{suffix}") for c in value_cols],
     )
     return out

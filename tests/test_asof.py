@@ -94,3 +94,39 @@ def test_tfidf_disjoint_docs_no_pairs(spark):
         "doc_id long, text string",
     )
     assert tfidf_cosine_pairs(docs, "doc_id", "text", threshold=0.1, max_df=10).count() == 0
+
+
+def test_asof_join_null_value_cols_no_chimera(spark):
+    """A right row whose value column is NULL must be carried AS the
+    match (genuine NULL), not skipped in favor of an older row's value
+    — carrying columns independently would stitch together a 'chimera'
+    row mixing fields from different right rows (DuckDB ASOF keeps the
+    whole latest row, NULLs included)."""
+    left = spark.createDataFrame(
+        [(1, 100, 30)], "event_id long, user_id long, t long"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, 1.0, "x"),      # older row: both cols set
+            (100, 20, None, "y"),     # latest row: a NULL, b set
+        ],
+        "user_id long, t long, a double, b string",
+    )
+    out = asof_join(left, right, on="t", by="user_id", value_cols=["a", "b"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["t_right"] == 20
+    assert row["a_right"] is None  # NOT 1.0 from the older row
+    assert row["b_right"] == "y"
+
+
+def test_asof_join_all_null_right_row(spark):
+    """Even a right row with ALL value columns NULL is still 'the most
+    recent right row' and must win over earlier non-null rows."""
+    left = spark.createDataFrame([(1, 7, 100)], "event_id long, k long, t long")
+    right = spark.createDataFrame(
+        [(7, 10, 5.0), (7, 50, None)], "k long, t long, v double"
+    )
+    out = asof_join(left, right, on="t", by="k", value_cols=["v"]).collect()
+    assert out[0]["t_right"] == 50
+    assert out[0]["v_right"] is None
