@@ -34,6 +34,21 @@ from ..functions import vectors as VX
 _P31 = (1 << 31) - 1
 
 
+def joined_doc_ids(id_col: str):
+    """Canonical ``doc_ids`` aggregate: members sorted on their NATIVE
+    type, then comma-joined into ONE STRING. Every dedup group emitter
+    (exact / simhash / cluster) uses this shape — string scalars
+    survive any downstream tabular canonicalization (pandas cannot
+    sort/hash list cells), and sorting before stringification keeps the
+    serialization deterministic."""
+    return F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(id_col)), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) documents; one shuffle on
     the md5 fingerprint."""
@@ -42,7 +57,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fp.groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            joined_doc_ids(id_col).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )
@@ -358,6 +373,11 @@ def minhash_near_duplicates(
     permutation map twice more) and only one extra shuffle for the
     final pair distinct. The carried payload is num_hashes longs per
     banded row — small next to the text it replaces."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature positions would be silently dropped"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed, hash_mode)
     banded = sigs.select(
@@ -423,7 +443,7 @@ def simhash_near_duplicates(
     fp = simhash(df, id_col, text_col, bits, hash_mode)
     return (
         fp.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc")).alias("doc_ids"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), joined_doc_ids("doc").alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
     )
 

@@ -32,14 +32,29 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    use_reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(node, comp) for every node appearing in ``edges``; ``comp`` is
-    the minimum node id reachable from the node (undirected)."""
+    the minimum node id reachable from the node (undirected).
+
+    ``use_reliable_checkpoint=True`` swaps ``localCheckpoint`` (blocks
+    on executor storage — lost forever if an executor dies mid-
+    iteration) for a reliable ``checkpoint()`` persisted to the
+    SparkContext's checkpoint dir — the right choice on a real cluster
+    where executor churn over a many-round job is expected. Requires
+    ``spark.sparkContext.setCheckpointDir(...)`` to have been called.
+    """
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if use_reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    sym = sym.localCheckpoint()
+    sym = _ckpt(sym)
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -63,10 +78,9 @@ def connected_components(
         hop = propagated.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
         )
-        new_labels = (
+        new_labels = _ckpt(
             propagated.join(hop, "comp", "left")
             .select("node", F.coalesce("comp2", "comp").alias("comp"))
-            .localCheckpoint()
         )
         # Convergence test every SECOND round (and never on round 0 —
         # any edge forces a change there): labels only ever decrease,
@@ -93,6 +107,7 @@ def dedup_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    use_reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Near-dup pair list → per-cluster summary: canonical id (= min
     member), member count, sorted member list. The keep-one-per-cluster
@@ -105,17 +120,19 @@ def dedup_clusters(
     deterministic because members are sorted on their native type
     before stringification.
     """
-    comp = connected_components(pairs, src=id_a, dst=id_b, max_iter=max_iter)
+    from .dedup import joined_doc_ids
+
+    comp = connected_components(
+        pairs,
+        src=id_a,
+        dst=id_b,
+        max_iter=max_iter,
+        use_reliable_checkpoint=use_reliable_checkpoint,
+    )
     return (
         comp.groupBy(F.col("comp").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list("node")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("doc_ids"),
+            joined_doc_ids("node").alias("doc_ids"),
         )
     )

@@ -44,6 +44,37 @@ def dir_stats(path: str) -> dict[str, int]:
     return {"files": n_files, "bytes": n_bytes}
 
 
+def recover_compaction(path: str) -> str | None:
+    """Repair leftovers from a compaction that crashed mid-swap.
+
+    States (in swap order) and their repairs:
+
+    - ``_compact_tmp`` present, ``path`` present → the rewrite aborted
+      before the swap: discard tmp (possibly incomplete).
+    - ``_compact_old`` present, ``path`` missing → crashed between the
+      two renames: restore old → path (tmp, even if complete, is
+      discarded — restoring the input is always safe; re-running the
+      compaction is idempotent).
+    - ``_compact_old`` present, ``path`` present → crashed after the
+      swap, before cleanup: finish the cleanup.
+
+    Returns the repair performed (or None).
+    """
+    tmp = path.rstrip("/") + "_compact_tmp"
+    old = path.rstrip("/") + "_compact_old"
+    action = None
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+        action = "restored_old"
+    elif os.path.exists(old):
+        shutil.rmtree(old)
+        action = "removed_old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+        action = (action + "+removed_tmp") if action else "removed_tmp"
+    return action
+
+
 def compact_dir(
     spark: SparkSession,
     path: str,
@@ -54,6 +85,7 @@ def compact_dir(
     """Rewrite ``path`` (one non-partitioned dataset directory) into
     ~``target_bytes`` files. No-op if it already has fewer than
     ``min_files`` files. Returns before/after stats."""
+    recover_compaction(path)
     before = dir_stats(path)
     if before["files"] < min_files:
         return {**before, "files_after": before["files"], "compacted": 0}
@@ -84,11 +116,25 @@ def compact_partitioned(
     under ``base`` independently, preserving the hive layout (and so
     partition pruning). Partitions are independent jobs — on a
     cluster they can run concurrently; sequential here."""
+    # Recover crash leftovers FIRST: a partition that died mid-swap may
+    # exist only as `k=v_compact_old` (its `k=v` dir missing), which the
+    # leaf walk below would never visit.
+    for root, dirs, _files in os.walk(base):
+        for d in list(dirs):
+            if d.endswith(("_compact_old", "_compact_tmp")):
+                orig = os.path.join(
+                    root, d[: -len("_compact_old")]
+                )  # both suffixes same length
+                recover_compaction(orig)
+                if d in dirs:
+                    dirs.remove(d)
     leaves = []
     for root, dirs, files in os.walk(base):
-        if any(not f.startswith(("_", ".")) for f in files) and "=" in os.path.basename(
-            root
-        ):
+        base_name = os.path.basename(root)
+        if "_compact_" in base_name:  # crash leftovers, not partitions
+            dirs[:] = []
+            continue
+        if any(not f.startswith(("_", ".")) for f in files) and "=" in base_name:
             leaves.append(root)
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
     totals = {"files": 0, "bytes": 0, "files_after": 0, "compacted": 0}

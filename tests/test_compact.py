@@ -55,3 +55,59 @@ def test_compact_partitioned_keeps_layout_and_pruning(spark, tmp_path):
     )
     assert "PartitionFilters: [isnotnull(year" in plan
     assert out.filter(F.col("year") == 2023).count() == 2_000
+
+
+def test_compact_recovers_mid_swap_crash(spark, tmp_path):
+    """A compaction that died between the two renames leaves only
+    `_compact_old`; recovery must restore the original directory and
+    discard the tmp before re-compacting."""
+    import os
+    import shutil
+
+    from chicago_crash_data_pipeline_dashboard_spark.sources.compact import (
+        compact_dir,
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "ds")
+    spark.range(100).repartition(4).write.parquet(path)
+    n = spark.read.parquet(path).count()
+
+    # simulate: write finished to tmp, first rename done, then crash
+    shutil.copytree(path, path + "_compact_tmp")
+    os.rename(path, path + "_compact_old")
+    assert not os.path.exists(path)
+
+    assert recover_compaction(path) == "restored_old+removed_tmp"
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + "_compact_old")
+    assert not os.path.exists(path + "_compact_tmp")
+
+    # stale tmp next to an intact dir is discarded inside compact_dir
+    shutil.copytree(path, path + "_compact_tmp")
+    r = compact_dir(spark, path, min_files=2)
+    assert not os.path.exists(path + "_compact_tmp")
+    assert spark.read.parquet(path).count() == n
+    assert r["compacted"] == 1
+
+
+def test_compact_partitioned_recovers_lost_partition(spark, tmp_path):
+    """A partition existing only as `k=v_compact_old` must be restored
+    and then compacted like any other leaf."""
+    import os
+
+    from chicago_crash_data_pipeline_dashboard_spark.sources.compact import (
+        compact_partitioned,
+    )
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "part")
+    df = spark.range(200).withColumn("k", (F.col("id") % 2).cast("int"))
+    df.repartition(4).write.partitionBy("k").parquet(base)
+    total = spark.read.parquet(base).count()
+    os.rename(os.path.join(base, "k=1"), os.path.join(base, "k=1_compact_old"))
+
+    compact_partitioned(spark, base, min_files=2)
+    assert os.path.isdir(os.path.join(base, "k=1"))
+    assert not os.path.isdir(os.path.join(base, "k=1_compact_old"))
+    assert spark.read.parquet(base).count() == total

@@ -55,3 +55,23 @@ def test_components_keep_one_policy(spark):
     comp = connected_components(df, "doc_a", "doc_b")
     keep = comp.filter(F.col("node") == F.col("comp"))
     assert sorted(r["node"] for r in keep.collect()) == [1, 10]
+
+
+def test_components_reliable_checkpoint_equivalent(spark, tmp_path):
+    """use_reliable_checkpoint must not change results — only where the
+    lineage-truncation blocks live."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        connected_components,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["src", "dst"],
+    )
+    local = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    reliable = {
+        (r.node, r.comp)
+        for r in connected_components(edges, use_reliable_checkpoint=True).collect()
+    }
+    assert local == reliable

@@ -34,7 +34,7 @@ def docs(spark):
 def test_exact_duplicates_groups(docs):
     groups = DD.exact_duplicates(docs, "doc_id", "text").collect()
     assert len(groups) == 1
-    assert groups[0]["doc_ids"] == [1, 2, 5]  # whitespace/case-normalized
+    assert groups[0]["doc_ids"] == "1,2,5"  # whitespace/case-normalized
 
 
 def test_dedup_exact_keeps_min_id(docs):
@@ -76,7 +76,7 @@ def test_simhash_identical_fingerprints(docs, hash_mode):
     assert fp[1] == fp[2] == fp[5]
     assert fp[1] != fp[4]
     groups = DD.simhash_near_duplicates(docs, "doc_id", "text", hash_mode=hash_mode).collect()
-    assert any(g["doc_ids"] == [1, 2, 5] for g in groups)
+    assert any(g["doc_ids"] == "1,2,5" for g in groups)
 
 
 @pytest.fixture(scope="module")
@@ -182,3 +182,10 @@ def test_ivf_topk_recall_on_testdata(spark, sf_oracle):
     assert approx.count() == exact.count() == 40  # 8 queries × k
     hit = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
     assert hit / exact.count() >= 0.5  # 4/16-probe recall floor
+
+
+def test_minhash_rejects_indivisible_bands(docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        DD.minhash_near_duplicates(docs, "doc_id", "text", num_hashes=30, bands=8)
