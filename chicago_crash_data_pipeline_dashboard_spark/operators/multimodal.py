@@ -1,11 +1,25 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 Media (image/audio/video) travel as ``binary`` columns with a typed
-metadata struct; decode / feature-extraction / resize / frame-sample
-run as Arrow-batched ``mapInPandas`` operators. The decode itself is
-STUBBED (no image/audio libs in this container — clearly marked), but
-everything Spark-side is real and tested: schema, batch iteration,
-partition behavior, UDF signatures, deterministic fake features.
+metadata struct; decode / feature-extraction / frame-sample run as
+Arrow-batched ``mapInPandas`` operators.
+
+RAW container formats are decoded FOR REAL, in pure Python + numpy,
+from their public byte layouts:
+
+- **WAV** (RIFF PCM): fmt/data chunk walk → channels, sample rate,
+  bit depth, duration; samples = int16 PCM from the data chunk;
+- **BMP** (BITMAPINFOHEADER): width/height/bpp from the fixed-offset
+  header; pixels = the raw pixel array at the header-declared offset;
+- **PPM** (P6): ASCII header tokens (comment-aware) → width/height;
+  pixels = the binary raster.
+
+CODEC formats (jpeg/png/mp3/mp4 …) need decoder libraries absent from
+this container — that path raises ``NotImplementedError`` inside the
+executor, clearly marked. The default (``real_decode=False``) path
+produces deterministic sha256 fake features with the same schema and
+batching, so the distributed plumbing is exercised even for rows whose
+format has no in-container decoder.
 
 Scale notes: media bytes dominate row size — keep them OUT of shuffles
 (derive features first, then drop/replace the binary column), size
@@ -16,8 +30,10 @@ never collect() a media column.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,7 +42,7 @@ from pyspark.sql import types as T
 MEDIA_META = T.StructType(
     [
         T.StructField("media_type", T.StringType(), True),  # image|audio|video
-        T.StructField("format", T.StringType(), True),  # png|jpeg|wav|mp4…
+        T.StructField("format", T.StringType(), True),  # bmp|ppm|wav|mp4…
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), True),
@@ -45,25 +61,239 @@ MEDIA_SCHEMA = T.StructType(
 _FEATURE_DIM = 16
 
 
+# --------------------------------------------------------------------
+# encoders (pure Python; used by fixtures and tests)
+# --------------------------------------------------------------------
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER), rows padded to 4
+    bytes, deterministic pixel values from ``seed``."""
+    row_size = (3 * width + 3) // 4 * 4
+    img_size = row_size * height
+    header = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height):
+        for x in range(width):
+            base = seed + 3 * (y * width + x)
+            rows += bytes((base + c) % 256 for c in range(3))
+        rows += b"\x00" * (row_size - 3 * width)
+    return bytes(header) + bytes(rows)
+
+
+def make_wav(
+    n_frames: int, sample_rate: int = 8000, n_channels: int = 1, seed: int = 0
+) -> bytes:
+    """16-bit PCM RIFF/WAVE with deterministic samples from ``seed``."""
+    data = bytearray()
+    for t in range(n_frames):
+        for ch in range(n_channels):
+            data += struct.pack("<h", ((seed * 31 + t + 977 * ch) % 2048) - 1024)
+    byte_rate = sample_rate * n_channels * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + bytes(data)
+
+
+def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Binary PPM (P6, maxval 255) with deterministic raster."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + bytes((seed + j) % 256 for j in range(3 * width * height))
+
+
+# --------------------------------------------------------------------
+# header parsers (pure Python over public byte layouts)
+# --------------------------------------------------------------------
+
+
+def parse_bmp(b: bytes) -> dict | None:
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = abs(int.from_bytes(b[22:26], "little", signed=True))
+    bpp = int.from_bytes(b[28:30], "little")
+    return {
+        "media_type": "image",
+        "format": "bmp",
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "n_channels": max(1, bpp // 8),
+    }
+
+
+def parse_wav(b: bytes) -> dict | None:
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 24 <= len(b):
+            n_channels = int.from_bytes(b[pos + 10 : pos + 12], "little")
+            sample_rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
+            bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
+            fmt = (n_channels, sample_rate, bits)
+        elif cid == b"data":
+            data_size = min(size, len(b) - pos - 8)
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if fmt is None:
+        return None
+    n_channels, sample_rate, bits = fmt
+    duration_ms = None
+    if data_size and sample_rate and n_channels and bits:
+        n_frames = data_size // (n_channels * (bits // 8))
+        duration_ms = round(1000 * n_frames / sample_rate)
+    return {
+        "media_type": "audio",
+        "format": "wav",
+        "width": None,
+        "height": None,
+        "duration_ms": duration_ms,
+        "n_channels": n_channels,
+    }
+
+
+def _ppm_header(b: bytes) -> tuple[list[int], int] | None:
+    """(three header ints, raster offset) for a P6 PPM, or None."""
+    if b[:2] != b"P6":
+        return None
+    vals: list[int] = []
+    pos = 2
+    while len(vals) < 3 and pos < len(b):
+        c = b[pos : pos + 1]
+        if c == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            try:
+                vals.append(int(b[start:pos]))
+            except ValueError:
+                return None
+    if len(vals) < 3 or pos >= len(b):
+        return None
+    return vals, pos + 1  # exactly one whitespace after maxval
+
+
+def parse_ppm(b: bytes) -> dict | None:
+    parsed = _ppm_header(b)
+    if parsed is None:
+        return None
+    (width, height, _maxval), _off = parsed
+    return {
+        "media_type": "image",
+        "format": "ppm",
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "n_channels": 3,
+    }
+
+
+def parse_media_header(b: bytes | bytearray | None) -> dict | None:
+    """Sniff + parse a raw media container header; None if unknown."""
+    if not b:
+        return None
+    b = bytes(b)
+    for parser in (parse_bmp, parse_wav, parse_ppm):
+        meta = parser(b)
+        if meta is not None:
+            return meta
+    return None
+
+
+def _decode_samples(b: bytes, fmt: str) -> np.ndarray:
+    """Raw sample values scaled to [-1, 1]: pixel bytes (BMP pixel
+    array / PPM raster) or int16 PCM frames (WAV data chunk)."""
+    b = bytes(b)
+    if fmt == "bmp":
+        offset = int.from_bytes(b[10:14], "little")
+        return np.frombuffer(b, dtype=np.uint8, offset=offset).astype(np.float64) / 127.5 - 1.0
+    if fmt == "ppm":
+        parsed = _ppm_header(b)
+        assert parsed is not None
+        _vals, off = parsed
+        return np.frombuffer(b, dtype=np.uint8, offset=off).astype(np.float64) / 127.5 - 1.0
+    if fmt == "wav":
+        pos = 12
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if cid == b"data":
+                n = min(size, len(b) - pos - 8) // 2
+                return (
+                    np.frombuffer(b, dtype="<i2", offset=pos + 8, count=n).astype(np.float64)
+                    / 32768.0
+                )
+            pos += 8 + size + (size % 2)
+        return np.zeros(0)
+    raise NotImplementedError(f"no raw-format decoder for {fmt!r}")
+
+
+# --------------------------------------------------------------------
+# feature extraction
+# --------------------------------------------------------------------
+
+
 def _fake_features(content: bytes, dim: int = _FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a real decoder+encoder: features are
-    derived from a sha256 of the bytes, scaled to [-1, 1]. Stable
-    across runs/partitions — good enough to test the full pipeline
-    shape end-to-end."""
+    """Deterministic stand-in used when no decode is requested:
+    features derived from a sha256 of the bytes, scaled to [-1, 1].
+    Stable across runs/partitions — exercises the full pipeline shape
+    regardless of format."""
     if content is None:
         return [0.0] * dim
-    h = hashlib.sha256(content).digest()
+    h = hashlib.sha256(bytes(content)).digest()
     return [((h[i % len(h)] / 255.0) * 2.0 - 1.0) for i in range(dim)]
+
+
+def _real_features(content: bytes, dim: int = _FEATURE_DIM) -> list[float]:
+    """REAL features from a raw-format payload: sample statistics of
+    the decoded pixels/PCM (all in [-1, 1]), zero-padded to ``dim``.
+    Codec formats have no in-container decoder → NotImplementedError."""
+    meta = parse_media_header(content)
+    if meta is None:
+        # STUB boundary: real media decode of codec formats (jpeg/png/
+        # mp4/...) requires decoder libraries not in this container.
+        raise NotImplementedError(
+            "real media decode of codec formats requires decoder libraries "
+            "absent from this container (raw wav/bmp/ppm are decoded natively)"
+        )
+    s = _decode_samples(content, meta["format"])
+    if s.size == 0:
+        return [0.0] * dim
+    stats = [
+        float(s.mean()),
+        float(s.std()),
+        float(s.min()),
+        float(s.max()),
+        float(np.sqrt(np.mean(s * s))),
+    ]
+    return stats + [0.0] * (dim - len(stats))
 
 
 def decode_and_featurize(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    ``real_decode=True`` is the production path (PIL/librosa/ffmpeg) —
-    NOT available in this container, raises NotImplementedError inside
-    the executor. The stub path produces deterministic fake features
-    with the exact same schema/batching, so the distributed plumbing is
-    fully exercised.
+    ``real_decode=True`` decodes raw containers (wav/bmp/ppm) for real
+    — header fields + sample-statistic features from the actual
+    payload bytes; codec formats raise NotImplementedError inside the
+    executor (decoder libs absent here). ``real_decode=False`` keeps
+    the deterministic sha256 fake features for any byte blob.
     """
     out_schema = T.StructType(
         [
@@ -73,24 +303,85 @@ def decode_and_featurize(df: DataFrame, real_decode: bool = False) -> DataFrame:
             T.StructField("features", T.ArrayType(T.DoubleType()), True),
         ]
     )
+    featurize = _real_features if real_decode else _fake_features
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if real_decode:
-                # STUB: real decoder requires image/audio libs absent here.
-                raise NotImplementedError(
-                    "real media decode requires PIL/librosa/ffmpeg — not in this container"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["meta"].map(
                         lambda m: (m or {}).get("media_type") if isinstance(m, dict) else None
                     ),
-                    "n_bytes": pdf["content"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                    "features": pdf["content"].map(_fake_features),
+                    "n_bytes": pdf["content"]
+                    .map(lambda b: 0 if b is None else len(b))
+                    .astype("int64"),
+                    "features": pdf["content"].map(featurize),
                 }
             )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def extract_media_meta(df: DataFrame) -> DataFrame:
+    """REAL header-level metadata extraction: parse width / height /
+    duration / channels straight from the binary column's bytes for
+    raw containers; fall back to the row's provided ``meta`` struct
+    for formats without an in-container parser (``meta_source`` tells
+    which path produced each row). Arrow-batched, no shuffle; the
+    binary column is dropped from the output so downstream aggs never
+    move media bytes."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), True),
+            T.StructField("media_type", T.StringType(), True),
+            T.StructField("format", T.StringType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("meta_source", T.StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                parsed = parse_media_header(content)
+                if parsed is not None:
+                    src = "header"
+                elif isinstance(meta, dict):
+                    parsed, src = meta, "provided"
+                else:
+                    parsed, src = {}, "none"
+                recs.append(
+                    (
+                        mid,
+                        0 if content is None else len(content),
+                        parsed.get("media_type"),
+                        parsed.get("format"),
+                        parsed.get("width"),
+                        parsed.get("height"),
+                        parsed.get("duration_ms"),
+                        parsed.get("n_channels"),
+                        src,
+                    )
+                )
+            out = pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "n_bytes", "media_type", "format", "width",
+                    "height", "duration_ms", "n_channels", "meta_source",
+                ],
+            )
+            for c, dt in (
+                ("media_id", "int64"), ("n_bytes", "int64"), ("width", "Int32"),
+                ("height", "Int32"), ("duration_ms", "Int64"), ("n_channels", "Int32"),
+            ):
+                out[c] = out[c].astype(dt)
+            yield out
 
     return df.mapInPandas(batches, schema=out_schema)
 
@@ -116,25 +407,45 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def make_media_fixture(spark, n: int = 64) -> DataFrame:
-    """Deterministic binary-column fixture (bytes from a seeded hash)."""
+    """Deterministic REAL-format media fixture with CLOSED-FORM
+    metadata: every size/duration is an integer function of the row
+    index ``i``, so an oracle can recompute any aggregate without
+    seeing the bytes. kind = i % 4:
+
+    - 0 → **BMP** image, w=8+(i%5), h=6+(i%7),
+      n_bytes = 54 + h·((3w+3)//4·4);
+    - 1 → **WAV** audio, channels=1+(i%2), frames=800+40·(i%10) at
+      8 kHz → duration_ms = 100+5·(i%10),
+      n_bytes = 44 + frames·channels·2;
+    - 2 → **PPM** image, w=4+(i%4), h=3+(i%6) (single-digit dims →
+      11-byte header), n_bytes = 11 + 3wh;
+    - 3 → synthetic **mp4 video** (no raw container format exists for
+      video): opaque bytes n_bytes = 200+(i%7)·16, provided-meta
+      duration_ms = 5000+100i — the unparseable-container case.
+    """
     rows = []
     for i in range(n):
-        blob = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
-        mt = ["image", "audio", "video"][i % 3]
-        rows.append(
-            (
-                i,
-                bytearray(blob),
-                {
-                    "media_type": mt,
-                    "format": {"image": "png", "audio": "wav", "video": "mp4"}[mt],
-                    "width": 64 if mt == "image" else None,
-                    "height": 64 if mt == "image" else None,
-                    "duration_ms": 5000 + i * 100 if mt != "image" else None,
-                    "n_channels": 3 if mt == "image" else 2,
-                },
-            )
-        )
-    # few, fat rows: don't spread 96 rows over local[32]'s default
+        kind = i % 4
+        if kind == 0:
+            w, h = 8 + (i % 5), 6 + (i % 7)
+            blob = make_bmp(w, h, seed=i)
+            meta = {"media_type": "image", "format": "bmp", "width": w, "height": h,
+                    "duration_ms": None, "n_channels": 3}
+        elif kind == 1:
+            ch, frames = 1 + (i % 2), 800 + 40 * (i % 10)
+            blob = make_wav(frames, sample_rate=8000, n_channels=ch, seed=i)
+            meta = {"media_type": "audio", "format": "wav", "width": None, "height": None,
+                    "duration_ms": 100 + 5 * (i % 10), "n_channels": ch}
+        elif kind == 2:
+            w, h = 4 + (i % 4), 3 + (i % 6)
+            blob = make_ppm(w, h, seed=i)
+            meta = {"media_type": "image", "format": "ppm", "width": w, "height": h,
+                    "duration_ms": None, "n_channels": 3}
+        else:
+            blob = bytes((i + j) % 256 for j in range(200 + (i % 7) * 16))
+            meta = {"media_type": "video", "format": "mp4", "width": 640, "height": 360,
+                    "duration_ms": 5000 + 100 * i, "n_channels": None}
+        rows.append((i, bytearray(blob), meta))
+    # few, fat rows: don't spread them over local[32]'s default
     # parallelism — 8 partitions keeps task overhead < data
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(8)

@@ -793,24 +793,54 @@ def eda_day_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "approx_sketch_stats",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS dc_in_bound,
+           TRUE AS p50_in_bound,
+           TRUE AS p95_in_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="Approximate sketches per group: HyperLogLog++ distinct counts "
     "(approx_count_distinct) and t-digest-style quantiles "
     "(approx_percentile) — the single-pass, mergeable alternatives to the "
-    "exact percentile/countDistinct queries at 100 TB. Sketches are "
-    "engine-specific, so no cross-engine hash oracle (rows-only); the "
-    "exact twins (quantiles, order_profile) carry the full gate, and "
-    "tests assert the sketch lands within its error bound of the exact "
-    "answer.",
+    "exact percentile/countDistinct queries at 100 TB. Sketch internals "
+    "are engine-specific, so the gate row checks the sketches' ERROR "
+    "BOUNDS instead: HLL within 10% (5× its 2% rsd) of the exact "
+    "distinct count, approx percentiles between the exact 0.45/0.55 "
+    "(resp. 0.93/0.97) quantiles — with the exact counts themselves "
+    "cross-engine anchors.",
 )
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.round(pcts[0], 2).alias("approx_p50_price"),
-        F.round(pcts[1], 2).alias("approx_p95_price"),
+    exact_pcts = F.expr(
+        "percentile(l_extendedprice, array(0.45, 0.55, 0.93, 0.97))"
+    )
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        pcts[0].alias("ap50"),
+        pcts[1].alias("ap95"),
+        exact_pcts[0].alias("p45"),
+        exact_pcts[1].alias("p55"),
+        exact_pcts[2].alias("p93"),
+        exact_pcts[3].alias("p97"),
+    )
+    err = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders")).cast("double")
+        / F.col("exact_orders")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_orders",
+        (err <= 0.10).alias("dc_in_bound"),
+        F.col("ap50").between(F.col("p45"), F.col("p55")).alias("p50_in_bound"),
+        F.col("ap95").between(F.col("p93"), F.col("p97")).alias("p95_in_bound"),
     )
 
 

@@ -567,35 +567,81 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Multimodal plumbing (mapInPandas; rows-only check — decode is stubbed)
+# Multimodal plumbing (mapInPandas over real WAV/BMP/PPM byte decoding)
 # --------------------------------------------------------------------------
+#
+# The media fixture is generated in-memory (no media table in the
+# testdata), but every size/duration is a CLOSED-FORM integer function
+# of the row index (multimodal.make_media_fixture docstring), so the
+# DuckDB oracle recomputes the aggregates from range() arithmetic —
+# a true differential check of the Spark side's byte-level encode →
+# header parse → aggregate path: any drift in the writers or parsers
+# breaks total_bytes / width / duration equality.
+
+_MEDIA_STATS_ORACLE = """
+WITH idx AS (SELECT i FROM range(0, 96) t(i)),
+bmp AS (SELECT i, 8+(i%5) AS w, 6+(i%7) AS h FROM idx WHERE i%4=0),
+wav AS (SELECT i, 1+(i%2) AS ch, 800+40*(i%10) AS fr FROM idx WHERE i%4=1),
+ppm AS (SELECT i, 4+(i%4) AS w, 3+(i%6) AS h FROM idx WHERE i%4=2),
+vid AS (SELECT i, 200+(i%7)*16 AS nb, 5000+100*i AS dur FROM idx WHERE i%4=3)
+SELECT 'bmp' AS format, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(54 + h*((3*w+3)//4*4)) AS BIGINT) AS total_bytes,
+       CAST(count(*) AS BIGINT) AS n_from_header,
+       CAST(SUM(w) AS BIGINT) AS sum_width,
+       CAST(0 AS BIGINT) AS sum_duration_ms
+FROM bmp
+UNION ALL
+SELECT 'wav', CAST(count(*) AS BIGINT), CAST(SUM(44 + fr*ch*2) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+       CAST(SUM(100 + 5*(i%10)) AS BIGINT)
+FROM wav
+UNION ALL
+SELECT 'ppm', CAST(count(*) AS BIGINT), CAST(SUM(11 + 3*w*h) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(SUM(w) AS BIGINT), CAST(0 AS BIGINT)
+FROM ppm
+UNION ALL
+SELECT 'mp4', CAST(count(*) AS BIGINT), CAST(SUM(nb) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(SUM(640) AS BIGINT), CAST(SUM(dur) AS BIGINT)
+FROM vid
+"""
 
 
 @register(
     "media_feature_stats",
-    oracle=None,
-    doc="Arrow-batched mapInPandas feature extraction over a binary media "
-    "column (operators/multimodal.py; decode stubbed with deterministic "
-    "sha256 features — marked NotImplementedError for the real path), then "
-    "per-media-type aggregation. Rows-only check: not expressible over the "
-    "registered SQL views (in-memory fixture + sha256 byte math).",
+    oracle=_MEDIA_STATS_ORACLE,
+    doc="REAL header-level media decode (operators/multimodal.py "
+    "extract_media_meta): WAV/BMP/PPM width/height/duration/channels "
+    "parsed from the binary column's bytes in an Arrow-batched "
+    "mapInPandas (mp4 rows fall back to provided metadata), then "
+    "per-format integer aggregation checked against a closed-form "
+    "DuckDB oracle over the fixture's generator arithmetic.",
 )
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.make_media_fixture(spark, n=96)
-    feats = MM.decode_and_featurize(media)
-    return feats.groupBy("media_type").agg(
+    meta = MM.extract_media_meta(media)
+    return meta.groupBy("format").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg(F.col("features")[0]), 6).alias("avg_f0"),
+        F.sum(
+            F.when(F.col("meta_source") == "header", 1).otherwise(0)
+        ).alias("n_from_header"),
+        F.coalesce(F.sum("width"), F.lit(0)).cast("long").alias("sum_width"),
+        F.coalesce(F.sum("duration_ms"), F.lit(0)).cast("long").alias("sum_duration_ms"),
     )
 
 
 @register(
     "media_frame_plan",
-    oracle=None,
+    oracle="""
+WITH vid AS (SELECT i, 5000+100*i AS dur FROM range(0, 96) t(i) WHERE i%4=3)
+SELECT 'mp4' AS format, CAST(count(*) AS BIGINT) AS n_videos,
+       CAST(SUM((dur-1)//1000 + 1) AS BIGINT) AS n_frames
+FROM vid
+""",
     doc="Video frame-sampling plan (operators/multimodal.py): one row per "
     "sampled frame timestamp from metadata duration — explode(sequence), "
-    "no decode. Rows-only check (in-memory fixture).",
+    "no decode; oracle = closed-form frame counts from the fixture's "
+    "duration arithmetic.",
 )
 def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.make_media_fixture(spark, n=96)
@@ -608,18 +654,43 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_ivf_topk",
-    oracle=None,
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 * count(*) AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_NQ}
+    """,
     doc="IVF approximate top-k (operators/similarity.py ivf_topk): "
     "k-means coarse quantizer (16 clusters, seeded), 4-probe nearest-"
     "centroid search, exact in-cluster cosine rerank. Iterative k-means "
-    "is not SQL-expressible → rows-only check; recall vs the exact "
-    "brute-force oracle is pinned in tests/test_llm_ops.py.",
+    "is not SQL-expressible, so the gate row checks result cardinality "
+    "(cross-engine) and recall@5 ≥ 0.5 against the in-Spark brute-force "
+    "twin — whose own results are fully hash-gated as emb_knn_brute. "
+    "Raw IVF neighbor lists are pinned in tests/test_llm_ops.py.",
 )
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(
-        e, e.filter(F.col("vec_id") < _NQ),
-        id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, n_probe=4, seed=42,
+    q = e.filter(F.col("vec_id") < _NQ)
+    approx = SIM.ivf_topk(
+        e, q, id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, n_probe=4, seed=42,
+    )
+    exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    return (
+        approx.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_results"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_queries",
+            "n_results",
+            (
+                F.col("n_hits").cast("double") / F.col("n_results") >= F.lit(0.5)
+            ).alias("recall_ok"),
+        )
     )
 
 

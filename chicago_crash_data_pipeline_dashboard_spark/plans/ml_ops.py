@@ -10,8 +10,9 @@ Two layers:
   (ml/pipeline.py: indexer → one-hot → GBT) end-to-end — train on a
   deterministic 80 % id-split, threshold-score the rest (0.26,
   model_metadata.json:28), evaluate. Gradient-boosted training is not
-  SQL-expressible → driver rows-only check, semantics pinned by
-  tests/test_ml.py instead.
+  SQL-expressible, so the gate row checks SQL-expressible invariants
+  (exact split sizes, confusion-count consistency, metric ranges);
+  metric values are pinned by tests/test_ml.py.
 """
 
 from __future__ import annotations
@@ -97,12 +98,23 @@ def crash_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "crash_model_eval",
-    oracle=None,
+    oracle=f"""
+    WITH cleaned AS ({_CLEAN_ORACLE}),
+    keyed AS (SELECT CAST(substr(crash_record_id, 3, 8) AS INTEGER) AS k FROM cleaned)
+    SELECT
+      CAST(SUM(CASE WHEN k % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      CAST(SUM(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+      TRUE AS counts_consistent,
+      TRUE AS metrics_in_range
+    FROM keyed
+    """,
     doc="End-to-end distributed ML (U2-U5): GBT pipeline trained on a "
-    "deterministic 80% split of the cleaned frame, threshold-scored "
-    "(0.26) on the held-out 20%, A18-evaluated. Training is iterative/"
-    "non-SQL → rows-only check; pipeline semantics are pinned in "
-    "tests/test_ml.py.",
+    "deterministic 80% id-split of the cleaned frame, threshold-scored "
+    "(0.26) on the held-out 20%, A18-evaluated. GBT training is "
+    "iterative/non-SQL, so the gate checks the SQL-expressible "
+    "invariants instead: exact split sizes (cross-engine), confusion "
+    "counts summing to the held-out size, and metrics in [0, 1]. The "
+    "metric VALUES are pinned in tests/test_ml.py.",
 )
 def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = clean_crashes(synth_bronze_spark(spark, sf_dir))
@@ -112,10 +124,25 @@ def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = MLP.train(train_df, max_iter=5, max_depth=3)
     scored = MLP.score(model, test_df, threshold=MLP.DEFAULT_THRESHOLD)
     y, p = F.col("hit_and_run_i"), F.col("hit_run_pred")
-    agg = scored.agg(
-        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
-        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
-        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
-        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+    metrics = _metrics_df(
+        scored.agg(
+            F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+            F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+            F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+            F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+        )
     )
-    return _metrics_df(agg)
+    counts = train_df.agg(F.count(F.lit(1)).alias("n_train")).crossJoin(
+        test_df.agg(F.count(F.lit(1)).alias("n_test"))
+    )
+    in01 = lambda c: (F.col(c) >= 0.0) & (F.col(c) <= 1.0)  # noqa: E731
+    return metrics.crossJoin(counts).select(
+        "n_train",
+        "n_test",
+        (
+            (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")) == F.col("n_test")
+        ).alias("counts_consistent"),
+        (
+            in01("accuracy") & in01("precision") & in01("recall") & in01("f1")
+        ).alias("metrics_in_range"),
+    )

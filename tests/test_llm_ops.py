@@ -157,20 +157,74 @@ def test_media_featurize_schema_and_determinism(spark):
     assert all(-1.0 <= x <= 1.0 for v in a.values() for x in v)
 
 
-def test_media_real_decode_is_stubbed(spark):
-    media = MM.make_media_fixture(spark, n=4)
+def test_media_codec_decode_is_stubbed(spark):
+    """Only CODEC formats (the mp4 rows) lack an in-container decoder;
+    raw wav/bmp/ppm decode for real (see test_media_real_decode)."""
+    media = MM.make_media_fixture(spark, n=4)  # id 3 is mp4
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         MM.decode_and_featurize(media, real_decode=True).collect()
 
 
+def test_media_real_decode_raw_formats(spark):
+    """wav/bmp/ppm rows produce REAL sample-statistic features from
+    the decoded payload bytes — deterministic, bounded, nonzero."""
+    from pyspark.sql import functions as F
+
+    media = MM.make_media_fixture(spark, n=32).filter(
+        F.col("meta.format") != "mp4"
+    )
+    feats = {r.media_id: r.features for r in
+             MM.decode_and_featurize(media, real_decode=True).collect()}
+    assert len(feats) == 24
+    for v in feats.values():
+        assert len(v) == 16
+        assert all(-1.0 <= x <= 1.0 for x in v)
+    # a real signal: std (f1) and rms (f4) of actual payloads are > 0
+    assert all(v[1] > 0 and v[4] > 0 for v in feats.values())
+
+
+def test_media_header_parsers_roundtrip():
+    wav = MM.make_wav(1200, sample_rate=8000, n_channels=2, seed=7)
+    m = MM.parse_media_header(wav)
+    assert m == {"media_type": "audio", "format": "wav", "width": None,
+                 "height": None, "duration_ms": 150, "n_channels": 2}
+    bmp = MM.make_bmp(10, 7, seed=3)
+    m = MM.parse_media_header(bmp)
+    assert (m["format"], m["width"], m["height"], m["n_channels"]) == ("bmp", 10, 7, 3)
+    assert len(bmp) == 54 + 7 * ((3 * 10 + 3) // 4 * 4)
+    ppm = MM.make_ppm(5, 4, seed=1)
+    m = MM.parse_media_header(ppm)
+    assert (m["format"], m["width"], m["height"]) == ("ppm", 5, 4)
+    assert len(ppm) == 11 + 3 * 5 * 4
+    # comment-tolerant PPM header
+    m = MM.parse_ppm(b"P6\n# a comment\n6 2\n255\n" + bytes(36))
+    assert (m["width"], m["height"]) == (6, 2)
+    # unknown magic -> None
+    assert MM.parse_media_header(b"\x00\x01\x02rubbish") is None
+
+
+def test_extract_media_meta_headers_beat_provided(spark):
+    """Parsed header fields must win over the provided meta struct for
+    raw formats (meta_source records which path fired)."""
+    media = MM.make_media_fixture(spark, n=8)
+    rows = {r.media_id: r for r in MM.extract_media_meta(media).collect()}
+    assert rows[0].meta_source == "header" and rows[0].format == "bmp"
+    assert rows[0].width == 8 and rows[0].height == 6
+    assert rows[1].meta_source == "header" and rows[1].format == "wav"
+    assert rows[1].duration_ms == 105 and rows[1].n_channels == 2
+    assert rows[2].meta_source == "header" and rows[2].format == "ppm"
+    assert rows[3].meta_source == "provided" and rows[3].format == "mp4"
+    assert rows[3].duration_ms == 5300
+
+
 def test_frame_sample_plan(spark):
-    media = MM.make_media_fixture(spark, n=9)  # ids 2,5,8 are video
+    media = MM.make_media_fixture(spark, n=9)  # ids 3, 7 are video
     frames = MM.frame_sample_plan(media, every_ms=1000).collect()
     by_id = {}
     for r in frames:
         by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
-    # duration 5000+i*100 → ids 2,5,8 → 5200,5500,5800ms → 6 samples each
-    assert set(by_id) == {2, 5, 8}
+    # duration 5000+i*100 → ids 3, 7 → 5300, 5700 ms → 6 samples each
+    assert set(by_id) == {3, 7}
     assert all(ts == sorted(ts) and ts[0] == 0 and len(ts) == 6 for ts in by_id.values())
 
 
