@@ -12,9 +12,10 @@ size, and at 100 TB each round is a full shuffle, so round count is
 THE cost either way (same reason the large-star/small-star algorithm
 of Kiveris et al., "Connected Components in MapReduce and Beyond",
 exists). Per round: two joins + one groupBy (shuffles on the node
-id), a ``localCheckpoint`` to truncate lineage (otherwise the plan
-doubles every round and the driver becomes the bottleneck), and one
-count action for the convergence test.
+id) and a ``localCheckpoint`` to truncate lineage (otherwise the plan
+doubles every round and the driver becomes the bottleneck); the
+convergence test rides the checkpoint job as an in-plan Observation
+metric, so each round is exactly ONE Spark action.
 
 Min-label semantics map 1:1 onto a recursive-CTE oracle (transitive
 closure + group-min), putting even this iterative operator under the
@@ -23,7 +24,7 @@ differential gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -61,7 +62,6 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    last_checked = labels
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["a"] == labels["node"])
@@ -78,27 +78,29 @@ def connected_components(
         hop = propagated.select(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
         )
-        new_labels = _ckpt(
-            propagated.join(hop, "comp", "left")
-            .select("node", F.coalesce("comp2", "comp").alias("comp"))
+        stepped = propagated.join(hop, "comp", "left").select(
+            "node", F.coalesce("comp2", "comp").alias("comp")
         )
-        # Convergence test every SECOND round (and never on round 0 —
-        # any edge forces a change there): labels only ever decrease,
-        # so "unchanged since two rounds ago" ⟺ both rounds were
-        # no-ops. Halves the count actions; each is a driver round-trip
-        # that costs as much as the round itself on small data.
-        if _ % 2 == 1:
-            changed = (
-                new_labels.alias("n")
-                .join(last_checked.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
+        # Convergence via an in-plan Observation riding the checkpoint
+        # job: join the previous labels back on (co-partitioned — the
+        # checkpointed side keeps its hash partitioning) and SUM the
+        # changed flags as a query metric. Zero extra actions: the
+        # eager checkpoint's own job populates the observation, where
+        # the previous design paid a separate join+count job every
+        # second round. Labels only ever decrease, so changed == 0 in
+        # any round means a fixpoint.
+        obs = Observation()
+        flagged = (
+            stepped.join(labels.select("node", F.col("comp").alias("_prev")), "node")
+            .observe(
+                obs,
+                F.sum((F.col("comp") != F.col("_prev")).cast("long")).alias("changed"),
             )
-            if changed == 0:
-                labels = new_labels
-                break
-            last_checked = new_labels
-        labels = new_labels
+            .select("node", "comp")
+        )
+        labels = _ckpt(flagged)
+        if obs.get["changed"] == 0:
+            break
     return labels
 
 
