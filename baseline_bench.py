@@ -35,6 +35,10 @@ from chicago_crash_data_pipeline_dashboard_spark.plans import ml_ops  # noqa: F4
 
 from tests.oracle_harness import TABLES
 
+# Same exclusions as bench.py (iterative ML training is outside the
+# headline query surface) so the two totals cover the SAME query set.
+from bench import SKIP
+
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 SLOW_CAP_S = float(os.environ.get("BASELINE_SLOW_CAP_S", "60"))
 
@@ -52,7 +56,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(QUERIES.items()):
-        if spec.oracle is None:
+        if spec.oracle is None or name in SKIP:
             continue
         if only and not __import__("re").search(only, name):
             continue

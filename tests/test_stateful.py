@@ -107,3 +107,44 @@ def test_running_dedup_across_restarts(spark, tmp_path):
     # exactly one row per key ever emitted
     counts = spark.read.parquet(sink).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in counts)
+
+
+def test_sessionize_late_event_widens_session_start(spark, tmp_path):
+    """A late-but-in-watermark event earlier than the recorded session
+    start must pull session_start back (matching the batch twin's
+    min(ts)), not be silently absorbed with the old start."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows, mode):
+        _events(spark, rows).withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ).write.mode(mode).json(src)
+
+    def drain():
+        stream = spark.readStream.schema("event_type string, ts timestamp").json(src)
+        q = (
+            sessionize(stream, gap_seconds=120, watermark_delay="1000 seconds")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([("a", 100), ("a", 130)], "overwrite")
+    drain()
+    # batch 2: t=50 arrives late (within the 1000 s watermark) and a
+    # far-future event closes the widened session in-batch
+    write([("a", 50), ("a", 10000)], "append")
+    drain()
+
+    rows = spark.read.parquet(sink).collect()
+    closed = {(r.key, r.session_start): (r.session_end, r.n_events) for r in rows}
+    t = lambda s: T0 + dt.timedelta(seconds=s)  # noqa: E731
+    assert closed[("a", t(50))] == (t(130), 3)
