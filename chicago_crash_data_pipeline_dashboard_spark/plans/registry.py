@@ -49,6 +49,9 @@ QUERIES: dict[str, OracleSpec] = {}
 # iterative MLlib fits.
 _REBALANCE_TABLES = {"documents"}
 
+# (parquet path, target parallelism) -> needs-repartition verdict
+_REBALANCE_DECISION: dict[tuple[str, int], bool] = {}
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator adding a query to the global registry."""
@@ -100,9 +103,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # For the text-heavy tables (see _REBALANCE_TABLES) fan the scan out
     # to the default parallelism; filters and column pruning still push
     # through the exchange into the scan. On a real cluster reading many
-    # well-sized files this is a no-op branch (splits >= cores).
+    # well-sized files this is a no-op branch (splits >= cores). The
+    # split-count probe (`.rdd` conversion) costs ~0.1 s of planning, so
+    # its verdict is memoized per (path, parallelism) — static inputs.
     if name in _REBALANCE_TABLES:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        key = (path, target)
+        if key not in _REBALANCE_DECISION:
+            _REBALANCE_DECISION[key] = df.rdd.getNumPartitions() < target
+        if _REBALANCE_DECISION[key]:
             df = df.repartition(target)
     return df

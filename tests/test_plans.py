@@ -163,3 +163,13 @@ def test_year_partitioned_gold_prunes(spark, tmp_path):
     # idempotent re-run still holds under partitioning
     assert gold.upsert(df, corr_id="r2")["inserted"] == 0
     assert gold.verify_integrity()["ok"] == 1
+
+
+def test_approx_sketch_stats_no_expand(spark, sf_oracle):
+    """Regression guard: count_distinct mixed into the percentile agg
+    produces an Expand node that multiplies the percentile sort work
+    ~18x (measured 44 s vs 2.4 s at sf0.1). The split-and-join form
+    must keep Expand out of the plan and broadcast the tiny side."""
+    plan = plan_of(QUERIES["approx_sketch_stats"].fn(spark, sf_oracle))
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
