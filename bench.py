@@ -45,9 +45,11 @@ try:
 except ImportError:
     pass
 
-# iterative ML training is benchmarked separately (tests/test_ml.py);
-# the headline bench is the query/operator surface
-SKIP = {"crash_model_eval"}
+# iterative ML training is benchmarked separately (tests/test_ml.py)
+# and pipeline_e2e is a side-effectful file round-trip (gzip-JSON write
+# + double gold upsert), not a query; the headline bench is the
+# query/operator surface
+SKIP = {"crash_model_eval", "pipeline_e2e"}
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 

@@ -302,3 +302,123 @@ def crash_hit_run_rate_by_weather(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("hit_and_run_i").alias("n_hit_run"),
         (F.lit(100.0) * F.sum("hit_and_run_i") / F.count(F.lit(1))).alias("hit_run_rate_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end medallion pipeline under the gate: bronze gzip-JSON round
+# trip (S3-S7) → silver merge with pre-agg joins + dedup (J2-J4, W8-W9,
+# A1-A2, F18) → gold clean + double upsert + integrity (M1-M4, J6, ST5)
+# ---------------------------------------------------------------------------
+
+_ID_EXPR = (
+    "CASE WHEN event_id % 97 = 0 THEN NULL "
+    "ELSE 'CR' || lpad(CAST(event_id AS __STR__), 8, '0') END"
+)
+
+_VEH_SYNTH = f"""
+  SELECT {_ID_EXPR} AS crash_record_id, '1' AS unit_no,
+         {_pick('event_id', _DIRECTION, 12)} AS make
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT {_ID_EXPR}, '2', {_pick('event_id', _TRAFFIC, 13)}
+  FROM events WHERE event_id % 6 = 0
+"""
+
+_PPL_SYNTH = f"""
+  SELECT {_ID_EXPR} AS crash_record_id,
+         {_pick('event_id', _DEFECT, 14)} AS person_type
+  FROM events WHERE event_id % 4 != 3
+"""
+
+
+@register(
+    "pipeline_e2e",
+    oracle=f"""
+    WITH cleaned AS ({_CLEAN_ORACLE}),
+    ids AS (SELECT {_ID_EXPR.replace('__STR__', 'VARCHAR')} AS id, event_id FROM events),
+    gold_n AS (SELECT count(*) AS n FROM cleaned WHERE crash_record_id IS NOT NULL)
+    SELECT
+      CAST((SELECT count(*) FROM events) AS BIGINT) AS n_bronze,
+      CAST((SELECT count(DISTINCT id)
+                   + MAX(CASE WHEN id IS NULL THEN 1 ELSE 0 END) FROM ids) AS BIGINT) AS n_silver,
+      CAST((SELECT count(*) FROM ids WHERE id IS NOT NULL AND event_id % 2 = 0)
+         + (SELECT count(*) FROM ids WHERE id IS NOT NULL AND event_id % 6 = 0) AS BIGINT) AS sum_veh_count,
+      CAST((SELECT count(*) FROM ids WHERE id IS NOT NULL AND event_id % 4 != 3) AS BIGINT) AS sum_ppl_count,
+      CAST((SELECT n FROM gold_n) AS BIGINT) AS n_gold_first,
+      CAST(0 AS BIGINT) AS n_gold_rerun,
+      CAST((SELECT n FROM gold_n) AS BIGINT) AS gold_total,
+      CAST(1 AS BIGINT) AS integrity_ok
+    """,
+    doc="THE medallion pipeline end-to-end under the differential gate: "
+    "synthesized bronze crashes round-trip through the partitioned "
+    "gzip-JSON layout (S3-S7), merge with synthesized vehicles/people "
+    "via pre-agg + left joins + keep-first dedup (J2-J4, W8-W9, A1-A2), "
+    "then the cleaned frame double-upserts into a fresh gold table "
+    "(M1-M4: second run inserts 0; integrity must pass). Every returned "
+    "count is recomputed closed-form by the oracle, so a row lost or "
+    "duplicated ANYWHERE in the chain breaks the gate.",
+)
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.gold import GoldTable
+    from ..operators.transform import silver_transform
+    from ..sources.bronze import read_bronze, write_bronze
+
+    bronze_src = synth_bronze_spark(spark, sf_dir)  # registers 'events' view
+    veh = spark.sql(_VEH_SYNTH.replace("__STR__", "STRING"))
+    ppl = spark.sql(_PPL_SYNTH.replace("__STR__", "STRING"))
+
+    tmp = tempfile.mkdtemp(prefix="ccpd_e2e_")
+    try:
+        # S3/S4: partitioned gzip-JSON bronze sink; S5-S7: read it back
+        write_bronze(bronze_src, f"{tmp}/bronze", "crashes", corr="e2e",
+                     year_col="crash_date", fmt="json")
+        schema = T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in bronze_src.columns]
+        )
+        crashes = read_bronze(spark, f"{tmp}/bronze", "crashes", schema, corr="e2e")
+        # drop partition cols; persist — the read-back frame feeds the
+        # silver merge, the clean chain, and several count actions
+        crashes = crashes.select(*bronze_src.columns).persist()
+        n_bronze = crashes.count()
+
+        # silver: pre-agg + joins + dedup + CSV-safe list serialization
+        silver = silver_transform(crashes, veh, ppl)
+        sums = silver.agg(
+            F.count(F.lit(1)).alias("n_silver"),
+            F.sum(F.coalesce(F.col("veh_count"), F.lit(0))).alias("veh"),
+            F.sum(F.coalesce(F.col("ppl_count"), F.lit(0))).alias("ppl"),
+        ).first()
+
+        # gold: clean + upsert twice (idempotence) + integrity. Persist
+        # the cleaned frame — each upsert runs count + anti-join + write
+        # over it, so the chain would otherwise execute ~5 times.
+        cleaned = clean_crashes(crashes).persist()
+        gold = GoldTable(spark, f"{tmp}/gold")
+        first = gold.upsert(cleaned, corr_id="e2e-r1")
+        rerun = gold.upsert(cleaned, corr_id="e2e-r2")
+        integ = gold.verify_integrity()
+
+        row = (
+            n_bronze, sums["n_silver"], int(sums["veh"]), int(sums["ppl"]),
+            first["inserted"], rerun["inserted"], integ["total"], integ["ok"],
+        )
+        cleaned.unpersist()
+        crashes.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(n, T.LongType(), False)
+            for n in (
+                "n_bronze", "n_silver", "sum_veh_count", "sum_ppl_count",
+                "n_gold_first", "n_gold_rerun", "gold_total", "integrity_ok",
+            )
+        ]
+    )
+    return spark.createDataFrame([row], out_schema)

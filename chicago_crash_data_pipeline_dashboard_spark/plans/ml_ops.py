@@ -117,11 +117,14 @@ def crash_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metric VALUES are pinned in tests/test_ml.py.",
 )
 def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cleaned = clean_crashes(synth_bronze_spark(spark, sf_dir))
+    # persist: the cleaning chain (incl. its two-pass median) would
+    # otherwise re-execute for every downstream action (GBT iterations,
+    # scoring, both count aggregates)
+    cleaned = clean_crashes(synth_bronze_spark(spark, sf_dir)).persist()
     key = F.substring("crash_record_id", 3, 8).cast("int")
     train_df = cleaned.filter(key % 5 != 0)
     test_df = cleaned.filter(key % 5 == 0)
-    model = MLP.train(train_df, max_iter=5, max_depth=3)
+    model = MLP.train(train_df, max_iter=3, max_depth=3)
     scored = MLP.score(model, test_df, threshold=MLP.DEFAULT_THRESHOLD)
     y, p = F.col("hit_and_run_i"), F.col("hit_run_pred")
     metrics = _metrics_df(
