@@ -45,11 +45,12 @@ try:
 except ImportError:
     pass
 
-# iterative ML training is benchmarked separately (tests/test_ml.py)
-# and pipeline_e2e is a side-effectful file round-trip (gzip-JSON write
-# + double gold upsert), not a query; the headline bench is the
-# query/operator surface
-SKIP = {"crash_model_eval", "pipeline_e2e"}
+# iterative ML training is benchmarked separately (tests/test_ml.py);
+# pipeline_e2e is a side-effectful file round-trip (gzip-JSON write +
+# double gold upsert) and event_sessions_stream runs micro-batch
+# streaming machinery — neither is a query-latency measurement; the
+# headline bench is the query/operator surface
+SKIP = {"crash_model_eval", "pipeline_e2e", "event_sessions_stream"}
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 

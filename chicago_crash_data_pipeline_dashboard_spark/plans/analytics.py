@@ -1017,6 +1017,77 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q27b. The REAL stateful streaming path under the gate
+# --------------------------------------------------------------------------
+@register(
+    "event_sessions_stream",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, ts,
+             CASE WHEN EXTRACT(epoch FROM ts) -
+                       lag(EXTRACT(epoch FROM ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                       > 3600 OR
+                       lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT key, ts,
+             SUM(new_sess) OVER (PARTITION BY key ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    sess AS (
+      SELECT key, CAST(min(ts) AS TIMESTAMP) AS session_start,
+             CAST(max(ts) AS TIMESTAMP) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY key, sid
+    )
+    SELECT key, session_start, session_end, n_events
+    FROM sess
+    WHERE session_end + INTERVAL 3600 SECOND <= (SELECT max(ts) FROM events)
+    """,
+    doc="The actual applyInPandasWithState sessionizer executed as a "
+    "Structured Streaming query (availableNow drain into a memory "
+    "sink) — per-key Arrow-batched state, event-time timeouts. "
+    "Deterministic output: a session is emitted iff its deadline "
+    "(end + gap) is at or below the final watermark (= max event "
+    "time at delay 0) — in-batch-closed sessions emit immediately, "
+    "the terminal no-data micro-batch flushes timed-out tails, and "
+    "each key's still-open tail stays in state. The oracle filters "
+    "the batch session SQL by the same deadline rule.",
+)
+def event_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import sessionize
+
+    # schema (incl. the version-dependent ts type) from the batch loader
+    schema = load(spark, sf_dir, "events").schema
+    # the file streaming source requires a DIRECTORY; expose the single
+    # parquet file through a temp dir symlink (no copy)
+    tmp = tempfile.mkdtemp(prefix="ccpd_evstream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    name = "ccpd_event_sessions_stream"
+    try:
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        q = (
+            sessionize(stream, key_col="event_type", ts_col="ts", gap_seconds=3600.0)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
 # Q28. As-of (point-in-time) join — last click before each error
 # --------------------------------------------------------------------------
 @register(

@@ -48,6 +48,12 @@ _STATE_SCHEMA = T.StructType(
 
 
 def _sessionize_fn(gap_seconds: float):
+    # State carries epoch MICROseconds (not float seconds): micros up
+    # to year ~2255 are exact in a float64 (< 2^53), while float
+    # seconds leave sub-microsecond residue that pandas expands into
+    # nanoseconds Arrow then refuses to truncate on output.
+    gap_us = int(gap_seconds * 1_000_000)
+
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -60,31 +66,34 @@ def _sessionize_fn(gap_seconds: float):
             state.remove()
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
-            ts = sorted(rows["ts"].map(lambda t: t.timestamp()))
+            s = rows["ts"]
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            ts = sorted(s.astype("datetime64[ns]").astype("int64") // 1000)
             if state.exists:
                 start, last, n = state.get
             else:
-                start, last, n = ts[0], ts[0], 0
+                start, last, n = float(ts[0]), float(ts[0]), 0
             for t in ts:
-                if t - last > gap_seconds:
+                if t - last > gap_us:
                     out.append((key[0], start, last, n))
-                    start, n = t, 0
+                    start, n = float(t), 0
                 # late-but-in-watermark events may precede the recorded
                 # start; widen the session to match the batch twin's
                 # min(ts) semantics
-                start = min(start, t)
-                last = max(last, t)
+                start = min(start, float(t))
+                last = max(last, float(t))
                 n += 1
             state.update((start, last, n))
             # flush when event time passes the inactivity gap (clamped
             # above the current watermark — timers must be in its future)
-            deadline_ms = int((last + gap_seconds) * 1000)
+            deadline_ms = int(last + gap_us) // 1000
             state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
         if not out:
             return iter([])
         df = pd.DataFrame(out, columns=["key", "session_start", "session_end", "n_events"])
         for c in ("session_start", "session_end"):
-            df[c] = pd.to_datetime(df[c], unit="s")
+            df[c] = pd.to_datetime(df[c].astype("int64"), unit="us")
         return iter([df])
 
     return fn
@@ -105,7 +114,11 @@ def sessionize(
     """
     grouped = (
         events.select(
-            events[key_col].cast("string").alias("key"), events[ts_col].alias("ts")
+            events[key_col].cast("string").alias("key"),
+            # watermarks require TIMESTAMP (ltz); NTZ inputs (Spark >=
+            # 4.1 nanos-parquet reads) cast value-preserving under the
+            # UTC session timezone
+            events[ts_col].cast("timestamp").alias("ts"),
         )
         .withWatermark("ts", watermark_delay)
         .groupBy("key")
