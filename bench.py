@@ -50,7 +50,12 @@ except ImportError:
 # double gold upsert) and event_sessions_stream runs micro-batch
 # streaming machinery — neither is a query-latency measurement; the
 # headline bench is the query/operator surface
-SKIP = {"crash_model_eval", "pipeline_e2e", "event_sessions_stream"}
+SKIP = {
+    "crash_model_eval",
+    "pipeline_e2e",
+    "event_sessions_stream",
+    "event_first_seen_stream",
+}
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 

@@ -1087,6 +1087,83 @@ def event_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "event_first_seen_stream",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_rows,
+           TRUE AS one_row_per_key,
+           TRUE AS keys_covered
+    FROM events
+    """,
+    doc="The streaming first-seen dedup (streaming/stateful.py "
+    "running_dedup — the gold PK guard when the sink cannot anti-join) "
+    "executed as a real Structured Streaming query. WHICH row is "
+    "emitted per key depends on read order, so the gate checks the "
+    "deterministic invariants: exactly one row per key, and the "
+    "emitted key set equals the table's distinct key set.",
+)
+def event_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import running_dedup
+
+    schema = load(spark, sf_dir, "events").schema
+    tmp = tempfile.mkdtemp(prefix="ccpd_fsstream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    name = "ccpd_event_first_seen_stream"
+    try:
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        q = (
+            running_dedup(stream.select("user_id", "event_id"), "user_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(name).persist()
+        distinct_keys = load(spark, sf_dir, "events").select("user_id").distinct()
+        stats = emitted.agg(
+            F.count_distinct("user_id").alias("n_keys"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).crossJoin(
+            emitted.select("user_id")
+            .distinct()
+            .join(distinct_keys, "user_id", "full_outer")
+            .agg(F.count(F.lit(1)).alias("n_union"))
+        )
+        row = stats.first()
+        emitted.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("n_keys", T.LongType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("one_row_per_key", T.BooleanType(), False),
+            T.StructField("keys_covered", T.BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                row["n_keys"],
+                row["n_rows"],
+                bool(row["n_rows"] == row["n_keys"]),
+                bool(row["n_union"] == row["n_keys"]),
+            )
+        ],
+        out_schema,
+    )
+
+
 # --------------------------------------------------------------------------
 # Q28. As-of (point-in-time) join — last click before each error
 # --------------------------------------------------------------------------
