@@ -55,6 +55,7 @@ SKIP = {
     "pipeline_e2e",
     "event_sessions_stream",
     "event_first_seen_stream",
+    "streaming_ingest_e2e",
 }
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

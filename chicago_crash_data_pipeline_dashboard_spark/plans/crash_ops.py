@@ -422,3 +422,96 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame([row], out_schema)
+
+
+@register(
+    "streaming_ingest_e2e",
+    oracle=f"""
+    WITH cleaned AS ({_CLEAN_ORACLE}),
+    g AS (SELECT count(*) AS n FROM cleaned WHERE crash_record_id IS NOT NULL)
+    SELECT
+      CAST(1 AS BIGINT) AS n_batches_first,
+      CAST((SELECT n FROM g) AS BIGINT) AS inserted_first,
+      CAST(0 AS BIGINT) AS n_batches_redrain,
+      CAST(0 AS BIGINT) AS inserted_redelivery,
+      CAST((SELECT n FROM g) AS BIGINT) AS gold_total,
+      CAST(1 AS BIGINT) AS integrity_ok,
+      TRUE AS wm_at_max,
+      TRUE AS wm_frozen_after_backfill
+    """,
+    doc="Structured Streaming ingest under the gate (ST1-ST3, ST5): "
+    "drain #1 streams the partitioned bronze JSON through clean -> PK "
+    "upsert in one availableNow batch and advances the watermark to "
+    "max(crash_date); drain #2 with no new files must run ZERO batches "
+    "(file-source checkpoint = the reference's page markers); drain #3 "
+    "re-delivers the same rows as new files in backfill mode — the PK "
+    "anti-join inserts 0 and the watermark must NOT move (backfills "
+    "never advance, extractor/main.go:693-702).",
+)
+def streaming_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.gold import GoldTable
+    from ..sources.bronze import write_bronze
+    from ..streaming.ingest import stream_bronze_to_gold
+    from ..streaming.watermark import WatermarkStore
+
+    bronze_src = synth_bronze_spark(spark, sf_dir)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in bronze_src.columns]
+    )
+    tmp = tempfile.mkdtemp(prefix="ccpd_ingest_")
+    try:
+        args = dict(
+            spark=spark, bronze_dir=f"{tmp}/bronze", alias="crashes",
+            schema=schema, gold_path=f"{tmp}/gold",
+            checkpoint_dir=f"{tmp}/ckpt", watermark_path=f"{tmp}/wm.json",
+        )
+        write_bronze(bronze_src, f"{tmp}/bronze", "crashes", corr="s1",
+                     year_col="crash_date", fmt="json")
+        stats1 = stream_bronze_to_gold(mode="streaming", **args)
+        wm_after_first = WatermarkStore(f"{tmp}/wm.json").get()
+
+        stats2 = stream_bronze_to_gold(mode="streaming", **args)
+
+        # duplicate delivery: same rows again under a new run id
+        write_bronze(bronze_src, f"{tmp}/bronze", "crashes", corr="s2",
+                     year_col="crash_date", fmt="json")
+        stats3 = stream_bronze_to_gold(mode="backfill", **args)
+        wm_after_backfill = WatermarkStore(f"{tmp}/wm.json").get()
+
+        gold = GoldTable(spark, f"{tmp}/gold")
+        integ = gold.verify_integrity()
+        max_date = (
+            clean_crashes(bronze_src).agg(F.max("crash_date").alias("m")).first()["m"]
+        )
+
+        row = (
+            len(stats1),
+            sum(s["inserted"] for s in stats1),
+            len(stats2),
+            sum(s["inserted"] for s in stats3),
+            integ["total"],
+            integ["ok"],
+            bool(wm_after_first == str(max_date)),
+            bool(wm_after_backfill == wm_after_first),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("n_batches_first", T.LongType(), False),
+            T.StructField("inserted_first", T.LongType(), False),
+            T.StructField("n_batches_redrain", T.LongType(), False),
+            T.StructField("inserted_redelivery", T.LongType(), False),
+            T.StructField("gold_total", T.LongType(), False),
+            T.StructField("integrity_ok", T.LongType(), False),
+            T.StructField("wm_at_max", T.BooleanType(), False),
+            T.StructField("wm_frozen_after_backfill", T.BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame([row], out_schema)
