@@ -83,6 +83,7 @@ def main() -> None:
         "n_queries": len(timings),
         "duckdb_version": duckdb.__version__,
         "cpus": os.cpu_count(),
+        "complete": not errors,
     }
     if errors:
         out["errors"] = errors

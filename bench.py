@@ -108,6 +108,9 @@ def main() -> None:
         "sf": sf,
         "runs": RUNS,
         "n_queries": len(timings),
+        # the 2x gate vs BASELINE_BENCH.json is only meaningful when
+        # complete (a failed query shrinks `value`, flattering the total)
+        "complete": not errors,
     }
     if errors:
         out["errors"] = errors

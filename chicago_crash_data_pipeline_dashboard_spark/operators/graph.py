@@ -94,7 +94,11 @@ def connected_components(
             stepped.join(labels.select("node", F.col("comp").alias("_prev")), "node")
             .observe(
                 obs,
-                F.sum((F.col("comp") != F.col("_prev")).cast("long")).alias("changed"),
+                # coalesce: SUM over ZERO rows is NULL, and None != 0 —
+                # without it an empty edge list runs all max_iter rounds
+                F.coalesce(
+                    F.sum((F.col("comp") != F.col("_prev")).cast("long")), F.lit(0)
+                ).alias("changed"),
             )
             .select("node", "comp")
         )

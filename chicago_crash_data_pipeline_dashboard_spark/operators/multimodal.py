@@ -223,7 +223,17 @@ def _decode_samples(b: bytes, fmt: str) -> np.ndarray:
     b = bytes(b)
     if fmt == "bmp":
         offset = int.from_bytes(b[10:14], "little")
-        return np.frombuffer(b, dtype=np.uint8, offset=offset).astype(np.float64) / 127.5 - 1.0
+        width = abs(int.from_bytes(b[18:22], "little", signed=True))
+        height = abs(int.from_bytes(b[22:26], "little", signed=True))
+        bpp = int.from_bytes(b[28:30], "little") or 24
+        row_bytes = width * (bpp // 8)
+        stride = (row_bytes + 3) // 4 * 4
+        raw = np.frombuffer(b, dtype=np.uint8, offset=offset, count=min(stride * height, len(b) - offset))
+        # strip the 4-byte row padding (and any trailing bytes): only
+        # actual pixel samples feed the statistics
+        if stride != row_bytes and height > 0 and raw.size >= stride * height:
+            raw = raw.reshape(height, stride)[:, :row_bytes].ravel()
+        return raw.astype(np.float64) / 127.5 - 1.0
     if fmt == "ppm":
         parsed = _ppm_header(b)
         assert parsed is not None

@@ -1045,17 +1045,23 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT key, session_start, session_end, n_events
     FROM sess
-    WHERE session_end + INTERVAL 3600 SECOND <= (SELECT max(ts) FROM events)
+    -- Spark fires an event-time timeout only when the watermark (ms
+    -- floor of max event time at delay 0) STRICTLY exceeds the ms
+    -- floor of the deadline (probed empirically: equality holds state)
+    WHERE (SELECT epoch_us(max(ts)) FROM events) // 1000
+          > (epoch_us(session_end) + 3600000000) // 1000
     """,
     doc="The actual applyInPandasWithState sessionizer executed as a "
     "Structured Streaming query (availableNow drain into a memory "
     "sink) — per-key Arrow-batched state, event-time timeouts. "
-    "Deterministic output: a session is emitted iff its deadline "
-    "(end + gap) is at or below the final watermark (= max event "
-    "time at delay 0) — in-batch-closed sessions emit immediately, "
-    "the terminal no-data micro-batch flushes timed-out tails, and "
-    "each key's still-open tail stays in state. The oracle filters "
-    "the batch session SQL by the same deadline rule.",
+    "Deterministic output: a session is emitted iff the final "
+    "watermark (= max event time at delay 0, ms floor) STRICTLY "
+    "exceeds its ms-floored deadline (end + gap) — in-batch-closed "
+    "sessions emit immediately, the terminal no-data micro-batch "
+    "flushes timed-out tails, and each key's still-open tail stays "
+    "in state. The oracle filters the batch session SQL by the same "
+    "strict ms-floored rule (Spark holds state on exact equality — "
+    "probed empirically).",
 )
 def event_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -74,15 +74,34 @@ def _sessionize_fn(gap_seconds: float):
                 start, last, n = state.get
             else:
                 start, last, n = float(ts[0]), float(ts[0]), 0
-            for t in ts:
+            # Late-but-in-watermark events BEFORE the recorded start:
+            # chain them like the batch twin would — pre-sessions more
+            # than a gap before their successor emit closed; a trailing
+            # pre-session within the gap of `start` merges into (and
+            # widens) the live session. An event inside [start, last]
+            # cannot split a gap-free span — it just counts.
+            orig_start = start
+            pre = [float(t) for t in ts if t < orig_start]
+            post = [float(t) for t in ts if t >= orig_start]
+            if pre:
+                p_start = p_last = pre[0]
+                p_n = 0
+                for t in pre:
+                    if t - p_last > gap_us:
+                        out.append((key[0], p_start, p_last, p_n))
+                        p_start, p_n = t, 0
+                    p_last = t
+                    p_n += 1
+                if start - p_last <= gap_us:
+                    start = p_start
+                    n += p_n
+                else:
+                    out.append((key[0], p_start, p_last, p_n))
+            for t in post:
                 if t - last > gap_us:
                     out.append((key[0], start, last, n))
-                    start, n = float(t), 0
-                # late-but-in-watermark events may precede the recorded
-                # start; widen the session to match the batch twin's
-                # min(ts) semantics
-                start = min(start, float(t))
-                last = max(last, float(t))
+                    start, n = t, 0
+                last = max(last, t)
                 n += 1
             state.update((start, last, n))
             # flush when event time passes the inactivity gap (clamped

@@ -75,3 +75,19 @@ def test_components_reliable_checkpoint_equivalent(spark, tmp_path):
         for r in connected_components(edges, use_reliable_checkpoint=True).collect()
     }
     assert local == reliable
+
+
+def test_components_empty_edges_converge_immediately(spark):
+    """SUM over zero rows observes NULL; the convergence test must
+    treat that as 0 changes, not run all max_iter rounds."""
+    import time
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    t0 = time.perf_counter()
+    out = connected_components(empty, max_iter=25)
+    assert out.count() == 0
+    assert time.perf_counter() - t0 < 20  # 25 un-converged rounds would take far longer

@@ -243,3 +243,24 @@ def test_minhash_rejects_indivisible_bands(docs):
 
     with _pytest.raises(ValueError, match="divisible"):
         DD.minhash_near_duplicates(docs, "doc_id", "text", num_hashes=30, bands=8)
+
+
+def test_bmp_features_exclude_row_padding():
+    """BMP rows are padded to 4 bytes; feature statistics must cover
+    pixel bytes only (9-wide rows carry 1 pad byte each)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.multimodal import (
+        _decode_samples,
+        make_bmp,
+    )
+
+    w, h = 9, 4
+    bmp = make_bmp(w, h, seed=0)
+    samples = _decode_samples(bmp, "bmp")
+    assert samples.size == 3 * w * h  # not stride*h (= 28*4)
+    # seed=0 pixels are (3*(y*w+x)+c) % 256 — never the padding zeros
+    # beyond index 85, so a padding leak would show up as extra -1.0s
+    expected_zeros = sum(
+        1 for y in range(h) for x in range(w) for c in range(3)
+        if (3 * (y * w + x) + c) % 256 == 0
+    )
+    assert (samples == -1.0).sum() == expected_zeros

@@ -148,3 +148,46 @@ def test_sessionize_late_event_widens_session_start(spark, tmp_path):
     closed = {(r.key, r.session_start): (r.session_end, r.n_events) for r in rows}
     t = lambda s: T0 + dt.timedelta(seconds=s)  # noqa: E731
     assert closed[("a", t(50))] == (t(130), 3)
+
+
+def test_sessionize_late_event_beyond_gap_separate_session(spark, tmp_path):
+    """A late event more than gap_seconds BEFORE the live session's
+    start must emit as its own closed session (batch-twin semantics),
+    not be absorbed into the live session."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows, mode):
+        _events(spark, rows).withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ).write.mode(mode).json(src)
+
+    def drain():
+        stream = spark.readStream.schema("event_type string, ts timestamp").json(src)
+        q = (
+            sessionize(stream, gap_seconds=120, watermark_delay="5000 seconds")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([("a", 1000), ("a", 1030)], "overwrite")
+    drain()
+    # t=50 is 950 s before the live session start (> gap): its own
+    # session, closed. t=400 within-gap of nothing; chains with t=300.
+    write([("a", 50), ("a", 300), ("a", 400), ("a", 9000)], "append")
+    drain()
+
+    rows = spark.read.parquet(sink).collect()
+    got = {(r.key, r.session_start): (r.session_end, r.n_events) for r in rows}
+    t = lambda s: T0 + dt.timedelta(seconds=s)  # noqa: E731
+    assert got[("a", t(50))] == (t(50), 1)       # solo late session
+    assert got[("a", t(300))] == (t(400), 2)     # late chain
+    assert got[("a", t(1000))] == (t(1030), 2)   # live session closed by 9000
