@@ -352,6 +352,8 @@ _PPL_SYNTH = f"""
     doc="THE medallion pipeline end-to-end under the differential gate: "
     "synthesized bronze crashes round-trip through the partitioned "
     "gzip-JSON layout (S3-S7), merge with synthesized vehicles/people "
+    "whose silver output round-trips the header CSV layout (S8-S9, "
+    "incl. quoting of the F18 JSON list columns) "
     "via pre-agg + left joins + keep-first dedup (J2-J4, W8-W9, A1-A2), "
     "then the cleaned frame double-upserts into a fresh gold table "
     "(M1-M4: second run inserts 0; integrity must pass). Every returned "
@@ -386,9 +388,16 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         crashes = crashes.select(*bronze_src.columns).persist()
         n_bronze = crashes.count()
 
-        # silver: pre-agg + joins + dedup + CSV-safe list serialization
+        # silver: pre-agg + joins + dedup + CSV-safe list serialization,
+        # then the S8/S9 CSV round trip — the sums are computed from the
+        # frame READ BACK from disk, so CSV quoting/escaping of the
+        # embedded JSON list columns is under the gate too
+        from ..sources.silver import read_silver_csv, write_silver_csv
+
         silver = silver_transform(crashes, veh, ppl)
-        sums = silver.agg(
+        write_silver_csv(silver, f"{tmp}/silver", corr="e2e")
+        silver_rt = read_silver_csv(spark, f"{tmp}/silver", corr="e2e", schema=silver.schema)
+        sums = silver_rt.agg(
             F.count(F.lit(1)).alias("n_silver"),
             F.sum(F.coalesce(F.col("veh_count"), F.lit(0))).alias("veh"),
             F.sum(F.coalesce(F.col("ppl_count"), F.lit(0))).alias("ppl"),
