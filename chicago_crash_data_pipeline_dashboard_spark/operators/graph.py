@@ -48,7 +48,15 @@ def connected_components(
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if use_reliable_checkpoint:
-            return df.checkpoint(eager=True)
+            # persist first: reliable checkpoint materializes via the
+            # eager job and then RE-RUNS the lineage to write the
+            # checkpoint files — uncached, every round would compute
+            # its shuffles twice (the documented persist-before-
+            # checkpoint caveat). localCheckpoint caches by design.
+            df = df.persist()
+            out = df.checkpoint(eager=True)
+            df.unpersist()
+            return out
         return df.localCheckpoint()
 
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

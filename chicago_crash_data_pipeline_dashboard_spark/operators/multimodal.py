@@ -132,21 +132,31 @@ def parse_bmp(b: bytes) -> dict | None:
     }
 
 
-def parse_wav(b: bytes) -> dict | None:
-    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-        return None
-    pos, fmt, data_size = 12, None, None
+def _riff_chunks(b: bytes):
+    """Yield (chunk_id, payload_offset, clamped_size) for each RIFF
+    chunk after the 12-byte RIFF/WAVE header. The single walker both
+    the metadata parser and the sample decoder share — chunk alignment
+    and size clamping live in exactly one place."""
+    pos = 12
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         size = int.from_bytes(b[pos + 4 : pos + 8], "little")
-        if cid == b"fmt " and pos + 24 <= len(b):
-            n_channels = int.from_bytes(b[pos + 10 : pos + 12], "little")
-            sample_rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
-            bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
+        yield cid, pos + 8, min(size, len(b) - pos - 8)
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+
+
+def parse_wav(b: bytes) -> dict | None:
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt, data_size = None, None
+    for cid, off, size in _riff_chunks(b):
+        if cid == b"fmt " and off + 16 <= len(b):
+            n_channels = int.from_bytes(b[off + 2 : off + 4], "little")
+            sample_rate = int.from_bytes(b[off + 4 : off + 8], "little")
+            bits = int.from_bytes(b[off + 14 : off + 16], "little")
             fmt = (n_channels, sample_rate, bits)
         elif cid == b"data":
-            data_size = min(size, len(b) - pos - 8)
-        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+            data_size = size
     if fmt is None:
         return None
     n_channels, sample_rate, bits = fmt
@@ -240,17 +250,14 @@ def _decode_samples(b: bytes, fmt: str) -> np.ndarray:
         _vals, off = parsed
         return np.frombuffer(b, dtype=np.uint8, offset=off).astype(np.float64) / 127.5 - 1.0
     if fmt == "wav":
-        pos = 12
-        while pos + 8 <= len(b):
-            cid = b[pos : pos + 4]
-            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        for cid, off, size in _riff_chunks(b):
             if cid == b"data":
-                n = min(size, len(b) - pos - 8) // 2
                 return (
-                    np.frombuffer(b, dtype="<i2", offset=pos + 8, count=n).astype(np.float64)
+                    np.frombuffer(b, dtype="<i2", offset=off, count=size // 2).astype(
+                        np.float64
+                    )
                     / 32768.0
                 )
-            pos += 8 + size + (size % 2)
         return np.zeros(0)
     raise NotImplementedError(f"no raw-format decoder for {fmt!r}")
 

@@ -993,9 +993,12 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     s AS (
+      -- RANGE framing: timestamp ties at a session boundary aggregate
+      -- both flag rows into each tied row's sid, matching Spark's
+      -- default RANGE sum window (row framing is tie-order-dependent)
       SELECT key, ts,
              SUM(new_sess) OVER (PARTITION BY key ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sid
+                                 RANGE UNBOUNDED PRECEDING) AS sid
       FROM o
     )
     SELECT key, CAST(min(ts) AS TIMESTAMP) AS session_start,
@@ -1019,6 +1022,45 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q27b. The REAL stateful streaming path under the gate
 # --------------------------------------------------------------------------
+
+
+def _drain_events_stream(spark: SparkSession, sf_dir: str, name: str, build_query):
+    """Run a stateful operator over the events table as a REAL
+    Structured Streaming query: file source over a temp-dir symlink
+    (the source requires a directory), availableNow drain into a
+    memory sink named ``name``; returns the sink table.
+
+    Version dispatch mirrors ``registry.load``: the stream reads the
+    RAW parquet schema, and a ``bigint`` ts (the pre-4.1 legacy nanos
+    read — ``load`` has already set the conf if this Spark needs it)
+    is converted with the same integer-DIV micros expression before
+    the operator sees it."""
+    import os
+    import shutil
+    import tempfile
+
+    load(spark, sf_dir, "events")  # establishes the legacy conf when needed
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix=f"{name}_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    try:
+        stream = spark.readStream.schema(raw.schema).parquet(tmp)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        q = (
+            build_query(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
 @register(
     "event_sessions_stream",
     oracle="""
@@ -1032,65 +1074,54 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     s AS (
+      -- RANGE framing: timestamp ties at a session boundary aggregate
+      -- BOTH flag rows into each tied row's sid, exactly like Spark's
+      -- default RANGE sum window — row-framed sums are tie-order-
+      -- dependent and can split tied rows across sessions
       SELECT key, ts,
              SUM(new_sess) OVER (PARTITION BY key ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS sid
+                                 RANGE UNBOUNDED PRECEDING) AS sid
       FROM o
     ),
     sess AS (
-      SELECT key, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      SELECT key, sid, CAST(min(ts) AS TIMESTAMP) AS session_start,
              CAST(max(ts) AS TIMESTAMP) AS session_end,
              CAST(count(*) AS BIGINT) AS n_events
       FROM s GROUP BY key, sid
+    ),
+    ranked AS (
+      SELECT *, max(sid) OVER (PARTITION BY key) AS max_sid FROM sess
     )
     SELECT key, session_start, session_end, n_events
-    FROM sess
-    -- Spark fires an event-time timeout only when the watermark (ms
-    -- floor of max event time at delay 0) STRICTLY exceeds the ms
-    -- floor of the deadline (probed empirically: equality holds state)
-    WHERE (SELECT epoch_us(max(ts)) FROM events) // 1000
+    FROM ranked
+    -- emitted iff closed IN-BATCH (a same-key successor session exists
+    -- — emitted unconditionally, no watermark involved) OR the final
+    -- watermark (ms floor of max event time at delay 0) STRICTLY
+    -- exceeds the ms-floored deadline (equality holds state — probed)
+    WHERE sid < max_sid
+       OR (SELECT epoch_us(max(ts)) FROM events) // 1000
           > (epoch_us(session_end) + 3600000000) // 1000
     """,
     doc="The actual applyInPandasWithState sessionizer executed as a "
     "Structured Streaming query (availableNow drain into a memory "
     "sink) — per-key Arrow-batched state, event-time timeouts. "
-    "Deterministic output: a session is emitted iff the final "
-    "watermark (= max event time at delay 0, ms floor) STRICTLY "
-    "exceeds its ms-floored deadline (end + gap) — in-batch-closed "
-    "sessions emit immediately, the terminal no-data micro-batch "
-    "flushes timed-out tails, and each key's still-open tail stays "
-    "in state. The oracle filters the batch session SQL by the same "
-    "strict ms-floored rule (Spark holds state on exact equality — "
-    "probed empirically).",
+    "Deterministic output: in-batch-closed sessions (every non-last "
+    "session of a key) emit immediately; a key's last session emits "
+    "only via the terminal no-data micro-batch's timeout, which fires "
+    "iff the final watermark strictly exceeds its ms-floored deadline "
+    "(end + gap). The oracle encodes exactly that rule.",
 )
 def event_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.stateful import sessionize
 
-    # schema (incl. the version-dependent ts type) from the batch loader
-    schema = load(spark, sf_dir, "events").schema
-    # the file streaming source requires a DIRECTORY; expose the single
-    # parquet file through a temp dir symlink (no copy)
-    tmp = tempfile.mkdtemp(prefix="ccpd_evstream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
-    name = "ccpd_event_sessions_stream"
-    try:
-        stream = spark.readStream.schema(schema).parquet(tmp)
-        q = (
-            sessionize(stream, key_col="event_type", ts_col="ts", gap_seconds=3600.0)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.table(name)
+    return _drain_events_stream(
+        spark,
+        sf_dir,
+        "ccpd_event_sessions_stream",
+        lambda stream: sessionize(
+            stream, key_col="event_type", ts_col="ts", gap_seconds=3600.0
+        ),
+    )
 
 
 @register(
@@ -1110,42 +1141,26 @@ def event_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emitted key set equals the table's distinct key set.",
 )
 def event_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.stateful import running_dedup
 
-    schema = load(spark, sf_dir, "events").schema
-    tmp = tempfile.mkdtemp(prefix="ccpd_fsstream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
-    name = "ccpd_event_first_seen_stream"
-    try:
-        stream = spark.readStream.schema(schema).parquet(tmp)
-        q = (
-            running_dedup(stream.select("user_id", "event_id"), "user_id")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        emitted = spark.table(name).persist()
-        distinct_keys = load(spark, sf_dir, "events").select("user_id").distinct()
-        stats = emitted.agg(
-            F.count_distinct("user_id").alias("n_keys"),
-            F.count(F.lit(1)).alias("n_rows"),
-        ).crossJoin(
-            emitted.select("user_id")
-            .distinct()
-            .join(distinct_keys, "user_id", "full_outer")
-            .agg(F.count(F.lit(1)).alias("n_union"))
-        )
-        row = stats.first()
-        emitted.unpersist()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    emitted = _drain_events_stream(
+        spark,
+        sf_dir,
+        "ccpd_event_first_seen_stream",
+        lambda stream: running_dedup(stream.select("user_id", "event_id"), "user_id"),
+    ).persist()
+    distinct_keys = load(spark, sf_dir, "events").select("user_id").distinct()
+    stats = emitted.agg(
+        F.count_distinct("user_id").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).crossJoin(
+        emitted.select("user_id")
+        .distinct()
+        .join(distinct_keys, "user_id", "full_outer")
+        .agg(F.count(F.lit(1)).alias("n_union"))
+    )
+    row = stats.first()
+    emitted.unpersist()
 
     from pyspark.sql import types as T
 

@@ -139,7 +139,7 @@ def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         test_df.agg(F.count(F.lit(1)).alias("n_test"))
     )
     in01 = lambda c: (F.col(c) >= 0.0) & (F.col(c) <= 1.0)  # noqa: E731
-    return metrics.crossJoin(counts).select(
+    out = metrics.crossJoin(counts).select(
         "n_train",
         "n_test",
         (
@@ -149,3 +149,9 @@ def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             in01("accuracy") & in01("precision") & in01("recall") & in01("f1")
         ).alias("metrics_in_range"),
     )
+    # materialize while the cleaned frame is cached, then release it —
+    # returning the lazy plan would either leak the cache for the
+    # session or recompute the whole chain at the caller's collect
+    row = out.first()
+    cleaned.unpersist()
+    return spark.createDataFrame([row], out.schema)

@@ -82,11 +82,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        # Legacy fallback (pre-4.1 nanos refusal). Session-wide effect
-        # by necessity: the conf must still be set when the lazy scan
-        # actually executes, so it cannot be scoped-and-restored here.
-        # On Spark >= 4.1 the conf is ignored and this branch is dead.
+    except Exception as exc:
+        # Legacy fallback for the pre-4.1 nanos refusal ONLY — other
+        # failures (missing path, corrupt footer) must surface as-is,
+        # not silently flip a session-wide conf and retry. The conf
+        # cannot be scoped-and-restored: it must still be set when the
+        # lazy scan executes. On Spark >= 4.1 this branch is dead.
+        msg = str(exc).lower()
+        if "illegal parquet type" not in msg and "nanos" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     if name == "events":
