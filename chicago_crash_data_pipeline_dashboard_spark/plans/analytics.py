@@ -6,11 +6,14 @@ DataFrame plan, with a DuckDB oracle for the differential harness.
 
 Cross-engine determinism conventions (see registry.py docstring):
 
-- double sums: ``CAST(per-row double AS DECIMAL(25,6))`` → SUM → DOUBLE.
+- double sums: ``CAST(per-row double AS DECIMAL(p,6))`` → SUM → DOUBLE.
   The per-row double product is IEEE-identical across engines; the
   decimal sum is exact and order-independent; a scale-6 decimal boundary
   (odd/2e6) is not representable in binary, so the two engines' cast
-  rounding modes can never disagree.
+  rounding modes can never disagree. The Spark side uses the narrowest
+  per-row precision the data spec allows (see ``_dsum``/``_qsum``) —
+  the summed VALUE is precision-independent at fixed scale, so oracle
+  SQL keeps DECIMAL(25,6) unchanged.
 - ratios: computed from exact integer/decimal parts in double at the end.
 - day-of-week: Spark ``dayofweek`` is Sun=1; oracle uses
   ``EXTRACT(dow)+1`` (DuckDB dow is Sun=0).
@@ -26,9 +29,26 @@ from pyspark.sql import Window as W
 
 from .registry import load, register
 
-# A money-safe exact-sum helper: per-row double expr -> exact decimal sum -> double
+# A money-safe exact-sum helper: per-row double expr -> exact decimal sum
+# -> double. Per-row precision 13 keeps the cast on Spark's long-backed
+# Decimal fast path (precision <= 18 avoids a per-row BigDecimal alloc —
+# measured 1.05 s -> 0.64 s on the 600k-row order_profile agg); it bounds
+# per-row inputs to |v| < 1e7, which every money/value column here
+# satisfies by the data spec (max observed ~5e5). The SUM buffer is
+# decimal(23,6) — exact to ~1e17, ample for 100 TB money sums. The summed
+# VALUE is identical to any wider precision at the same scale, so oracle
+# SQL may use any DECIMAL(p,6).
 def _dsum(expr) -> F.Column:
-    return F.sum(expr.cast("decimal(25,6)")).cast("double")
+    return F.sum(expr.cast("decimal(13,6)")).cast("double")
+
+
+# Exact sum for double columns that are integral-valued by the data spec
+# (TPC-H l_quantity is a whole number 1..50): a long sum is exact,
+# order-independent, and stays on the codegen integer fast path
+# (~2.3x faster than the decimal route). Value-identical to the
+# decimal-sum oracle because every input is integral.
+def _qsum(expr) -> F.Column:
+    return F.sum(expr.cast("long")).cast("double")
 
 
 # --------------------------------------------------------------------------
@@ -62,12 +82,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _qsum(F.col("l_quantity")).alias("sum_qty"),
             _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             _dsum(disc).alias("sum_disc_price"),
             _dsum(charge).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
-            (_dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (_qsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
         )
     )
 
@@ -269,7 +289,7 @@ def order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_items"),
-        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _qsum(F.col("l_quantity")).alias("sum_qty"),
         F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("flags"),
     )
     return o.join(agg, o.o_orderkey == agg.l_orderkey, "left").select(
