@@ -28,6 +28,41 @@ from chicago_crash_data_pipeline_dashboard_spark.plans import ml_ops  # noqa: F4
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# The driver records correctness rows for the first 50 queries in
+# registration order, but 56 are registered — so ordering is a COVERAGE
+# decision, tracked in COVERAGE.md §"Driver-sample rotation".
+#
+# Sampled first: queries that have never had a driver correctness row
+# (r1-r3) or were displaced from the r3 sample. Sampled last (i.e.
+# rotated out this round): queries green in BOTH r2 and r3 with
+# unchanged code — they rotate back in next round.
+_VERIFY_FIRST = [
+    "crash_model_eval",  # never driver-sampled r1-r3 (the MLlib scoring path)
+    "emb_ivf_topk",  # never driver-sampled
+    "media_frame_plan",  # never driver-sampled
+    "event_windowed_counts_stream",  # new in r4
+    "crash_rule_eval",  # green r2, fell out of the r3 sample
+    "doc_training_pipeline",  # green r2, fell out of the r3 sample
+]
+_ROTATION_BENCHED = [
+    "eda_day_labels",
+    "run_history",
+    "value_counts_topk",
+    "whitelist_recode",
+    "unpivot_daily_events",
+    "hash_sample_stats",
+]
+
+
+def _ordered_names() -> list[str]:
+    missing = [n for n in _VERIFY_FIRST + _ROTATION_BENCHED if n not in QUERIES]
+    if missing:  # fail loudly on a rename, not silently mis-sample
+        raise KeyError(f"rotation lists reference unregistered queries: {missing}")
+    middle = [
+        n for n in QUERIES if n not in _VERIFY_FIRST and n not in _ROTATION_BENCHED
+    ]
+    return [*_VERIFY_FIRST, *middle, *_ROTATION_BENCHED]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -36,9 +71,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in _ordered_names()
+        if QUERIES[name].oracle is not None
+    }

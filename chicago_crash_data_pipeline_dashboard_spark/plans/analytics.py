@@ -1205,6 +1205,46 @@ def event_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_windowed_counts_stream",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             CAST((date_trunc('day', ts) + INTERVAL 1 DAY) AS TIMESTAMP) AS window_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY date_trunc('day', ts)
+    )
+    SELECT window_start, window_end, n_events
+    FROM b
+    -- append-mode emission: a tumbling window is released when the
+    -- final watermark (ms floor of max event time minus the 2-day
+    -- delay) reaches its end; later windows stay in state (probed:
+    -- 27 of 30 day-windows emit on this data — no ms-boundary tie is
+    -- possible here since windows end at midnight and max(ts) doesn't)
+    WHERE epoch_us(window_end) // 1000
+          <= (SELECT epoch_us(max(ts)) FROM events) // 1000 - 172800000
+    """,
+    doc="streaming/ingest.py windowed_event_counts executed as a REAL "
+    "Structured Streaming query (file source, availableNow drain, "
+    "append-mode memory sink): watermarked tumbling 1-day windows, "
+    "2-day late-data delay. The stream≡batch equivalence is pinned in "
+    "tests/test_streaming.py; this gate pins the APPEND-MODE emission "
+    "semantics — only windows the final watermark has passed are "
+    "released; the last ~2 days of windows are held as state. At "
+    "100 TB this is the canonical late-data-tolerant rollup: state is "
+    "one count per open window, shuffled once on the window key.",
+)
+def event_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import windowed_event_counts
+
+    return _drain_events_stream(
+        spark,
+        sf_dir,
+        "ccpd_event_windowed_counts_stream",
+        lambda stream: windowed_event_counts(stream),
+    )
+
+
 # --------------------------------------------------------------------------
 # Q28. As-of (point-in-time) join — last click before each error
 # --------------------------------------------------------------------------

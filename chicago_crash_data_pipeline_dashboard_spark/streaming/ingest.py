@@ -107,6 +107,10 @@ def windowed_event_counts(
     Streaming analytics shape (withWatermark bounds state; late rows
     beyond the delay are dropped). Works identically on a batch frame
     (watermark is a no-op there) — used by tests to cross-check."""
+    # watermarks require TIMESTAMP (ltz); NTZ inputs (Spark >= 4.1
+    # nanos-parquet reads) cast value-preserving under the UTC session
+    # timezone (same dispatch as streaming/stateful.sessionize)
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark_delay)
         .groupBy(F.window(F.col(ts_col), window_duration).alias("w"))
