@@ -45,16 +45,16 @@ try:
 except ImportError:
     pass
 
-# iterative ML training is benchmarked separately (tests/test_ml.py);
 # pipeline_e2e is a side-effectful file round-trip (gzip-JSON write +
-# double gold upsert) and event_sessions_stream runs micro-batch
-# streaming machinery — neither is a query-latency measurement; the
-# headline bench is the query/operator surface
+# double gold upsert) and the *_stream queries run micro-batch streaming
+# machinery — neither is a query-latency measurement; the headline bench
+# is the query/operator surface. crash_model_eval (time-boxed 3-iter GBT
+# train + distributed score) IS timed: it is the engine's real ML path.
 SKIP = {
-    "crash_model_eval",
     "pipeline_e2e",
     "event_sessions_stream",
     "event_first_seen_stream",
+    "event_windowed_counts_stream",
     "streaming_ingest_e2e",
 }
 

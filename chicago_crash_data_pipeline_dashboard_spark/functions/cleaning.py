@@ -38,8 +38,14 @@ _TRUTHY = ["y", "yes", "true", "t", "1", "1.0"]
 
 def standardize_boolean(col: Column) -> Column:
     """F3 (cleaning_rules.py:57-88): Y/yes/true/t/1/1.0 (any case, padded)
-    → 1; everything else INCLUDING null → 0."""
-    norm = F.lower(F.trim(col.cast("string")))
+    → 1; everything else INCLUDING null → 0.
+
+    Padding is stripped with a whitespace-class regex, not ``F.trim``:
+    the reference strips via pandas ``.str.strip()`` (all whitespace,
+    unicode included — hence ``(?U)``), while Spark/DuckDB ``trim``
+    removes ASCII spaces only, which would misclassify ``'1\\t'``
+    (property-tested in tests/test_properties.py)."""
+    norm = F.lower(F.regexp_replace(col.cast("string"), r"(?U)^\s+|\s+$", ""))
     return F.when(norm.isin(_TRUTHY), F.lit(1)).otherwise(F.lit(0)).cast("int")
 
 

@@ -48,6 +48,17 @@ def asof_join(
     value columns are included in the sort; we dedupe defensively.
     """
     value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
+    # the carried struct reserves the field name '_on' for the matched
+    # right timestamp; a value column named '_on' (or carrying the on/by
+    # columns themselves) would create duplicate struct fields and wrong
+    # carried values — reject loudly instead
+    clash = {"_on", on, by}.intersection(value_cols)
+    if clash:
+        raise ValueError(
+            f"value_cols may not contain {sorted(clash)} — '_on' is reserved "
+            f"for the carried right-side {on!r}, and the on/by key columns "
+            "already ride with every row"
+        )
 
     # defensive dedupe: one right row per (by, on) — keep the row with
     # the greatest value tuple (deterministic regardless of input order)

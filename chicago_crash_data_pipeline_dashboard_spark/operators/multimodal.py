@@ -236,6 +236,12 @@ def _decode_samples(b: bytes, fmt: str) -> np.ndarray:
         width = abs(int.from_bytes(b[18:22], "little", signed=True))
         height = abs(int.from_bytes(b[22:26], "little", signed=True))
         bpp = int.from_bytes(b[28:30], "little") or 24
+        # header fields are attacker/corruption-controlled: an offset
+        # past the payload or a sub-byte bpp must degrade to "no
+        # samples", not crash the executor task (np.frombuffer raises
+        # on a negative count)
+        if offset >= len(b) or bpp < 8 or width <= 0 or height <= 0:
+            return np.zeros(0)
         row_bytes = width * (bpp // 8)
         stride = (row_bytes + 3) // 4 * 4
         raw = np.frombuffer(b, dtype=np.uint8, offset=offset, count=min(stride * height, len(b) - offset))
@@ -303,27 +309,48 @@ def _real_features(content: bytes, dim: int = _FEATURE_DIM) -> list[float]:
     return stats + [0.0] * (dim - len(stats))
 
 
-def decode_and_featurize(df: DataFrame, real_decode: bool = False) -> DataFrame:
+def decode_and_featurize(
+    df: DataFrame, real_decode: bool = False, on_undecodable: str = "raise"
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     ``real_decode=True`` decodes raw containers (wav/bmp/ppm) for real
-    — header fields + sample-statistic features from the actual
-    payload bytes; codec formats raise NotImplementedError inside the
-    executor (decoder libs absent here). ``real_decode=False`` keeps
-    the deterministic sha256 fake features for any byte blob.
+    — header fields + sample-statistic features from the actual payload
+    bytes. Codec formats (jpeg/mp4/…) have no in-container decoder:
+    with ``on_undecodable='raise'`` (default) they raise
+    NotImplementedError inside the executor; with
+    ``on_undecodable='stub'`` they degrade to the deterministic sha256
+    stand-in features — the behavior a 100 TB curation run wants (one
+    stray jpeg must not kill the job). ``real_decode=False`` keeps the
+    sha256 fake features for every byte blob.
+
+    Every output row carries ``feature_source`` provenance —
+    ``'decoded'`` (real sample statistics) or ``'stub'`` (sha256
+    stand-in) — so downstream consumers can never mistake stub vectors
+    for real ones.
     """
+    if on_undecodable not in ("raise", "stub"):
+        raise ValueError(f"on_undecodable must be 'raise' or 'stub', got {on_undecodable!r}")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("media_type", T.StringType(), True),
             T.StructField("n_bytes", T.LongType(), True),
             T.StructField("features", T.ArrayType(T.DoubleType()), True),
+            T.StructField("feature_source", T.StringType(), False),
         ]
     )
-    featurize = _real_features if real_decode else _fake_features
+
+    def featurize(b) -> tuple[list[float], str]:
+        if not real_decode:
+            return _fake_features(b), "stub"
+        if parse_media_header(b) is None and on_undecodable == "stub":
+            return _fake_features(b), "stub"
+        return _real_features(b), "decoded"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pairs = pdf["content"].map(featurize)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -333,7 +360,8 @@ def decode_and_featurize(df: DataFrame, real_decode: bool = False) -> DataFrame:
                     "n_bytes": pdf["content"]
                     .map(lambda b: 0 if b is None else len(b))
                     .astype("int64"),
-                    "features": pdf["content"].map(featurize),
+                    "features": pairs.map(lambda p: p[0]),
+                    "feature_source": pairs.map(lambda p: p[1]),
                 }
             )
 

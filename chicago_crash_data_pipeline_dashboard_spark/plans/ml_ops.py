@@ -121,9 +121,22 @@ def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise re-execute for every downstream action (GBT iterations,
     # scoring, both count aggregates)
     cleaned = clean_crashes(synth_bronze_spark(spark, sf_dir)).persist()
+    # Size the training frame's partitioning to its volume (count()
+    # doubles as cache materialization). The cleaned chain can come out
+    # under-split (a single-row-group source scans as ONE task — same
+    # failure mode registry.load rebalances for), which would run every
+    # GBT histogram job single-threaded; an iterative fitter schedules
+    # one task per partition per job, so over-splitting a small frame
+    # wastes scheduler rounds instead. Clamp to ~20k rows/partition,
+    # capped at the default parallelism — at real scale the cap wins and
+    # the training frame keeps its natural splits.
+    n_cleaned = cleaned.count()
+    target = max(1, min(spark.sparkContext.defaultParallelism, n_cleaned // 20_000))
     key = F.substring("crash_record_id", 3, 8).cast("int")
     train_df = cleaned.filter(key % 5 != 0)
     test_df = cleaned.filter(key % 5 == 0)
+    if train_df.rdd.getNumPartitions() < target:
+        train_df = train_df.repartition(target)
     model = MLP.train(train_df, max_iter=3, max_depth=3)
     scored = MLP.score(model, test_df, threshold=MLP.DEFAULT_THRESHOLD)
     y, p = F.col("hit_and_run_i"), F.col("hit_run_pred")

@@ -49,8 +49,11 @@ QUERIES: dict[str, OracleSpec] = {}
 # iterative MLlib fits.
 _REBALANCE_TABLES = {"documents"}
 
-# (parquet path, target parallelism) -> needs-repartition verdict
-_REBALANCE_DECISION: dict[tuple[str, int], bool] = {}
+# (parquet path, mtime_ns, size, target parallelism) -> needs-repartition
+# verdict. mtime/size key the cache to the FILE CONTENT, so a path
+# rewritten mid-session (tests, compaction) re-probes instead of keeping
+# a stale verdict.
+_REBALANCE_DECISION: dict[tuple[str, int, int, int], bool] = {}
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -88,8 +91,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # not silently flip a session-wide conf and retry. The conf
         # cannot be scoped-and-restored: it must still be set when the
         # lazy scan executes. On Spark >= 4.1 this branch is dead.
+        # The pre-4.1 refusal reads "Illegal Parquet type: INT64
+        # (TIMESTAMP(NANOS,...))" — require BOTH markers so an
+        # unrelated failure that merely mentions "nanos" surfaces
+        # instead of silently flipping a session-wide conf
         msg = str(exc).lower()
-        if "illegal parquet type" not in msg and "nanos" not in msg:
+        if not ("illegal parquet type" in msg and "timestamp(nanos" in msg):
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -111,8 +118,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # split-count probe (`.rdd` conversion) costs ~0.1 s of planning, so
     # its verdict is memoized per (path, parallelism) — static inputs.
     if name in _REBALANCE_TABLES:
+        import os
+
         target = spark.sparkContext.defaultParallelism
-        key = (path, target)
+        try:
+            st = os.stat(path)
+            mtime_ns, size = st.st_mtime_ns, st.st_size
+        except OSError:  # non-local path (hdfs/s3): fall back to path-only key
+            mtime_ns, size = 0, 0
+        key = (path, mtime_ns, size, target)
         if key not in _REBALANCE_DECISION:
             _REBALANCE_DECISION[key] = df.rdd.getNumPartitions() < target
         if _REBALANCE_DECISION[key]:

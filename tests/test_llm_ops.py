@@ -148,13 +148,41 @@ def test_media_featurize_schema_and_determinism(spark):
     media = MM.make_media_fixture(spark, n=32)
     feats = MM.decode_and_featurize(media)
     assert [f.name for f in feats.schema.fields] == [
-        "media_id", "media_type", "n_bytes", "features",
+        "media_id", "media_type", "n_bytes", "features", "feature_source",
     ]
-    a = {r.media_id: r.features for r in feats.collect()}
+    rows = feats.collect()
+    a = {r.media_id: r.features for r in rows}
     b = {r.media_id: r.features for r in MM.decode_and_featurize(media).collect()}
     assert a == b  # deterministic across runs
     assert all(len(v) == 16 for v in a.values())
     assert all(-1.0 <= x <= 1.0 for v in a.values() for x in v)
+    # no decode requested -> every vector is flagged as a stand-in
+    assert all(r.feature_source == "stub" for r in rows)
+
+
+def test_media_stub_fallback_is_flagged(spark):
+    """on_undecodable='stub': codec rows degrade to sha256 features
+    marked 'stub'; raw rows still decode for real, marked 'decoded' —
+    provenance keeps the two populations distinguishable."""
+    media = MM.make_media_fixture(spark, n=8)  # ids 3, 7 are mp4
+    rows = {r.media_id: r for r in
+            MM.decode_and_featurize(media, real_decode=True,
+                                    on_undecodable="stub").collect()}
+    assert {i for i, r in rows.items() if r.feature_source == "stub"} == {3, 7}
+    assert {i for i, r in rows.items() if r.feature_source == "decoded"} == {0, 1, 2, 4, 5, 6}
+    assert all(len(r.features) == 16 for r in rows.values())
+
+
+def test_media_corrupt_bmp_degrades_cleanly():
+    """Header-declared offset/bpp are corruption-controlled: a pixel
+    offset past the payload or bpp < 8 must yield zero samples, not an
+    executor crash."""
+    good = MM.make_bmp(4, 3, seed=1)
+    bad_offset = good[:10] + (10**6).to_bytes(4, "little") + good[14:]
+    assert MM._decode_samples(bad_offset, "bmp").size == 0
+    bad_bpp = good[:28] + (1).to_bytes(2, "little") + good[30:]
+    assert MM._decode_samples(bad_bpp, "bmp").size == 0
+    assert MM._decode_samples(good, "bmp").size == 3 * 4 * 3
 
 
 def test_media_codec_decode_is_stubbed(spark):
