@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from chicago_crash_data_pipeline_dashboard_spark.plans import QUERIES  # noqa: E402
 from chicago_crash_data_pipeline_dashboard_spark.plans import analytics  # noqa: F401,E402
 from chicago_crash_data_pipeline_dashboard_spark.plans import crash_ops  # noqa: F401,E402
+from chicago_crash_data_pipeline_dashboard_spark.plans import jobspec_ops  # noqa: F401,E402
 from chicago_crash_data_pipeline_dashboard_spark.plans import llm_ops  # noqa: F401,E402
 from chicago_crash_data_pipeline_dashboard_spark.plans import ml_ops  # noqa: F401,E402
 
@@ -41,6 +42,9 @@ _VERIFY_FIRST = [
     "emb_ivf_topk",  # never driver-sampled
     "media_frame_plan",  # never driver-sampled
     "event_windowed_counts_stream",  # new in r4
+    "jobspec_extract",  # new in r4 (P1/P2/W1/ST4 gate)
+    "silver_catalog_validate",  # new in r4 (S12/S13/S14 gate)
+    "skew_salted_join_agg",  # new in r4 (skew toolkit gate)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -51,6 +55,9 @@ _ROTATION_BENCHED = [
     "whitelist_recode",
     "unpivot_daily_events",
     "hash_sample_stats",
+    "dedup_keep_first",  # green r2+r3, benched r4
+    "price_bins",  # green r2+r3, benched r4
+    "order_key_setops",  # green r2+r3, benched r4
 ]
 
 

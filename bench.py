@@ -44,6 +44,10 @@ try:
     from chicago_crash_data_pipeline_dashboard_spark.plans import ml_ops  # noqa: F401
 except ImportError:
     pass
+try:
+    from chicago_crash_data_pipeline_dashboard_spark.plans import jobspec_ops  # noqa: F401
+except ImportError:
+    pass
 
 # pipeline_e2e is a side-effectful file round-trip (gzip-JSON write +
 # double gold upsert) and the *_stream queries run micro-batch streaming

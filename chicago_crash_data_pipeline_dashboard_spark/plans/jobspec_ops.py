@@ -1,0 +1,292 @@
+"""Gate queries for the config/control-plane surface: job-spec extract
+semantics, catalog introspection + upload validation, and the skew
+toolkit — pulling SURVEY §2 rows that were previously pytest-only
+(P1, P2, W1, ST4, S12, S13, S14, skew utilities) under the driver's
+differential oracle.
+
+Reference parity targets:
+
+- ``jobspec_extract``: the declarative extract job (extractor/
+  main.go:114-157 Job JSON; buildWhere precedence main.go:202-222;
+  ensureSelect main.go:409-429; ORDER for stable pagination = W1;
+  half-open backfill windows = ST4).
+- ``silver_catalog_validate``: the dashboard's information_schema /
+  DESCRIBE introspection (streamlit_frontend.py:440-515) and the
+  upload required-column check (streamlit_frontend.py:2189-2207),
+  plus the Silver CSV download/round-trip machinery (S14).
+- ``skew_salted_join_agg``: result-equivalence of the salt-and-
+  replicate join + two-phase salted aggregation (the 100 TB hot-key
+  toolkit) against the plain shuffled join the oracle runs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_join, two_phase_agg
+from ..sources.jobspec import JobSpec, apply_job
+from ..sources.silver import (
+    describe_table,
+    list_tables,
+    read_silver_csv,
+    validate_upload_schema,
+    write_silver_csv,
+)
+from .registry import load, register
+
+# Injected run date for reproducible since_days/default predicates
+# (the reference reads the clock; build_where takes ``today`` so
+# incremental runs are replayable — jobspec.py docstring).
+_TODAY = "2024-01-20"
+
+
+def _spec_summary(mode: str, out: DataFrame) -> DataFrame:
+    """One row per job run: row count, distinct ids (present because
+    ensureSelect force-includes the id column — P1 is value-verified:
+    if projection dropped ``event_id`` this would not resolve), and
+    the first 3 ids in the spec's (ts, event_id) order (W1: the global
+    sort is verified through the ordered limit, which Spark executes
+    as TakeOrderedAndProject — no full sort materialization)."""
+    summary = out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+    first = out.limit(3).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("ts"), F.col("event_id")))),
+                lambda s: s["event_id"].cast("string"),
+            ),
+            ",",
+        ).alias("first_ids")
+    )
+    return summary.crossJoin(first).select(
+        F.lit(mode).alias("mode"), "n_rows", "n_ids", "first_ids"
+    )
+
+
+@register(
+    "jobspec_extract",
+    oracle="""
+    WITH
+    f1 AS (SELECT * FROM events WHERE event_type = 'error' AND value > 5.0),
+    f2 AS (SELECT * FROM events
+           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             AND ts <  TIMESTAMP '2024-01-20 00:00:00'),
+    f3 AS (SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'),
+    f4 AS (SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-20' - 3),
+    f5 AS (SELECT * FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-20' - 7)
+    SELECT 'explicit_where' AS mode,
+           (SELECT count(*) FROM f1) AS n_rows,
+           (SELECT count(DISTINCT event_id) FROM f1) AS n_ids,
+           COALESCE((SELECT string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+                     FROM (SELECT ts, event_id FROM f1 ORDER BY ts, event_id LIMIT 3) t), '') AS first_ids
+    UNION ALL
+    SELECT 'date_range',
+           (SELECT count(*) FROM f2),
+           (SELECT count(DISTINCT event_id) FROM f2),
+           COALESCE((SELECT string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+                     FROM (SELECT ts, event_id FROM f2 ORDER BY ts, event_id LIMIT 3) t), '')
+    UNION ALL
+    SELECT 'watermark',
+           (SELECT count(*) FROM f3),
+           (SELECT count(DISTINCT event_id) FROM f3),
+           COALESCE((SELECT string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+                     FROM (SELECT ts, event_id FROM f3 ORDER BY ts, event_id LIMIT 3) t), '')
+    UNION ALL
+    SELECT 'since_days',
+           (SELECT count(*) FROM f4),
+           (SELECT count(DISTINCT event_id) FROM f4),
+           COALESCE((SELECT string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+                     FROM (SELECT ts, event_id FROM f4 ORDER BY ts, event_id LIMIT 3) t), '')
+    UNION ALL
+    SELECT 'default_last_7_days',
+           (SELECT count(*) FROM f5),
+           (SELECT count(DISTINCT event_id) FROM f5),
+           COALESCE((SELECT string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id)
+                     FROM (SELECT ts, event_id FROM f5 ORDER BY ts, event_id LIMIT 3) t), '')
+    """,
+    doc="P1 ensureSelect + P2 buildWhere precedence (extractor/"
+    "main.go:202-222,409-429) + W1 deterministic order + ST4 half-open "
+    "backfill window, one row per predicate mode over events. Every "
+    "predicate compiles to a scan-pushed filter; the ordered first-3 "
+    "probe runs as TakeOrderedAndProject.",
+)
+def jobspec_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    common = dict(id_col="event_id", date_col="ts", order=["ts", "event_id"])
+    runs = [
+        (
+            "explicit_where",
+            apply_job(
+                ev,
+                JobSpec(
+                    select=["event_type", "value"],
+                    where="event_type = 'error' AND value > 5.0",
+                    **common,
+                ),
+            ),
+        ),
+        (
+            "date_range",
+            apply_job(
+                ev,
+                JobSpec(
+                    select=["event_type"],
+                    date_range=("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+                    **common,
+                ),
+            ),
+        ),
+        (
+            "watermark",
+            apply_job(ev, JobSpec(**common), watermark="2024-01-15 00:00:00"),
+        ),
+        (
+            "since_days",
+            apply_job(ev, JobSpec(select=["value"], since_days=3, **common), today=_TODAY),
+        ),
+        (
+            "default_last_7_days",
+            apply_job(ev, JobSpec(**common), today=_TODAY),
+        ),
+    ]
+    return reduce(
+        DataFrame.unionByName, [_spec_summary(mode, out) for mode, out in runs]
+    )
+
+
+_CAT_TABLES = ("events", "documents", "embeddings")
+_UPLOAD_REQUIRED = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register(
+    "silver_catalog_validate",
+    oracle="""
+    SELECT 'catalog_events' AS item,
+           (SELECT count(*) FROM information_schema.columns WHERE table_name = 'events') AS n,
+           (SELECT string_agg(column_name, ',' ORDER BY ordinal_position)
+            FROM information_schema.columns WHERE table_name = 'events') AS detail,
+           TRUE AS ok
+    UNION ALL
+    SELECT 'catalog_documents',
+           (SELECT count(*) FROM information_schema.columns WHERE table_name = 'documents'),
+           (SELECT string_agg(column_name, ',' ORDER BY ordinal_position)
+            FROM information_schema.columns WHERE table_name = 'documents'),
+           TRUE
+    UNION ALL
+    SELECT 'catalog_embeddings',
+           (SELECT count(*) FROM information_schema.columns WHERE table_name = 'embeddings'),
+           (SELECT string_agg(column_name, ',' ORDER BY ordinal_position)
+            FROM information_schema.columns WHERE table_name = 'embeddings'),
+           TRUE
+    UNION ALL
+    SELECT 'upload_valid', 0, '', TRUE
+    UNION ALL
+    SELECT 'upload_invalid', 3, 'lang,source,n_chars', FALSE
+    UNION ALL
+    SELECT 'csv_roundtrip',
+           (SELECT count(*) FROM documents WHERE doc_id % 10 = 0),
+           (SELECT CAST(SUM(n_chars) AS VARCHAR) FROM documents WHERE doc_id % 10 = 0),
+           TRUE
+    """,
+    doc="S12 catalog introspection (streamlit_frontend.py:440-515: "
+    "information_schema.tables / DESCRIBE over the Spark catalog), S13 "
+    "upload required-column validation (streamlit_frontend.py:2189-2207), "
+    "and the S14 Silver CSV download round-trip (non-text columns; the "
+    "text/quoting path is gated by pipeline_e2e). Catalog metadata is "
+    "driver-side by nature (rows ~ number of tables, not data size).",
+)
+def silver_catalog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    rows: list[tuple[str, int, str, bool]] = []
+
+    # S12: register temp views for the three LLM-surface tables and
+    # introspect them through the catalog APIs the dashboard mirrors.
+    for t in _CAT_TABLES:
+        view = f"ccpd_cat_{t}"
+        load(spark, sf_dir, t).createOrReplaceTempView(view)
+        cols = describe_table(spark, view)
+        listed = {x["name"] for x in list_tables(spark)}
+        rows.append(
+            (f"catalog_{t}", len(cols), ",".join(c["name"] for c in cols), view in listed)
+        )
+
+    # S13: required-column validation over an "uploaded" frame.
+    docs = load(spark, sf_dir, "documents")
+    ok_missing = validate_upload_schema(docs, _UPLOAD_REQUIRED)
+    bad_missing = validate_upload_schema(docs.select("doc_id", "text"), _UPLOAD_REQUIRED)
+    rows.append(("upload_valid", len(ok_missing), ",".join(ok_missing), not ok_missing))
+    rows.append(
+        ("upload_invalid", len(bad_missing), ",".join(bad_missing), not bad_missing)
+    )
+
+    # S14: CSV download round-trip on the non-text columns (explicit
+    # schema read — deterministic types).
+    subset = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="ccpd_silver_")
+    try:
+        write_silver_csv(subset, tmp, corr="dl")
+        back = read_silver_csv(spark, tmp, corr="dl", schema=subset.schema)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+        ).first()
+        n_src = subset.count()
+        rows.append(("csv_roundtrip", agg["n"], str(agg["chars"]), agg["n"] == n_src))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(
+        rows, "item string, n long, detail string, ok boolean"
+    )
+
+
+@register(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Result-equivalence gate for the skew toolkit (operators/"
+    "skew.py): lineitem joins orders through salted_join (large side "
+    "salted, small side replicated 8x — the hot-key shape AQE's "
+    "skew-join can't fix when the build side is too big to broadcast) "
+    "and aggregates through two_phase_agg (partial on (key, salt), "
+    "final on key). The oracle is the PLAIN join+agg — salting must "
+    "be invisible in the result. Exact decimal revenue keeps the sum "
+    "order-independent across the extra phase.",
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    rev_d = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(13,6)")
+    out = two_phase_agg(
+        joined.withColumn("rev_d", rev_d),
+        ["o_orderpriority"],
+        {
+            "n_items": (F.count(F.lit(1)), F.sum("n_items")),
+            "revenue": (F.sum("rev_d"), F.sum("revenue")),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_items",
+        F.col("revenue").cast("double").alias("revenue"),
+    )

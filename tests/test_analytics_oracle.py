@@ -7,6 +7,7 @@ import pytest
 from chicago_crash_data_pipeline_dashboard_spark.plans import QUERIES
 from chicago_crash_data_pipeline_dashboard_spark.plans import analytics  # noqa: F401
 from chicago_crash_data_pipeline_dashboard_spark.plans import crash_ops  # noqa: F401
+from chicago_crash_data_pipeline_dashboard_spark.plans import jobspec_ops  # noqa: F401
 from chicago_crash_data_pipeline_dashboard_spark.plans import llm_ops  # noqa: F401
 from chicago_crash_data_pipeline_dashboard_spark.plans import ml_ops  # noqa: F401
 
