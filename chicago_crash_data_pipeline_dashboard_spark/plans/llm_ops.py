@@ -347,7 +347,8 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
     vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY term
-              HAVING count(*) BETWEEN 2 AND 1000),
+              HAVING count(*) BETWEEN 2 AND LEAST(1000, GREATEST(2,
+                (SELECT count(DISTINCT doc_id) FROM documents) // 5))),
     w AS (SELECT tf.doc, tf.term,
                  tf.tf * ((SELECT count(DISTINCT doc_id) FROM documents) / vocab.df) AS w
           FROM tf JOIN vocab USING (term)),
