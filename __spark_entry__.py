@@ -45,6 +45,7 @@ _VERIFY_FIRST = [
     "jobspec_extract",  # new in r4 (P1/P2/W1/ST4 gate)
     "silver_catalog_validate",  # new in r4 (S12/S13/S14 gate)
     "skew_salted_join_agg",  # new in r4 (skew toolkit gate)
+    "doc_repetition_stats",  # new in r4 (Gopher repetition signals)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -58,6 +59,7 @@ _ROTATION_BENCHED = [
     "dedup_keep_first",  # green r2+r3, benched r4
     "price_bins",  # green r2+r3, benched r4
     "order_key_setops",  # green r2+r3, benched r4
+    "semi_join_discounted",  # green r2+r3, benched r4
 ]
 
 

@@ -218,6 +218,38 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return _let(tokens(text), body)
 
 
+def word_ngram_list(text: Column, n: int = 2) -> Column:
+    """NON-distinct, in-order n-word grams. Repetition signals need
+    frequencies, unlike the distinct shingle set of ``word_shingles``.
+    Documents shorter than n tokens yield their whole text as one gram."""
+
+    def body(toks: Column) -> Column:
+        k = F.size(toks)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+
+    return _let(tokens(text), body)
+
+
+def line_dup_ratio(text: Column) -> Column:
+    """Gopher-style duplicate-line fraction: (lines − distinct lines) /
+    lines over NON-BLANK lines; 0 for ≤1 line. High values mark
+    boilerplate/templated pages a curation pipeline should drop."""
+
+    def body(lines: Column) -> Column:
+        k = F.size(lines)
+        return (
+            F.when(k <= 1, F.lit(0.0))
+            .otherwise((k - F.size(F.array_distinct(lines))).cast("double") / k)
+        )
+
+    return _let(
+        F.filter(F.split(text, "\n"), lambda line: F.trim(line) != ""), body
+    )
+
+
 def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:
     """MinHash-with-one-permutation: lexicographic min of md5(shingle).
     A cheap, engine-portable near-dup fingerprint."""

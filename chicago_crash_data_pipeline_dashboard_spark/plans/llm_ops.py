@@ -145,6 +145,81 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH per_line AS (
+      SELECT doc_id, source,
+             CASE WHEN len(ls) <= 1 THEN 0.0
+                  ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+             END AS dup_line_frac
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+            FROM documents) t
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    per_gram AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2_frac
+                 FROM gc GROUP BY doc_id),
+    j AS (SELECT p.doc_id, p.source, p.dup_line_frac,
+                 COALESCE(g.top2_frac, 0.0) AS top2_frac
+          FROM per_line p LEFT JOIN per_gram g USING (doc_id))
+    SELECT source,
+           count(*) AS n_docs,
+           round(CAST(SUM(CAST(dup_line_frac AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_dup_line_frac,
+           round(CAST(SUM(CAST(top2_frac AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_top2_frac,
+           SUM(CASE WHEN dup_line_frac > 0.30 OR top2_frac > 0.20 THEN 1 ELSE 0 END) AS n_flagged
+    FROM j GROUP BY source
+    """,
+    doc="Gopher-style repetition quality signals per source: duplicate "
+    "non-blank-line fraction (functions/text.py line_dup_ratio — a "
+    "narrow JVM-side map) and top-2-gram frequency fraction (explode + "
+    "two-level groupBy — LINEAR in tokens; an in-array HOF mode count "
+    "would be quadratic per document). n_flagged counts docs beyond the "
+    "Gopher-ish thresholds (dup lines > 0.30 or top 2-gram > 0.20) — "
+    "the boilerplate/templated pages a curation pipeline drops.",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_line = d.select(
+        "doc_id", "source", TX.line_dup_ratio(F.col("text")).alias("dup_line_frac")
+    )
+    grams = d.select(
+        "doc_id", F.explode(TX.word_ngram_list(F.col("text"), 2)).alias("g")
+    )
+    per_gram = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top2_frac"))
+    )
+    j = per_line.join(per_gram, "doc_id", "left").select(
+        "source",
+        "dup_line_frac",
+        F.coalesce(F.col("top2_frac"), F.lit(0.0)).alias("top2_frac"),
+    )
+    flagged = (F.col("dup_line_frac") > 0.30) | (F.col("top2_frac") > 0.20)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("dup_line_frac").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_dup_line_frac"),
+        F.round(
+            F.sum(F.col("top2_frac").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_top2_frac"),
+        F.sum(F.when(flagged, 1).otherwise(0)).alias("n_flagged"),
+    )
+
+
 def _lang_confusion_oracle() -> str:
     hits = ", ".join(
         f"len(list_filter({_TOKS}, t -> list_contains({_sw_list(lang)}, t))) AS h_{lang}"

@@ -292,3 +292,28 @@ def test_bmp_features_exclude_row_padding():
         if (3 * (y * w + x) + c) % 256 == 0
     )
     assert (samples == -1.0).sum() == expected_zeros
+
+
+def test_repetition_signal_edges(spark):
+    rows = [
+        (1, "a b\na b\na b"),            # 3 identical lines -> 2/3 dup
+        (2, "x y\n\n  \nz w"),           # blank lines excluded -> 0 dup
+        (3, "spam spam spam spam"),      # one dominant 2-gram
+        (4, "one"),                      # < 2 tokens -> whole text as gram
+        (5, "a b c d"),                  # all 2-grams distinct
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TX.line_dup_ratio(F.col("text")).alias("dl"),
+            TX.word_ngram_list(F.col("text"), 2).alias("grams"),
+        ).collect()
+    }
+    assert abs(got[1].dl - 2 / 3) < 1e-12
+    assert got[2].dl == 0.0
+    assert got[3].grams == ["spam spam"] * 3
+    assert got[4].grams == ["one"]
+    assert got[5].grams == ["a b", "b c", "c d"]
+    assert got[5].dl == 0.0  # single line
