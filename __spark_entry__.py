@@ -46,6 +46,7 @@ _VERIFY_FIRST = [
     "silver_catalog_validate",  # new in r4 (S12/S13/S14 gate)
     "skew_salted_join_agg",  # new in r4 (skew toolkit gate)
     "doc_repetition_stats",  # new in r4 (Gopher repetition signals)
+    "promo_part_star",  # new in r4 (part/supplier star join)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -60,6 +61,7 @@ _ROTATION_BENCHED = [
     "price_bins",  # green r2+r3, benched r4
     "order_key_setops",  # green r2+r3, benched r4
     "semi_join_discounted",  # green r2+r3, benched r4
+    "time_features",  # green r2+r3, benched r4
 ]
 
 

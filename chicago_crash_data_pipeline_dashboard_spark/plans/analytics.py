@@ -734,6 +734,61 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q20b. Fact-to-many-dims star: lineitem ⨝ part ⨝ supplier ⨝ nation
+#       (TPC-H Q9/Q14 shape — promo revenue share by supplier nation)
+# --------------------------------------------------------------------------
+@register(
+    "promo_part_star",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) AS promo_revenue,
+           round(CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                                    THEN l.l_extendedprice * (1 - l.l_discount)
+                                    ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE), 6) AS promo_ratio
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q9/Q14-shaped star: the lineitem fact joins THREE "
+    "broadcast dims (part 2%, supplier 0.1%, nation const of the fact "
+    "row count — all broadcastable at any SF since dims grow with sqrt "
+    "of the fact in TPC-H-like schemas, and part/supplier here are "
+    "bounded lookup tables) — a single fact-scan pass, zero dim "
+    "shuffles, one shuffle for the final agg. Conditional decimal sums "
+    "make the promo share exact and order-independent; the ratio is "
+    "one double division at the end.",
+)
+def promo_part_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    total = _dsum(rev)
+    promo = _dsum(promo_rev)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            total.alias("total_revenue"),
+            promo.alias("promo_revenue"),
+            F.round(promo / total, 6).alias("promo_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q21. Silver-transform shape: many-to-one pre-agg + sorted-set lists +
 #      left join + JSON stringification (J2-J4/A1-A2/W2/F18)
 # --------------------------------------------------------------------------

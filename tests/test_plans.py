@@ -34,9 +34,10 @@ def test_filter_and_projection_push_into_scan(spark, sf_oracle):
 
 
 def test_small_dims_broadcast(spark, sf_oracle):
-    plan = plan_of(QUERIES["revenue_by_nation"].fn(spark, sf_oracle))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # dims must not shuffle
+    for name in ["revenue_by_nation", "promo_part_star"]:
+        plan = plan_of(QUERIES[name].fn(spark, sf_oracle))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name  # dims must not shuffle
 
 
 def test_whole_stage_codegen_covers_agg(spark, sf_oracle):
