@@ -47,6 +47,7 @@ _VERIFY_FIRST = [
     "skew_salted_join_agg",  # new in r4 (skew toolkit gate)
     "doc_repetition_stats",  # new in r4 (Gopher repetition signals)
     "promo_part_star",  # new in r4 (part/supplier star join)
+    "compact_small_files",  # new in r4 (compaction maintenance gate)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -62,6 +63,7 @@ _ROTATION_BENCHED = [
     "order_key_setops",  # green r2+r3, benched r4
     "semi_join_discounted",  # green r2+r3, benched r4
     "time_features",  # green r2+r3, benched r4
+    "null_profile",  # green r2+r3, benched r4
 ]
 
 

@@ -17,6 +17,10 @@ Reference parity targets:
 - ``skew_salted_join_agg``: result-equivalence of the salt-and-
   replicate join + two-phase salted aggregation (the 100 TB hot-key
   toolkit) against the plain shuffled join the oracle runs.
+- ``compact_small_files``: the small-file compaction maintenance job
+  (sources/compact.py) — fragment a hive-partitioned copy of events,
+  compact per partition, and prove bytes/rows survived and the file
+  count actually shrank, against the source-table oracle.
 """
 
 from __future__ import annotations
@@ -246,6 +250,64 @@ def silver_catalog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "item string, n long, detail string, ok boolean"
     )
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+           TRUE AS compacted_ok
+    FROM events
+    WHERE event_id % 5 = 0
+    GROUP BY event_type
+    """,
+    doc="Small-file compaction gate (sources/compact.py): a filtered "
+    "copy of events is written hive-partitioned by event_type with 8 "
+    "deliberately tiny files per partition, compact_partitioned "
+    "rewrites each leaf to ~1 file (round-robin repartition — coalesce "
+    "would inherit input skew — with an atomic tmp/old swap), and the "
+    "read-back must reproduce the source per-type counts and exact "
+    "decimal value sums with a shrunken file count. Partition pruning "
+    "survives because the hive layout is preserved per leaf.",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources.compact import compact_partitioned, dir_stats
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="ccpd_compact_")
+    try:
+        base = f"{tmp}/events"
+        ev.repartition(8).write.partitionBy("event_type").parquet(base)
+        before = dir_stats(base)
+        totals = compact_partitioned(spark, base, target_bytes=256 * 1024 * 1024)
+        after = dir_stats(base)
+        ok = bool(
+            totals["compacted"] >= 1
+            and after["files"] < before["files"]
+            and after["bytes"] > 0
+        )
+        back = spark.read.parquet(base)
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .withColumn("compacted_ok", F.lit(ok))
+        )
+        # materialize before the tmp dir disappears — like pipeline_e2e,
+        # this gate is an eager file round-trip, not a lazy plan
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(
