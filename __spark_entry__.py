@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     "doc_repetition_stats",  # new in r4 (Gopher repetition signals)
     "promo_part_star",  # new in r4 (part/supplier star join)
     "compact_small_files",  # new in r4 (compaction maintenance gate)
+    "event_error_click_window_stream",  # new in r4 (stream-stream join gate)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -64,6 +65,7 @@ _ROTATION_BENCHED = [
     "semi_join_discounted",  # green r2+r3, benched r4
     "time_features",  # green r2+r3, benched r4
     "null_profile",  # green r2+r3, benched r4
+    "corr_stats",  # green r2+r3, benched r4
 ]
 
 

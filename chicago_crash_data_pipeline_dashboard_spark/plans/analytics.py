@@ -1099,11 +1099,17 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _drain_events_stream(spark: SparkSession, sf_dir: str, name: str, build_query):
+def _drain_events_stream(
+    spark: SparkSession, sf_dir: str, name: str, build_query, n_streams: int = 1
+):
     """Run a stateful operator over the events table as a REAL
     Structured Streaming query: file source over a temp-dir symlink
     (the source requires a directory), availableNow drain into a
     memory sink named ``name``; returns the sink table.
+
+    ``build_query`` receives ``n_streams`` independent readStream
+    frames over the same directory (a stream-stream join needs two
+    sources; each keeps its own file-source offsets).
 
     Version dispatch mirrors ``registry.load``: the stream reads the
     RAW parquet schema, and a ``bigint`` ts (the pre-4.1 legacy nanos
@@ -1119,11 +1125,16 @@ def _drain_events_stream(spark: SparkSession, sf_dir: str, name: str, build_quer
     tmp = tempfile.mkdtemp(prefix=f"{name}_")
     os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
     try:
-        stream = spark.readStream.schema(raw.schema).parquet(tmp)
-        if dict(raw.dtypes).get("ts") == "bigint":
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        streams = []
+        for _ in range(n_streams):
+            stream = spark.readStream.schema(raw.schema).parquet(tmp)
+            if dict(raw.dtypes).get("ts") == "bigint":
+                stream = stream.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                )
+            streams.append(stream)
         q = (
-            build_query(stream)
+            build_query(*streams)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
@@ -1378,6 +1389,55 @@ def event_error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_seconds=6 * 3600, watermark_delay="2 hours",
     )
     return out.select("err_id", "click_id")
+
+
+@register(
+    "event_error_click_window_stream",
+    oracle="""
+    SELECT e.event_id AS err_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 6 HOUR
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+    doc="The streaming/joins.py interval_join executed as a REAL "
+    "stream-stream join: two file-source streams over the same events "
+    "directory, dual 2 h watermarks bounding the state store, inner "
+    "join with the equality conjunct first (state hash-partitioned on "
+    "user_id). An availableNow drain emits every matched pair, so the "
+    "append-mode sink must equal the batch interval join — the same "
+    "oracle as event_error_click_window. Watermarks require TIMESTAMP "
+    "(ltz): the NTZ event time is cast first (session tz is UTC; the "
+    "interval predicate is shift-invariant, so pairs are unchanged).",
+)
+def event_error_click_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import interval_join
+
+    def build(s_err: DataFrame, s_click: DataFrame) -> DataFrame:
+        errors = (
+            s_err.filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("err_id"),
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+            )
+        )
+        clicks = (
+            s_click.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").cast("timestamp").alias("c_ts"),
+            )
+        )
+        return interval_join(
+            errors, clicks, key="user_id", left_ts="ts", right_ts="c_ts",
+            interval_seconds=6 * 3600, watermark_delay="2 hours",
+        ).select("err_id", "click_id")
+
+    return _drain_events_stream(
+        spark, sf_dir, "ccpd_err_click_stream", build, n_streams=2
+    )
 
 
 # --------------------------------------------------------------------------
