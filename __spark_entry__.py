@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "promo_part_star",  # new in r4 (part/supplier star join)
     "compact_small_files",  # new in r4 (compaction maintenance gate)
     "event_error_click_window_stream",  # new in r4 (stream-stream join gate)
+    "doc_winnow_fp",  # new in r4 (winnowing rolling-hash fingerprints)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -66,6 +67,7 @@ _ROTATION_BENCHED = [
     "time_features",  # green r2+r3, benched r4
     "null_profile",  # green r2+r3, benched r4
     "corr_stats",  # green r2+r3, benched r4
+    "crash_hit_run_rate_by_weather",  # green r2+r3, benched r4
 ]
 
 

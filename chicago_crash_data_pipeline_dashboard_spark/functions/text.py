@@ -173,6 +173,69 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
 
 
+WINNOW_MOD = (1 << 31) - 1
+WINNOW_BASE = 257
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): polynomial k-gram hashes over normalized characters,
+    the min hash of each w-window selected, distinct survivors kept.
+    Guarantees any shared substring of length ≥ k + w − 1 contributes a
+    shared fingerprint — the local-similarity complement of the global
+    MinHash/SimHash signatures.
+
+    The hash of the k-gram at i is ``Σ_j code[i+j]·B^(k−1−j) mod M`` —
+    exactly what the classic rolling recurrence computes; the
+    recurrence itself only saves a constant factor of k, and Catalyst
+    higher-order functions can't carry cross-element state, so the
+    unrolled k-term form (k multiply-adds per position, JVM-side,
+    per-term mod keeps every intermediate < 2^41) is the right
+    engine-native shape — a stateful mapInPandas rolling version would
+    pay the Arrow transfer for a constant-factor win. Positions past
+    the end pad with 0 (both engines agree); docs shorter than k hash
+    their whole text as one gram."""
+    M, pw = WINNOW_MOD, [pow(WINNOW_BASE, j, WINNOW_MOD) for j in range(k)]
+
+    def outer(s: Column) -> Column:
+        # split('') emits a trailing zero-width match on some regex
+        # engines — filter keeps only real single-char tokens
+        codes = F.transform(
+            F.filter(F.split(s, ""), lambda c: c != F.lit("")),
+            lambda c: F.ascii(c).cast("long"),
+        )
+
+        def with_codes(cs: Column) -> Column:
+            def kgram_hash(i: Column) -> Column:
+                acc = None
+                for j in range(k):
+                    t = (
+                        F.coalesce(F.try_element_at(cs, i + F.lit(j)), F.lit(0))
+                        * F.lit(pw[k - 1 - j])
+                    ) % F.lit(M)
+                    acc = t if acc is None else acc + t
+                return acc % F.lit(M)
+
+            hashes = F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(cs) - k + 1, F.lit(1))),
+                kgram_hash,
+            )
+
+            def window_mins(hs: Column) -> Column:
+                return F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size(hs) - w + 1, F.lit(1))),
+                        lambda j2: F.array_min(F.slice(hs, j2, w)),
+                    )
+                )
+
+            return _let(hashes, window_mins)
+
+        return _let(codes, with_codes)
+
+    return _let(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), outer)
+
+
 def hash60(s: Column) -> Column:
     """Engine-portable 60-bit string hash: first 15 hex chars of md5 as
     an integer (fits int64 in every engine). Used to shrink shuffle

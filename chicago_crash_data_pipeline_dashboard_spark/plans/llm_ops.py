@@ -220,6 +220,74 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_oracle(k: int, w: int) -> str:
+    from ..functions.text import WINNOW_BASE, WINNOW_MOD
+
+    m = WINNOW_MOD
+    pw = [pow(WINNOW_BASE, j, m) for j in range(k)]
+    terms = " + ".join(
+        f"(COALESCE(cs[i+{j}], 0) * CAST({pw[k - 1 - j]} AS BIGINT)) % {m}"
+        for j in range(k)
+    )
+    return f"""
+    WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+               FROM documents),
+    c AS (SELECT doc_id,
+                 list_transform(range(1, length(s) + 1), i -> CAST(ord(substr(s, i, 1)) AS BIGINT)) AS cs,
+                 length(s) AS L
+          FROM n),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, greatest(L - {k} + 1, 1) + 1),
+                                i -> ({terms}) % {m}) AS hs
+          FROM c),
+    wnd AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(hs) - {w} + 1, 1) + 1),
+                     j -> list_min(list_slice(hs, j, j + {w} - 1)))) AS fps
+            FROM h)
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           list_min(fps) AS fp_min,
+           list_max(fps) AS fp_max,
+           CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_sum
+    FROM wnd
+    """
+
+
+@register(
+    "doc_winnow_fp",
+    oracle=_winnow_oracle(8, 4),
+    doc="Winnowing (rolling k-gram hash) document fingerprints "
+    "(functions/text.py winnow_fingerprints — the MOSS scheme): "
+    "polynomial 8-gram hashes mod 2^31-1 over normalized chars, min of "
+    "each 4-window, distinct survivors. Profiled per doc (count / min "
+    "/ max / sum of the fingerprint set) so the whole selection "
+    "pipeline is hash-verified against DuckDB's bit-identical integer "
+    "arithmetic. Narrow JVM-side map, no shuffle; at corpus scale the "
+    "fingerprints feed an inverted index exactly like the shingle "
+    "dedup (explode → groupBy fingerprint).",
+)
+def doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints(F.col("text"), k=8, w=4)
+    prof = TX._let(
+        fps,
+        lambda f: F.struct(
+            F.size(f).cast("long").alias("n_fps"),
+            F.array_min(f).alias("fp_min"),
+            F.array_max(f).alias("fp_max"),
+            F.aggregate(f, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        prof["n_fps"].alias("n_fps"),
+        prof["fp_min"].alias("fp_min"),
+        prof["fp_max"].alias("fp_max"),
+        prof["fp_sum"].alias("fp_sum"),
+    )
+
+
 def _lang_confusion_oracle() -> str:
     hits = ", ".join(
         f"len(list_filter({_TOKS}, t -> list_contains({_sw_list(lang)}, t))) AS h_{lang}"
