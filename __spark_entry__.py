@@ -30,7 +30,8 @@ from chicago_crash_data_pipeline_dashboard_spark.plans import ml_ops  # noqa: F4
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver records correctness rows for the first 50 queries in
-# registration order, but 56 are registered — so ordering is a COVERAGE
+# registration order, but more are registered (64 as of r4 — asserted
+# below, so the count can't silently drift) — ordering is a COVERAGE
 # decision, tracked in COVERAGE.md §"Driver-sample rotation".
 #
 # Sampled first: queries that have never had a driver correctness row
@@ -71,6 +72,9 @@ _ROTATION_BENCHED = [
 ]
 
 
+_DRIVER_SAMPLE_ROWS = 50
+
+
 def _ordered_names() -> list[str]:
     missing = [n for n in _VERIFY_FIRST + _ROTATION_BENCHED if n not in QUERIES]
     if missing:  # fail loudly on a rename, not silently mis-sample
@@ -78,6 +82,17 @@ def _ordered_names() -> list[str]:
     middle = [
         n for n in QUERIES if n not in _VERIFY_FIRST and n not in _ROTATION_BENCHED
     ]
+    # fail loudly on COUNT drift too: a query registered without a
+    # matching _ROTATION_BENCHED entry would otherwise silently push
+    # the last un-benched query out of the driver's sample
+    unsampled = len(_VERIFY_FIRST) + len(middle) - _DRIVER_SAMPLE_ROWS
+    if unsampled > 0:
+        raise ValueError(
+            f"{unsampled} non-benched quer{'y' if unsampled == 1 else 'ies'} "
+            f"fall outside the driver's {_DRIVER_SAMPLE_ROWS}-row sample — "
+            "bench that many stable queries in _ROTATION_BENCHED (and record "
+            "the rotation in COVERAGE.md)"
+        )
     return [*_VERIFY_FIRST, *middle, *_ROTATION_BENCHED]
 
 

@@ -49,15 +49,18 @@ try:
 except ImportError:
     pass
 
-# pipeline_e2e and compact_small_files are side-effectful file
-# round-trips (gzip-JSON write + double gold upsert; fragment + compact
-# + re-read) and the *_stream queries run micro-batch streaming
-# machinery — none is a query-latency measurement; the headline bench
-# is the query/operator surface. crash_model_eval (time-boxed 3-iter GBT
-# train + distributed score) IS timed: it is the engine's real ML path.
+# pipeline_e2e, compact_small_files, and silver_catalog_validate are
+# side-effectful file round-trips / driver-side catalog probes
+# (gzip-JSON write + double gold upsert; fragment + compact + re-read;
+# temp-CSV write + read-back + metadata collects) and the *_stream
+# queries run micro-batch streaming machinery — none is a
+# query-latency measurement; the headline bench is the query/operator
+# surface. crash_model_eval (time-boxed 3-iter GBT train + distributed
+# score) IS timed: it is the engine's real ML path.
 SKIP = {
     "pipeline_e2e",
     "compact_small_files",
+    "silver_catalog_validate",
     "event_sessions_stream",
     "event_first_seen_stream",
     "event_windowed_counts_stream",

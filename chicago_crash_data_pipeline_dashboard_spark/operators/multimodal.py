@@ -161,8 +161,13 @@ def parse_wav(b: bytes) -> dict | None:
         return None
     n_channels, sample_rate, bits = fmt
     duration_ms = None
-    if data_size and sample_rate and n_channels and bits:
-        n_frames = data_size // (n_channels * (bits // 8))
+    # header fields are corruption-controlled: bits 1-7 is truthy but
+    # bits // 8 == 0, so the frame-size product must be guarded as a
+    # whole — a sub-byte bits_per_sample degrades to "unknown duration",
+    # not a ZeroDivisionError in the executor task
+    frame_bytes = n_channels * (bits // 8)
+    if data_size and sample_rate and frame_bytes:
+        n_frames = data_size // frame_bytes
         duration_ms = round(1000 * n_frames / sample_rate)
     return {
         "media_type": "audio",
@@ -258,8 +263,14 @@ def _decode_samples(b: bytes, fmt: str) -> np.ndarray:
     if fmt == "wav":
         for cid, off, size in _riff_chunks(b):
             if cid == b"data":
+                # the declared chunk size is corruption-controlled:
+                # clamp to the bytes actually present (np.frombuffer
+                # raises when count overruns the buffer)
+                if off >= len(b):
+                    return np.zeros(0)
+                avail = min(size, len(b) - off)
                 return (
-                    np.frombuffer(b, dtype="<i2", offset=off, count=size // 2).astype(
+                    np.frombuffer(b, dtype="<i2", offset=off, count=avail // 2).astype(
                         np.float64
                     )
                     / 32768.0
@@ -284,11 +295,16 @@ def _fake_features(content: bytes, dim: int = _FEATURE_DIM) -> list[float]:
     return [((h[i % len(h)] / 255.0) * 2.0 - 1.0) for i in range(dim)]
 
 
-def _real_features(content: bytes, dim: int = _FEATURE_DIM) -> list[float]:
+def _real_features(
+    content: bytes, dim: int = _FEATURE_DIM, meta: dict | None = None
+) -> list[float]:
     """REAL features from a raw-format payload: sample statistics of
     the decoded pixels/PCM (all in [-1, 1]), zero-padded to ``dim``.
-    Codec formats have no in-container decoder → NotImplementedError."""
-    meta = parse_media_header(content)
+    Codec formats have no in-container decoder → NotImplementedError.
+    ``meta``: pass a pre-parsed header to skip the second sniff (the
+    Arrow batch hot loop parses once and hands it down)."""
+    if meta is None:
+        meta = parse_media_header(content)
     if meta is None:
         # STUB boundary: real media decode of codec formats (jpeg/png/
         # mp4/...) requires decoder libraries not in this container.
@@ -344,9 +360,12 @@ def decode_and_featurize(
     def featurize(b) -> tuple[list[float], str]:
         if not real_decode:
             return _fake_features(b), "stub"
-        if parse_media_header(b) is None and on_undecodable == "stub":
+        # parse ONCE per row (the header sniff walks the whole chunk
+        # list); decodable rows hand the parsed meta straight down
+        meta = parse_media_header(b)
+        if meta is None and on_undecodable == "stub":
             return _fake_features(b), "stub"
-        return _real_features(b), "decoded"
+        return _real_features(b, meta=meta), "decoded"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -213,10 +213,11 @@ def silver_catalog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S12: register temp views for the three LLM-surface tables and
     # introspect them through the catalog APIs the dashboard mirrors.
     for t in _CAT_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(f"ccpd_cat_{t}")
+    listed = {x["name"] for x in list_tables(spark)}  # one listing for all views
+    for t in _CAT_TABLES:
         view = f"ccpd_cat_{t}"
-        load(spark, sf_dir, t).createOrReplaceTempView(view)
         cols = describe_table(spark, view)
-        listed = {x["name"] for x in list_tables(spark)}
         rows.append(
             (f"catalog_{t}", len(cols), ",".join(c["name"] for c in cols), view in listed)
         )

@@ -185,6 +185,21 @@ def test_media_corrupt_bmp_degrades_cleanly():
     assert MM._decode_samples(good, "bmp").size == 3 * 4 * 3
 
 
+def test_media_corrupt_wav_degrades_cleanly():
+    """WAV header fields are corruption-controlled too: a sub-byte
+    bits_per_sample (truthy, but bits // 8 == 0) must not divide by
+    zero, and a declared data-chunk size overrunning the payload must
+    clamp, not crash np.frombuffer."""
+    good = MM.make_wav(16, seed=2)
+    bad_bits = good[:34] + (4).to_bytes(2, "little") + good[36:]
+    meta = MM.parse_media_header(bad_bits)
+    assert meta is not None and meta["duration_ms"] is None
+    assert len(MM._real_features(bad_bits)) > 0  # still decodes samples
+    bad_size = good[:40] + (10**6).to_bytes(4, "little") + good[44:]
+    assert MM._decode_samples(bad_size, "wav").size == 16
+    assert MM._decode_samples(good, "wav").size == 16
+
+
 def test_media_codec_decode_is_stubbed(spark):
     """Only CODEC formats (the mp4 rows) lack an in-container decoder;
     raw wav/bmp/ppm decode for real (see test_media_real_decode)."""

@@ -280,3 +280,47 @@ def test_asof_join_rejects_reserved_value_cols(spark):
     with pytest.raises(ValueError, match="value_cols"):
         asof_join(left, right.withColumnRenamed("_on", "v"), on="ts", by="k",
                   value_cols=["ts", "v"])
+
+
+# Winnowing fingerprints vs a direct python model of the same scheme
+# (polynomial 8-gram hash mod 2^31-1, min per 4-window, distinct).
+winnow_text_st = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c\ndef!"), min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _winnow_model(text: str, k: int = 8, w: int = 4):
+    import re
+
+    m = (1 << 31) - 1
+    pw = [pow(257, j, m) for j in range(k)]
+    # trim() in BOTH engines strips only ASCII spaces (not \n/\t) —
+    # python str.strip() is broader, so emulate the SQL semantics
+    s = re.sub(r"\s+", " ", text.strip(" ").lower())
+    cs = [ord(c) for c in s]
+    hs = [
+        sum(((cs[i + j] if i + j < len(cs) else 0) * pw[k - 1 - j]) % m for j in range(k)) % m
+        for i in range(max(len(cs) - k + 1, 1))
+    ]
+    mins = [min(hs[j : j + w]) for j in range(max(len(hs) - w + 1, 1))]
+    return list(dict.fromkeys(mins))
+
+
+@settings(max_examples=5, deadline=None)
+@given(winnow_text_st)
+def test_winnow_fingerprints_match_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["fps"]
+        for r in df.select(
+            "i", TX.winnow_fingerprints(F.col("text"), 8, 4).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_model(t), f"text {t!r}"
