@@ -51,6 +51,8 @@ _VERIFY_FIRST = [
     "compact_small_files",  # new in r4 (compaction maintenance gate)
     "event_error_click_window_stream",  # new in r4 (stream-stream join gate)
     "doc_winnow_fp",  # new in r4 (winnowing rolling-hash fingerprints)
+    "doc_decontaminate",  # new in r4 (eval-set n-gram-overlap scrub)
+    "emb_quantize_error",  # new in r4 (int8 quantization error gate)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -69,6 +71,8 @@ _ROTATION_BENCHED = [
     "null_profile",  # green r2+r3, benched r4
     "corr_stats",  # green r2+r3, benched r4
     "crash_hit_run_rate_by_weather",  # green r2+r3, benched r4
+    "doc_lang_confusion",  # green r2+r3, benched r4
+    "doc_text_stats",  # green r2+r3, benched r4
 ]
 
 

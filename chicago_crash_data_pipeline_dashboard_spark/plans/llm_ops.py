@@ -220,7 +220,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_oracle(k: int, w: int) -> str:
+def _winnow_fps_cte(k: int, w: int, carry: str = "") -> str:
+    """WITH-body computing ``wnd(doc_id[, carry cols], fps)`` — the
+    DuckDB twin of winnow_fingerprints, shared by the fingerprint
+    profile and decontamination oracles. ``carry`` is extra column SQL
+    (e.g. ``, source``) threaded through every CTE."""
     from ..functions.text import WINNOW_BASE, WINNOW_MOD
 
     m = WINNOW_MOD
@@ -230,21 +234,26 @@ def _winnow_oracle(k: int, w: int) -> str:
         for j in range(k)
     )
     return f"""
-    WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+    n AS (SELECT doc_id{carry}, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
                FROM documents),
-    c AS (SELECT doc_id,
+    c AS (SELECT doc_id{carry},
                  list_transform(range(1, length(s) + 1), i -> CAST(ord(substr(s, i, 1)) AS BIGINT)) AS cs,
                  length(s) AS L
           FROM n),
-    h AS (SELECT doc_id,
+    h AS (SELECT doc_id{carry},
                  list_transform(range(1, greatest(L - {k} + 1, 1) + 1),
                                 i -> ({terms}) % {m}) AS hs
           FROM c),
-    wnd AS (SELECT doc_id,
+    wnd AS (SELECT doc_id{carry},
                    list_distinct(list_transform(
                      range(1, greatest(len(hs) - {w} + 1, 1) + 1),
                      j -> list_min(list_slice(hs, j, j + {w} - 1)))) AS fps
-            FROM h)
+            FROM h)"""
+
+
+def _winnow_oracle(k: int, w: int) -> str:
+    return f"""
+    WITH {_winnow_fps_cte(k, w)}
     SELECT doc_id,
            CAST(len(fps) AS BIGINT) AS n_fps,
            list_min(fps) AS fp_min,
@@ -285,6 +294,146 @@ def doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof["fp_min"].alias("fp_min"),
         prof["fp_max"].alias("fp_max"),
         prof["fp_sum"].alias("fp_sum"),
+    )
+
+
+_EVAL_SOURCE = "src0"
+
+
+@register(
+    "doc_decontaminate",
+    oracle=f"""
+    WITH {_winnow_fps_cte(8, 4, carry=", source")},
+    f AS (SELECT doc_id, source, unnest(fps) AS fp FROM wnd),
+    e AS (SELECT DISTINCT fp FROM f WHERE source = '{_EVAL_SOURCE}'),
+    cont AS (SELECT DISTINCT doc_id, source FROM f
+             WHERE source <> '{_EVAL_SOURCE}' AND fp IN (SELECT fp FROM e)),
+    t AS (SELECT source, count(*) AS n_docs FROM documents
+          WHERE source <> '{_EVAL_SOURCE}' GROUP BY source),
+    cc AS (SELECT source, count(*) AS n_contaminated FROM cont GROUP BY source)
+    SELECT t.source, t.n_docs,
+           COALESCE(cc.n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated,
+           round(CAST(COALESCE(cc.n_contaminated, 0) AS DOUBLE) / t.n_docs, 6) AS contamination_rate
+    FROM t LEFT JOIN cc USING (source)
+    """,
+    doc="Eval-set decontamination (the GPT-3-style n-gram-overlap "
+    "scrub every training pipeline needs): training docs sharing ANY "
+    "winnowing fingerprint with the held-out source are counted as "
+    "contaminated, per source. The eval set's distinct fingerprints "
+    "are BROADCAST (eval benchmarks are tiny relative to a 100 TB "
+    "crawl), so the whole scrub is one narrow pass over the corpus "
+    "explode — zero corpus shuffle before the per-source rollup; the "
+    "winnow guarantee makes any shared normalized substring of >= "
+    "k+w-1 chars detectable.",
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id",
+        "source",
+        F.explode(TX.winnow_fingerprints(F.col("text"), k=8, w=4)).alias("fp"),
+    )
+    eval_fps = (
+        fps.filter(F.col("source") == _EVAL_SOURCE).select("fp").distinct()
+    )
+    contaminated = (
+        fps.filter(F.col("source") != _EVAL_SOURCE)
+        .join(F.broadcast(eval_fps), "fp", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    train_counts = (
+        d.filter(F.col("source") != _EVAL_SOURCE)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    cont_counts = contaminated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+    return train_counts.join(cont_counts, "source", "left").select(
+        "source",
+        "n_docs",
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont.cast("double") / F.col("n_docs"), 6).alias(
+            "contamination_rate"
+        ),
+    )
+
+
+@register(
+    "emb_quantize_error",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ),
+    err AS (
+      SELECT label, scale,
+             CASE WHEN scale = 0 THEN 0.0 ELSE
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale)))
+             END AS max_abs_err
+      FROM q
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(CAST(SUM(CAST(max_abs_err AS DECIMAL(25,18))) AS DOUBLE) / count(*), 9) AS mean_max_err,
+           CAST(SUM(CASE WHEN max_abs_err <= scale / 2.0 + 1e-12 THEN 0 ELSE 1 END) AS BIGINT) AS n_out_of_bound
+    FROM err GROUP BY label
+    """,
+    doc="Symmetric int8 embedding quantization error profile — the 4x "
+    "storage compression a 100 TB embedding store runs on. Per vector: "
+    "scale = max|x|/127, q = round(x/scale), reconstruction error = "
+    "max|x - q*scale|; per label: mean of the per-vector max errors "
+    "(decimal-routed at scale 18 — errors are ~1e-3) and a count of "
+    "vectors violating the scale/2 error bound (0 by construction — "
+    "the oracle proves the quantizer's bound, not just its shape). "
+    "Pure JVM-side HOF arithmetic, one narrow pass, one label rollup.",
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+
+    def max_abs_err(emb: F.Column, scale: F.Column) -> F.Column:
+        return F.when(scale == 0, F.lit(0.0)).otherwise(
+            F.array_max(
+                F.transform(
+                    emb,
+                    lambda x: F.abs(
+                        x.cast("double")
+                        - F.round(x.cast("double") / scale) * scale
+                    ),
+                )
+            )
+        )
+
+    scale = (
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+        / 127.0
+    )
+    per_vec = e.select(
+        "label",
+        F.col("embedding").alias("emb"),
+        scale.alias("scale"),
+    ).select(
+        "label",
+        "scale",
+        max_abs_err(F.col("emb"), F.col("scale")).alias("max_abs_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("max_abs_err").cast("decimal(25,18)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_max_err"),
+        F.sum(
+            F.when(F.col("max_abs_err") <= F.col("scale") / 2.0 + 1e-12, 0).otherwise(1)
+        )
+        .cast("long")
+        .alias("n_out_of_bound"),
     )
 
 
