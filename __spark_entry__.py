@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "doc_winnow_fp",  # new in r4 (winnowing rolling-hash fingerprints)
     "doc_decontaminate",  # new in r4 (eval-set n-gram-overlap scrub)
     "emb_quantize_error",  # new in r4 (int8 quantization error gate)
+    "doc_stratified_sample",  # new in r4 (mixing-weight sampling gate)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -73,6 +74,7 @@ _ROTATION_BENCHED = [
     "crash_hit_run_rate_by_weather",  # green r2+r3, benched r4
     "doc_lang_confusion",  # green r2+r3, benched r4
     "doc_text_stats",  # green r2+r3, benched r4
+    "doc_min_shingle_fp",  # green r2+r3, benched r4
 ]
 
 

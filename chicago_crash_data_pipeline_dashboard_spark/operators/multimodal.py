@@ -12,9 +12,14 @@ from their public byte layouts:
 - **BMP** (BITMAPINFOHEADER): width/height/bpp from the fixed-offset
   header; pixels = the raw pixel array at the header-declared offset;
 - **PPM** (P6): ASCII header tokens (comment-aware) → width/height;
-  pixels = the binary raster.
+  pixels = the binary raster;
+- **PNG** (8-bit gray/RGB/RGBA, non-interlaced): IHDR parse, IDAT
+  zlib inflate (stdlib zlib — no external codec), all five scanline
+  filters (None/Sub/Up/Average/Paeth) unfiltered; pixels = the
+  reconstructed samples. Palette/16-bit/interlaced variants degrade
+  to zero samples rather than guessing.
 
-CODEC formats (jpeg/png/mp3/mp4 …) need decoder libraries absent from
+CODEC formats (jpeg/mp3/mp4 …) need decoder libraries absent from
 this container — that path raises ``NotImplementedError`` inside the
 executor, clearly marked. The default (``real_decode=False``) path
 produces deterministic sha256 fake features with the same schema and
@@ -111,6 +116,81 @@ def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
     return header + bytes((seed + j) % 256 for j in range(3 * width * height))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (3 = palette: indices, not samples)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_filter_row(
+    f: int, recon: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """ENCODER side of one scanline filter (used by make_png and the
+    round-trip tests — exercising the decoder's five unfilter branches
+    requires producing genuinely filtered bytes)."""
+    cur = recon.astype(np.int16)
+    left = np.zeros_like(cur)
+    left[bpp:] = cur[:-bpp]
+    up = prev.astype(np.int16)
+    upleft = np.zeros_like(up)
+    upleft[bpp:] = up[:-bpp]
+    if f == 0:
+        out = cur
+    elif f == 1:
+        out = cur - left
+    elif f == 2:
+        out = cur - up
+    elif f == 3:
+        out = cur - (left + up) // 2
+    elif f == 4:
+        out = cur - _paeth(left, up, upleft)
+    else:
+        raise ValueError(f"bad PNG filter {f}")
+    return (out % 256).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def make_png(
+    width: int, height: int, seed: int = 0, filters: list[int] | None = None
+) -> bytes:
+    """8-bit RGB non-interlaced PNG with deterministic pixels from
+    ``seed``; ``filters`` optionally picks each scanline's filter type
+    (default all 0) so tests can drive every unfilter branch."""
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    stride, bpp = 3 * width, 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        recon = np.array(
+            [(seed + 3 * (y * width + x) + c) % 256 for x in range(width) for c in range(3)],
+            dtype=np.uint8,
+        )
+        f = filters[y] if filters else 0
+        raw.append(f)
+        raw += _png_filter_row(f, recon, prev, bpp).tobytes()
+        prev = recon
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 # --------------------------------------------------------------------
 # header parsers (pure Python over public byte layouts)
 # --------------------------------------------------------------------
@@ -130,6 +210,80 @@ def parse_bmp(b: bytes) -> dict | None:
         "duration_ms": None,
         "n_channels": max(1, bpp // 8),
     }
+
+
+def _png_chunks(b: bytes):
+    """Yield (chunk_type, payload_offset, clamped_size) for each PNG
+    chunk after the 8-byte signature. Declared lengths are
+    corruption-controlled: sizes clamp to the bytes present."""
+    pos = 8
+    while pos + 8 <= len(b):
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        yield typ, pos + 8, min(size, max(0, len(b) - pos - 8))
+        pos += 12 + size  # len + type + payload + CRC
+
+
+def parse_png(b: bytes) -> dict | None:
+    if len(b) < 33 or b[:8] != _PNG_SIG or b[12:16] != b"IHDR":
+        return None
+    width = int.from_bytes(b[16:20], "big")
+    height = int.from_bytes(b[20:24], "big")
+    color_type = b[25]
+    return {
+        "media_type": "image",
+        "format": "png",
+        "width": width,
+        "height": height,
+        "duration_ms": None,
+        "n_channels": _PNG_CHANNELS.get(color_type, 1),
+    }
+
+
+def _png_unfilter(
+    raw: bytes, width: int, height: int, channels: int
+) -> np.ndarray:
+    """Reconstruct pixel samples from the inflated scanline stream
+    (filter byte + filtered bytes per row). Sub and Paeth carry a
+    serial left-dependency, so those rows reconstruct with a per-pixel
+    loop; None/Up are vectorized. Truncated streams yield what fits."""
+    stride, bpp = width * channels, channels
+    rows = []
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for _y in range(height):
+        if pos + 1 + stride > len(raw):
+            break
+        f = raw[pos]
+        cur = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).astype(np.int16)
+        pos += 1 + stride
+        if f == 0:
+            recon = cur
+        elif f == 2:
+            recon = (cur + prev) % 256
+        elif f in (1, 3, 4):
+            up = prev.astype(np.int16)
+            recon = np.zeros(stride, dtype=np.int16)
+            for i in range(stride):
+                a = recon[i - bpp] if i >= bpp else 0
+                bb = up[i]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + bb) // 2
+                else:
+                    c = up[i - bpp] if i >= bpp else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                recon[i] = (cur[i] + pred) % 256
+        else:  # unknown filter type: corrupt stream
+            break
+        prev = recon.astype(np.uint8)
+        rows.append(prev)
+    if not rows:
+        return np.zeros(0)
+    return np.concatenate(rows)
 
 
 def _riff_chunks(b: bytes):
@@ -225,7 +379,7 @@ def parse_media_header(b: bytes | bytearray | None) -> dict | None:
     if not b:
         return None
     b = bytes(b)
-    for parser in (parse_bmp, parse_wav, parse_ppm):
+    for parser in (parse_bmp, parse_wav, parse_ppm, parse_png):
         meta = parser(b)
         if meta is not None:
             return meta
@@ -260,6 +414,26 @@ def _decode_samples(b: bytes, fmt: str) -> np.ndarray:
         assert parsed is not None
         _vals, off = parsed
         return np.frombuffer(b, dtype=np.uint8, offset=off).astype(np.float64) / 127.5 - 1.0
+    if fmt == "png":
+        import zlib
+
+        width = int.from_bytes(b[16:20], "big")
+        height = int.from_bytes(b[20:24], "big")
+        bit_depth, color_type = b[24], b[25]
+        channels = _PNG_CHANNELS.get(color_type)
+        # palette/16-bit/interlaced are out of decode scope: degrade to
+        # zero samples (metadata still parses), never guess pixels
+        if channels is None or bit_depth != 8 or b[28] != 0 or width <= 0 or height <= 0:
+            return np.zeros(0)
+        idat = b"".join(
+            b[off : off + size] for typ, off, size in _png_chunks(b) if typ == b"IDAT"
+        )
+        try:
+            raw = zlib.decompress(idat)
+        except zlib.error:  # truncated/corrupt stream degrades cleanly
+            return np.zeros(0)
+        samples = _png_unfilter(raw, width, height, channels)
+        return samples.astype(np.float64) / 127.5 - 1.0
     if fmt == "wav":
         for cid, off, size in _riff_chunks(b):
             if cid == b"data":
@@ -306,11 +480,11 @@ def _real_features(
     if meta is None:
         meta = parse_media_header(content)
     if meta is None:
-        # STUB boundary: real media decode of codec formats (jpeg/png/
+        # STUB boundary: real media decode of codec formats (jpeg/mp3/
         # mp4/...) requires decoder libraries not in this container.
         raise NotImplementedError(
             "real media decode of codec formats requires decoder libraries "
-            "absent from this container (raw wav/bmp/ppm are decoded natively)"
+            "absent from this container (wav/bmp/ppm/png are decoded natively)"
         )
     s = _decode_samples(content, meta["format"])
     if s.size == 0:

@@ -297,6 +297,65 @@ def doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixing weights for the stratified-sampling gate: named strata keep
+# more, the long tail keeps the default rate (the shape of an LLM data
+# mix: upweight curated sources, downsample the crawl).
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT source,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8) AS BIGINT)
+               / 4294967296.0 AS u,
+             CASE source
+               WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+               ELSE {_MIX_DEFAULT} END AS rate
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS realized_rate,
+           round(max(rate), 6) AS expected_rate
+    FROM u GROUP BY source
+    """,
+    doc="Stratified (mixing-weight) sampling — the data-mix step of a "
+    "training pipeline: per-source keep rates (upweight curated "
+    "strata, downsample the crawl tail), decided by a DETERMINISTIC "
+    "per-row uniform u = md5-hash32(doc_id||salt)/2^32 so the sample "
+    "is reproducible row-for-row across runs AND engines (no RNG "
+    "state, no seed coordination; W7's hash-bucket sampling "
+    "generalized to per-stratum rates). A narrow map + one rollup "
+    "shuffle; at 100 TB the filter rides the scan and the kept "
+    "fraction is the only data that moves.",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    u = TX.hash32(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|mix"))
+    ) / F.lit(float(1 << 32))
+    rate = F.lit(float(_MIX_DEFAULT))
+    for src, r in _MIX_RATES.items():
+        rate = F.when(F.col("source") == src, float(r)).otherwise(rate)
+    return (
+        d.select("source", u.alias("u"), rate.alias("rate"))
+        .withColumn("kept", (F.col("u") < F.col("rate")).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.round(F.sum("kept").cast("double") / F.count(F.lit(1)), 6).alias(
+                "realized_rate"
+            ),
+            F.round(F.max("rate"), 6).alias("expected_rate"),
+        )
+    )
+
+
 _EVAL_SOURCE = "src0"
 
 
