@@ -30,9 +30,11 @@ from chicago_crash_data_pipeline_dashboard_spark.plans import ml_ops  # noqa: F4
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver records correctness rows for the first 50 queries in
-# registration order, but more are registered (64 as of r4 — asserted
-# below, so the count can't silently drift) — ordering is a COVERAGE
-# decision, tracked in COVERAGE.md §"Driver-sample rotation".
+# registration order, but more are registered than fit — so ordering
+# is a COVERAGE decision, tracked in COVERAGE.md §"Driver-sample
+# rotation". _ordered_names guards the invariant that matters: every
+# query NOT in _ROTATION_BENCHED must land inside the 50-row sample
+# (a registration without a matching benched entry raises).
 #
 # Sampled first: queries that have never had a driver correctness row
 # (r1-r3) or were displaced from the r3 sample. Sampled last (i.e.

@@ -170,6 +170,8 @@ def make_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
+    if filters is not None and len(filters) != height:
+        raise ValueError(f"filters must have one entry per row ({height}), got {len(filters)}")
     stride, bpp = 3 * width, 3
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.uint8)
@@ -178,7 +180,7 @@ def make_png(
             [(seed + 3 * (y * width + x) + c) % 256 for x in range(width) for c in range(3)],
             dtype=np.uint8,
         )
-        f = filters[y] if filters else 0
+        f = filters[y] if filters is not None else 0
         raw.append(f)
         raw += _png_filter_row(f, recon, prev, bpp).tobytes()
         prev = recon
@@ -429,7 +431,11 @@ def _decode_samples(b: bytes, fmt: str) -> np.ndarray:
             b[off : off + size] for typ, off, size in _png_chunks(b) if typ == b"IDAT"
         )
         try:
-            raw = zlib.decompress(idat)
+            # bound the inflate by the scanline stream the header
+            # promises: a zlib-bomb IDAT (1 MB inflating to GBs) must
+            # cap at the usable byte count, not OOM the executor
+            expected = height * (width * channels + 1)
+            raw = zlib.decompressobj().decompress(idat, expected)
         except zlib.error:  # truncated/corrupt stream degrades cleanly
             return np.zeros(0)
         samples = _png_unfilter(raw, width, height, channels)

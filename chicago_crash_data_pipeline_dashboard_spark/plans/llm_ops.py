@@ -303,24 +303,30 @@ def doc_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 _MIX_DEFAULT = 0.1
 
+# CASE arms generated from _MIX_RATES so the two engines can't drift
+# when the mix changes (same coupling discipline as _winnow_fps_cte);
+# the uniform reuses the _H32 md5-hash32 fragment TX.hash32 mirrors.
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
 
 @register(
     "doc_stratified_sample",
     oracle=f"""
     WITH u AS (
       SELECT source,
-             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8) AS BIGINT)
-               / 4294967296.0 AS u,
-             CASE source
-               WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
-               ELSE {_MIX_DEFAULT} END AS rate
+             {_H32.format(s="CAST(doc_id AS VARCHAR) || '|mix'")} / 4294967296.0 AS u,
+             {_MIX_CASE} AS rate
       FROM documents
     )
     SELECT source,
            count(*) AS n_total,
            CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            round(CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS realized_rate,
-           round(max(rate), 6) AS expected_rate
+           round(CAST(max(rate) AS DOUBLE), 6) AS expected_rate
     FROM u GROUP BY source
     """,
     doc="Stratified (mixing-weight) sampling — the data-mix step of a "

@@ -370,3 +370,30 @@ def test_png_corrupt_degrades_cleanly():
     assert MM._decode_samples(bytes(pal), "png").size == 0
     # metadata still parses for the in-scope blob
     assert MM.parse_media_header(blob)["format"] == "png"
+
+
+def test_png_zlib_bomb_is_bounded():
+    """A tiny header promising 4x3 pixels with an IDAT inflating to
+    ~64 MB must cap the inflate at the promised scanline bytes, not
+    materialize the bomb."""
+    import struct
+    import zlib
+
+    blob = MM.make_png(4, 3, seed=1)
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024))
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    sig_ihdr = blob[: 8 + 25]  # signature + IHDR chunk (25 = 12 + 13)
+    evil = sig_ihdr + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    s = MM._decode_samples(evil, "png")
+    # rows decode as filter-0 zeros from the capped stream
+    assert s.size == 3 * 4 * 3
+    assert (s == -1.0).all()
+
+
+def test_make_png_filters_length_validated():
+    with pytest.raises(ValueError, match="one entry per row"):
+        MM.make_png(4, 3, filters=[0, 1])
