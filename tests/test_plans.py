@@ -174,3 +174,31 @@ def test_approx_sketch_stats_no_expand(spark, sf_oracle):
     plan = plan_of(QUERIES["approx_sketch_stats"].fn(spark, sf_oracle))
     assert "Expand" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_eval_and_pushes_source_filter(spark, sf_oracle):
+    """The eval set's fingerprints must broadcast (the 100 TB design:
+    one narrow corpus pass, zero corpus shuffle before the rollup) and
+    the source filters must reach the parquet scans on both branches."""
+    plan = plan_of(QUERIES["doc_decontaminate"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "EqualTo(source,src0)" in plan  # eval branch pruned at scan
+    assert "Not(EqualTo(source,src0))" in plan  # train branch pruned too
+
+
+def test_winnow_and_quantize_stay_jvm_side(spark, sf_oracle):
+    for name in ["doc_winnow_fp", "doc_repetition_stats", "emb_quantize_error",
+                 "doc_stratified_sample", "doc_decontaminate"]:
+        plan = plan_of(QUERIES[name].fn(spark, sf_oracle), "simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_promo_star_scans_prune_dim_columns(spark, sf_oracle):
+    """The fact scan must read only the 4 referenced lineitem columns."""
+    plan = plan_of(QUERIES["promo_part_star"].fn(spark, sf_oracle))
+    li_schema = next(
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "l_extendedprice" in l
+    )
+    assert "l_partkey" in li_schema and "l_suppkey" in li_schema
+    assert "l_shipdate" not in li_schema and "l_quantity" not in li_schema
