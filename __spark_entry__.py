@@ -56,6 +56,10 @@ _VERIFY_FIRST = [
     "doc_decontaminate",  # new in r4 (eval-set n-gram-overlap scrub)
     "emb_quantize_error",  # new in r4 (int8 quantization error gate)
     "doc_stratified_sample",  # new in r4 (mixing-weight sampling gate)
+    "doc_pack_bins",  # new in r4 (sequence-packing accounting)
+    "doc_quality_buckets",  # new in r4 (CCNet head/middle/tail terciles)
+    "doc_pii_scrub",  # new in r4 (PII redaction gate, injected fixtures)
+    "orc_roundtrip_stats",  # new in r4 (ORC source/sink breadth)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -77,6 +81,10 @@ _ROTATION_BENCHED = [
     "doc_lang_confusion",  # green r2+r3, benched r4
     "doc_text_stats",  # green r2+r3, benched r4
     "doc_min_shingle_fp",  # green r2+r3, benched r4
+    "doc_exact_dup_stats",  # green r2+r3, benched r4
+    "doc_dedup_exact_by_source",  # green r2+r3, benched r4
+    "doc_simhash",  # green r2+r3, benched r4
+    "emb_knn_brute",  # green r2+r3, benched r4
 ]
 
 

@@ -60,6 +60,7 @@ except ImportError:
 SKIP = {
     "pipeline_e2e",
     "compact_small_files",
+    "orc_roundtrip_stats",
     "silver_catalog_validate",
     "event_sessions_stream",
     "event_first_seen_stream",

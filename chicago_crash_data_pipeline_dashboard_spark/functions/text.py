@@ -317,3 +317,44 @@ def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:
     """MinHash-with-one-permutation: lexicographic min of md5(shingle).
     A cheap, engine-portable near-dup fingerprint."""
     return F.array_min(F.transform(word_shingles(text, n), lambda s: F.md5(s)))
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (C4/RefinedWeb-style redaction pass)
+# --------------------------------------------------------------------------
+#
+# Patterns are deliberately restricted to syntax with IDENTICAL meaning
+# in Java regex (Spark) and RE2 (DuckDB oracle): character classes,
+# bounded repetition, and ASCII word boundaries — no lookaround, no
+# backreferences. Keys are ordered dict insertion order; scrub_pii
+# applies replacements in that order (email → ipv4 → phone), and
+# pii_counts counts each pattern independently on the ORIGINAL text.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_counts(text: Column) -> Column:
+    """``struct(email, ipv4, phone)`` match counts per document — a
+    narrow JVM-side map (regexp_count), no UDF. Counts are computed on
+    the unmodified input, so overlapping patterns each count their own
+    matches."""
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(kind)
+            for kind, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def scrub_pii(text: Column, token: str = "<PII>") -> Column:
+    """Redact every PII match with ``token``, applying PII_PATTERNS in
+    insertion order (email first, so an address is consumed before its
+    domain-less remnants could feed later patterns). Idempotent as long
+    as ``token`` itself matches no pattern."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -353,3 +353,51 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         F.col("revenue").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "orc_roundtrip_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+             AS text_checksum
+    FROM documents
+    WHERE doc_id % 3 = 0
+    GROUP BY lang
+    """,
+    doc="Columnar-format breadth gate: a filtered slice of documents is "
+    "written as ORC (Spark's second native columnar format — zlib, "
+    "predicate-pushdown-capable like parquet) and read back; per-lang "
+    "counts, char totals, and an md5-derived content checksum "
+    "(functions/text.py hash32) must reproduce the parquet source "
+    "exactly, proving the ORC writer/reader round-trips values "
+    "byte-for-byte. The oracle computes the same aggregates straight "
+    "from the parquet view.",
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..functions import text as TX
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="ccpd_orc_")
+    try:
+        path = f"{tmp}/documents_orc"
+        docs.select("doc_id", "lang", "text", "n_chars").write.mode(
+            "overwrite"
+        ).orc(path)
+        back = spark.read.orc(path)
+        out = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(TX.hash32(F.col("text"))).alias("text_checksum"),
+        )
+        # eager file round-trip (like compact_small_files): materialize
+        # before the tmp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1101,3 +1101,235 @@ def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("quality").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing / curriculum bucketing / PII scrubbing
+# --------------------------------------------------------------------------
+
+_PACK_BIN = 512  # tokens per context window (small so sf0.01 yields many bins)
+_PACK_SHARDS = 8  # deterministic shards; packing is per (source, shard)
+
+
+@register(
+    "doc_pack_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, doc_id % {_PACK_SHARDS} AS shard,
+             CAST({_TOKCNT} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM toks
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard,
+           CAST(start_off // {_PACK_BIN} AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY source, shard, start_off // {_PACK_BIN}
+    """,
+    doc="GPT-style sequence packing accounting: documents are "
+    "concatenated per (source, shard) in doc_id order and chunked into "
+    f"{_PACK_BIN}-token context windows; each document is billed to the "
+    "window containing its start offset (running token sum via a window "
+    "function). The shard key (doc_id % 8) makes the running sum "
+    "embarrassingly parallel — at 100 TB a single per-source running "
+    "sum would serialize the partition; per-shard packing is how real "
+    "pretraining pipelines keep the concat-and-chunk step linear. One "
+    "shuffle on (source, shard), integer arithmetic end-to-end.",
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = toks.withColumn(
+        # non-negative start offsets: long division truncation == floor
+        "bin_id", (start / _PACK_BIN).cast("long")
+    )
+    return packed.groupBy("source", F.col("shard").cast("long").alias("shard"), "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+@register(
+    "doc_quality_buckets",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_QUALITY} AS q FROM documents
+    ),
+    tiled AS (
+      SELECT lang, q,
+             ntile(3) OVER (PARTITION BY lang ORDER BY q, doc_id) AS t
+      FROM scored
+    )
+    SELECT lang,
+           CASE t WHEN 3 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(q), 6) AS min_q,
+           round(max(q), 6) AS max_q,
+           round(CAST(SUM(CAST(q AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_q
+    FROM tiled
+    GROUP BY lang, t
+    """,
+    doc="CCNet-style curriculum bucketing: per-language quality "
+    "terciles (ntile over a deterministic (quality, doc_id) total "
+    "order) labeled head/middle/tail — the split CCNet uses to keep "
+    "head-quality web text and drop the tail. ntile needs a per-lang "
+    "sort; at 100 TB the same cut points come from approx_percentile "
+    "(documented scale path, same shape as approx_sketch_stats) "
+    "instead of a full sort.",
+)
+def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    p = TX.text_profile(F.col("text"))
+    scored = d.select("doc_id", "lang", p["quality"].alias("q"))
+    t = F.ntile(3).over(Window.partitionBy("lang").orderBy("q", "doc_id"))
+    tiled = scored.withColumn("t", t)
+    bucket = (
+        F.when(F.col("t") == 3, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.groupBy("lang", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("q"), 6).alias("min_q"),
+            F.round(F.max("q"), 6).alias("max_q"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_q"),
+        )
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            "n_docs",
+            "min_q",
+            "max_q",
+            "avg_q",
+        )
+    )
+
+
+def _pii_inject_sql() -> str:
+    """The deterministic PII-injection expression (DuckDB side). The
+    synthetic corpus contains no PII, so the gate query injects
+    synthetic addresses/numbers as a FUNCTION OF doc_id on both engines
+    and verifies detection + redaction exactly — the scrub machinery is
+    what's under test, the injection is part of the query spec."""
+    return (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call 312-555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST(1 + doc_id % 254 AS VARCHAR) ELSE '' END"
+    )
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH inj AS (
+      SELECT doc_id, source, {_pii_inject_sql()} AS txt FROM documents
+    ),
+    per AS (
+      SELECT source,
+             len(regexp_extract_all(txt, '{TX.PII_PATTERNS["email"]}')) AS e,
+             len(regexp_extract_all(txt, '{TX.PII_PATTERNS["ipv4"]}')) AS i,
+             len(regexp_extract_all(txt, '{TX.PII_PATTERNS["phone"]}')) AS p,
+             length(txt) - length(
+               regexp_replace(regexp_replace(regexp_replace(txt,
+                 '{TX.PII_PATTERNS["email"]}', '<PII>', 'g'),
+                 '{TX.PII_PATTERNS["ipv4"]}', '<PII>', 'g'),
+                 '{TX.PII_PATTERNS["phone"]}', '<PII>', 'g')) AS delta
+      FROM inj
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(i) AS BIGINT) AS n_ipv4,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+           CAST(SUM(delta) AS BIGINT) AS chars_redacted
+    FROM per GROUP BY source
+    """,
+    doc="C4/RefinedWeb-style PII redaction gate (functions/text.py "
+    "pii_counts + scrub_pii): emails, IPv4s, and phone numbers are "
+    "injected deterministically from doc_id (the synthetic corpus has "
+    "none), then detected (regexp_count) and redacted "
+    "(regexp_replace → '<PII>'), with per-source match counts and "
+    "exact redacted-char deltas verified against the oracle. Patterns "
+    "are restricted to Java-regex ∩ RE2 syntax. A narrow JVM-side map "
+    "plus one group-by — the per-row shape that sweeps a 100 TB crawl.",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 312-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (1 + did % 254).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("source", inj.alias("txt"))
+    c = TX.pii_counts(F.col("txt"))
+    delta = F.length(F.col("txt")) - F.length(TX.scrub_pii(F.col("txt")))
+    per = base.select(
+        "source",
+        c["email"].alias("e"),
+        c["ipv4"].alias("i"),
+        c["phone"].alias("p"),
+        delta.cast("long").alias("delta"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").alias("n_emails"),
+        F.sum("i").alias("n_ipv4"),
+        F.sum("p").alias("n_phones"),
+        F.sum(
+            F.when(F.col("e") + F.col("i") + F.col("p") > 0, 1).otherwise(0)
+        ).cast("long").alias("n_pii_docs"),
+        F.sum("delta").alias("chars_redacted"),
+    )

@@ -397,3 +397,84 @@ def test_png_zlib_bomb_is_bounded():
 def test_make_png_filters_length_validated():
     with pytest.raises(ValueError, match="one entry per row"):
         MM.make_png(4, 3, filters=[0, 1])
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (pii_counts / scrub_pii) — real PII strings; the gate
+# query doc_pii_scrub verifies the same machinery differentially on
+# injected fixtures (the synthetic corpus itself carries no PII).
+# --------------------------------------------------------------------------
+
+PII_TEXT = (
+    "write to alice.smith+spam@mail.example.org or bob@ex.io, "
+    "ssh to 192.168.0.17 then call 312-555-0148 or 773.555.0199"
+)
+
+
+def test_pii_counts_each_kind(spark):
+    df = spark.createDataFrame([(PII_TEXT,), ("no pii here at all",)], ["text"])
+    got = df.select(TX.pii_counts(F.col("text")).alias("c")).collect()
+    assert (got[0]["c"]["email"], got[0]["c"]["ipv4"], got[0]["c"]["phone"]) == (2, 1, 2)
+    assert (got[1]["c"]["email"], got[1]["c"]["ipv4"], got[1]["c"]["phone"]) == (0, 0, 0)
+
+
+def test_scrub_pii_redacts_and_is_idempotent(spark):
+    df = spark.createDataFrame([(PII_TEXT,)], ["text"])
+    once = df.select(TX.scrub_pii(F.col("text")).alias("t"))
+    row = once.collect()[0]["t"]
+    assert "alice" not in row and "192.168" not in row and "555-0148" not in row
+    assert row.count("<PII>") == 5
+    # idempotent: scrubbing scrubbed text changes nothing
+    twice = once.select(TX.scrub_pii(F.col("t")).alias("t")).collect()[0]["t"]
+    assert twice == row
+    # non-PII text passes through untouched
+    clean = spark.createDataFrame([("plain text, nothing here",)], ["text"])
+    assert (
+        clean.select(TX.scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+        == "plain text, nothing here"
+    )
+
+
+def test_scrub_pii_email_consumed_before_ipv4(spark):
+    # the numeric-domain address must be eaten whole by the email pass,
+    # not half-redacted by the ipv4 pass (order reversed, 1.2.3.4 would
+    # be chewed out of the middle of the address first)
+    df = spark.createDataFrame([("mail x@1.2.3.4.com done",)], ["text"])
+    out = df.select(TX.scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert out == "mail <PII> done"
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (doc_pack_bins semantics) on a hand-computed fixture
+# --------------------------------------------------------------------------
+
+
+def test_pack_bins_hand_computed(spark):
+    from chicago_crash_data_pipeline_dashboard_spark.plans.llm_ops import (
+        _PACK_BIN,
+        _PACK_SHARDS,
+    )
+
+    assert (_PACK_BIN, _PACK_SHARDS) == (512, 8)
+    # one source, shard 0 only (doc_ids multiples of 8), token counts
+    # 300/300/300: starts at 0, 300, 600 → bins 0, 0, 1
+    rows = [(0, "w " * 299 + "w", "s"), (8, "w " * 299 + "w", "s"), (16, "w " * 299 + "w", "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    got = {
+        (r["doc_id"], r["bin"]) for r in toks.withColumn("bin", (start / _PACK_BIN).cast("long")).collect()
+    }
+    assert got == {(0, 0), (8, 0), (16, 1)}
