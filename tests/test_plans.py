@@ -202,3 +202,22 @@ def test_promo_star_scans_prune_dim_columns(spark, sf_oracle):
     )
     assert "l_partkey" in li_schema and "l_suppkey" in li_schema
     assert "l_shipdate" not in li_schema and "l_quantity" not in li_schema
+
+
+def test_new_doc_gates_stay_jvm_side(spark, sf_oracle):
+    """PII scrub / packing / bucketing are regex+window column plans —
+    zero Python in the hot path."""
+    for name in ["doc_pii_scrub", "doc_pack_bins", "doc_quality_buckets"]:
+        plan = plan_of(QUERIES[name].fn(spark, sf_oracle), "simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_pack_bins_single_shuffle(spark, sf_oracle):
+    """The packing plan must reuse the window's (source, shard)
+    hash-partitioning for the final group-by — one Exchange total
+    (ignoring the documents-scan rebalance round-robin): the bin_id
+    group-by key is a function of columns already co-located by the
+    window shuffle."""
+    plan = plan_of(QUERIES["doc_pack_bins"].fn(spark, sf_oracle), "simple")
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, f"expected 1 hash Exchange, saw {hash_exchanges}"

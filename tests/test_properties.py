@@ -324,3 +324,51 @@ def test_winnow_fingerprints_match_model(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _winnow_model(t), f"text {t!r}"
+
+
+# --------------------------------------------------------------------------
+# PII scrub vs Python `re` (a third regex engine besides Java and RE2)
+# --------------------------------------------------------------------------
+
+# texts mixing near-PII fragments with real addresses/numbers so both
+# the match and no-match paths are exercised
+_pii_piece = st.sampled_from(
+    [
+        "a@b.co",
+        "x.y@mail.example.org",
+        "not@an",  # no TLD → not an email
+        "10.0.0.1",
+        "999.999.999.999",  # matches the (deliberately loose) ipv4 shape
+        "1.2.3.4567",  # 4-digit tail breaks the \b → no match
+        "312-555-0148",
+        "773.555.0199",
+        "12-345-6789",  # 2-digit area → no match
+        "plain words",
+        "trailing dot.",
+    ]
+)
+pii_text_st = st.lists(_pii_piece, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(pii_text_st, min_size=1, max_size=25))
+def test_pii_scrub_matches_python_re(spark, texts):
+    import re
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    c = TX.pii_counts(F.col("t"))
+    out = {
+        r.i: r
+        for r in df.select(
+            "i",
+            TX.scrub_pii(F.col("t")).alias("clean"),
+            *[c[k].alias(k) for k in TX.PII_PATTERNS],
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = t
+        for pat in TX.PII_PATTERNS.values():
+            expect = re.sub(pat, "<PII>", expect)
+        assert out[i]["clean"] == expect, f"text {t!r}"
+        for kind, pat in TX.PII_PATTERNS.items():
+            assert out[i][kind] == len(re.findall(pat, t)), f"{kind} on {t!r}"
