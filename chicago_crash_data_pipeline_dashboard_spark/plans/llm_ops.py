@@ -1158,11 +1158,13 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    packed = toks.withColumn(
-        # non-negative start offsets: long division truncation == floor
-        "bin_id", (start / _PACK_BIN).cast("long")
+    packed = toks.withColumn("start_off", start).withColumn(
+        # integer DIV, not float /: exact at any running-sum magnitude
+        # (a double round-trip is only exact below 2^53) and identical
+        # to the oracle's `//` for these non-negative offsets
+        "bin_id", F.expr(f"start_off DIV {_PACK_BIN}")
     )
-    return packed.groupBy("source", F.col("shard").cast("long").alias("shard"), "bin_id").agg(
+    return packed.groupBy("source", "shard", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
@@ -1176,7 +1178,7 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tiled AS (
       SELECT lang, q,
-             ntile(3) OVER (PARTITION BY lang ORDER BY q, doc_id) AS t
+             ntile(3) OVER (PARTITION BY lang ORDER BY q NULLS LAST, doc_id) AS t
       FROM scored
     )
     SELECT lang,
@@ -1202,7 +1204,12 @@ def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     p = TX.text_profile(F.col("text"))
     scored = d.select("doc_id", "lang", p["quality"].alias("q"))
-    t = F.ntile(3).over(Window.partitionBy("lang").orderBy("q", "doc_id"))
+    # explicit NULLS LAST on both sides: Spark's ASC default is NULLS
+    # FIRST, DuckDB's is NULLS LAST — a NULL quality (NULL text) would
+    # otherwise land in opposite terciles on the two engines
+    t = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.col("q").asc_nulls_last(), "doc_id")
+    )
     tiled = scored.withColumn("t", t)
     bucket = (
         F.when(F.col("t") == 3, "head")
