@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "doc_quality_buckets",  # new in r4 (CCNet head/middle/tail terciles)
     "doc_pii_scrub",  # new in r4 (PII redaction gate, injected fixtures)
     "orc_roundtrip_stats",  # new in r4 (ORC source/sink breadth)
+    "emb_pq_topk",  # new in r4 (product-quantization ANN + exact refine)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -85,6 +86,7 @@ _ROTATION_BENCHED = [
     "doc_dedup_exact_by_source",  # green r2+r3, benched r4
     "doc_simhash",  # green r2+r3, benched r4
     "emb_knn_brute",  # green r2+r3, benched r4
+    "pivot_hour_dow",  # green r2+r3, benched r4
 ]
 
 

@@ -273,3 +273,177 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS-style compressed ANN
+# --------------------------------------------------------------------------
+
+
+def _l2sq(a, b):
+    """Squared L2 between two array columns (no sqrt — PQ sums squared
+    sub-distances, and argmin is sqrt-invariant)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _unit(vec_col):
+    """L2-normalize an array column (zero vectors pass through), so
+    squared L2 on the outputs is 2·(1 − cosine) and ADC ranking by
+    distance equals ranking by cosine."""
+    return VX.let(
+        VX.norm(vec_col),
+        lambda n: F.when(n == 0, vec_col.cast("array<double>")).otherwise(
+            F.transform(vec_col, lambda x: x / n)
+        ),
+    )
+
+
+def pq_train(sample, dim: int, m: int = 8, ks: int = 16, seed: int = 42):
+    """Per-subspace codebooks: split ``dim`` into ``m`` sub-vectors and
+    fit a seeded ``ks``-centroid k-means in each subspace on the
+    (driver-side, bounded — same discipline as ivf_index) sample of
+    L2-NORMALIZED vectors. Returns ``codebook[m][ks][dim // m]``."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} sub-quantizers")
+    sub = dim // m
+    x = np.asarray(sample, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = np.where(norms == 0, x, x / np.where(norms == 0, 1.0, norms))
+    return [
+        _fit_quantizer(x[:, mi * sub : (mi + 1) * sub], ks, seed + mi).tolist()
+        for mi in range(m)
+    ]
+
+
+def _pq_codebook_lit(codebook):
+    """The full codebook as ONE constant-folded plan literal (same
+    from_json trick as _centroid_dists — not m×ks×sub scalar nodes)."""
+    import json
+
+    return F.from_json(
+        F.lit(json.dumps([[[float(x) for x in c] for c in cs] for cs in codebook])),
+        "array<array<array<double>>>",
+    )
+
+
+def _pq_codes(vec_col, codebook):
+    """PQ encode: per subspace, the index of the nearest sub-centroid
+    (first index on ties) — ``array<int>`` of length m, a pure-HOF
+    narrow map over the constant codebook."""
+    m, sub = len(codebook), len(codebook[0][0])
+    cb = _pq_codebook_lit(codebook)
+
+    def body(v):
+        def code_for(mi):
+            dists = F.transform(
+                F.element_at(cb, mi + 1),
+                lambda c: _l2sq(F.slice(v, mi * sub + 1, sub), c),
+            )
+            return VX.let(
+                dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+
+    return VX.let(_unit(vec_col), body)
+
+
+def _pq_lut(vec_col, codebook):
+    """Asymmetric-distance lookup table for one query: squared L2 from
+    each query sub-vector to every sub-centroid —
+    ``array<array<double>>`` of shape m × ks, one narrow map per query
+    row. Scoring a corpus code is then m array lookups instead of a
+    dim-wide float loop: the PQ speedup."""
+    sub = len(codebook[0][0])
+    cb = _pq_codebook_lit(codebook)
+
+    return VX.let(
+        _unit(vec_col),
+        lambda v: F.transform(
+            cb,
+            lambda sub_cents, mi: F.transform(
+                sub_cents, lambda c: _l2sq(F.slice(v, mi * sub + 1, sub), c)
+            ),
+        ),
+    )
+
+
+def _adc(codes_col, lut_col):
+    """ADC distance: Σ_m lut[m][codes[m]] (squared L2 approximation)."""
+    return F.aggregate(
+        F.zip_with(codes_col, lut_col, lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 4,
+    seed: int = 42,
+    train_sample: int = 65536,
+) -> DataFrame:
+    """PQ approximate top-k with exact refinement (FAISS IVF-PQ's
+    refine stage): corpus vectors compress to m sub-centroid codes
+    (m bytes/vector at ks ≤ 256 — 32× smaller than 64 floats), queries
+    broadcast with a per-query ADC lookup table, candidates rank by
+    ADC in O(m) per pair, and the top ``k·refine`` per query rerank by
+    exact cosine. At 100 TB the codes table IS the index: a scan reads
+    m bytes/vector instead of the raw embeddings, and the exact rerank
+    touches only k·refine full vectors per query."""
+    n = corpus.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    sample_df = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    sample = [r[0] for r in sample_df.select(vec_col).collect()]
+    codebook = pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        VX.norm(F.col(vec_col)).alias("cn"),
+        _pq_codes(F.col(vec_col), codebook).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        VX.norm(F.col(vec_col)).alias("qn"),
+        _pq_lut(F.col(vec_col), codebook).alias("lut"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", _adc(F.col("codes"), F.col("lut")))
+    )
+    wa = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cand = (
+        pairs.withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= k * refine)
+        .withColumn(
+            "cos",
+            F.round(
+                VX.cosine_with_norms(
+                    F.col("cvec"), F.col("qvec"), F.col("cn"), F.col("qn")
+                ),
+                6,
+            ),
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1340,3 +1340,50 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_pii_docs"),
         F.sum("delta").alias("chars_redacted"),
     )
+
+
+@register(
+    "emb_pq_topk",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 * count(*) AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_NQ}
+    """,
+    doc="Product-quantization approximate top-k (operators/similarity.py "
+    "pq_topk): 16 per-subspace codebooks (4 dims × 16 centroids each, "
+    "seeded k-means on a bounded driver sample) compress every corpus "
+    "vector to 16 codes; queries broadcast with a per-query ADC lookup "
+    "table so candidate scoring is 16 array lookups instead of a "
+    "64-float loop; the top k·8 per query rerank by exact cosine "
+    "(FAISS refine stage). Iterative k-means is not SQL-expressible, "
+    "so the gate row checks result cardinality (cross-engine) and "
+    "recall@5 ≥ 0.5 against the in-Spark brute-force twin — whose own "
+    "results are fully hash-gated as emb_knn_brute. Raw recall is "
+    "pinned in tests/test_llm_ops.py (0.9 at sf0.01, 0.75 at sf0.1).",
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ)
+    approx = SIM.pq_topk(
+        e, q, id_col="vec_id", vec_col="embedding",
+        k=5, dim=_DIM, m=16, ks=16, refine=8, seed=42,
+    )
+    exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    return (
+        approx.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_results"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_queries",
+            "n_results",
+            (
+                F.col("n_hits").cast("double") / F.col("n_results") >= F.lit(0.5)
+            ).alias("recall_ok"),
+        )
+    )
