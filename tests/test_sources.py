@@ -120,3 +120,28 @@ def test_events_ts_loads_as_timestamp(spark, sf_smoke):
 
     out = sessionize_batch(df.limit(100))
     assert out.count() > 0
+
+
+def test_orc_round_trip_pushes_filters(spark, sf_smoke, tmp_path):
+    """ORC is a first-class columnar source: values round-trip exactly
+    and filters/projections push into the ORC scan just like parquet."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == docs.count()
+    # exact value round-trip on a checksum column
+    a = docs.agg(F.sum("n_chars").alias("s"), F.sum(F.crc32("text")).alias("h")).first()
+    b = back.agg(F.sum("n_chars").alias("s"), F.sum(F.crc32("text")).alias("h")).first()
+    assert (a["s"], a["h"]) == (b["s"], b["h"])
+    # pushdown: the filter reaches the ORC scan, the projection prunes
+    q = back.filter(F.col("doc_id") < 10).select("doc_id", "lang")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
