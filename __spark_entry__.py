@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "doc_pii_scrub",  # new in r4 (PII redaction gate, injected fixtures)
     "orc_roundtrip_stats",  # new in r4 (ORC source/sink breadth)
     "emb_pq_topk",  # new in r4 (product-quantization ANN + exact refine)
+    "bucketed_join_agg",  # new in r4 (co-located bucketed join gate)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -87,6 +88,7 @@ _ROTATION_BENCHED = [
     "doc_simhash",  # green r2+r3, benched r4
     "emb_knn_brute",  # green r2+r3, benched r4
     "pivot_hour_dow",  # green r2+r3, benched r4
+    "rate_by_priority",  # green r2+r3, benched r4
 ]
 
 

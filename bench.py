@@ -61,6 +61,7 @@ SKIP = {
     "pipeline_e2e",
     "compact_small_files",
     "orc_roundtrip_stats",
+    "bucketed_join_agg",
     "silver_catalog_validate",
     "event_sessions_stream",
     "event_first_seen_stream",

@@ -401,3 +401,63 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "bucketed_join_agg",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+           TRUE AS colocated_ok
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Bucketed co-located join gate (operators/bucketing.py): orders "
+    "and customer are written as same-spec bucketed+sorted tables "
+    "(8 buckets on the join key), broadcast is disabled to force a "
+    "sort-merge join, and the gate asserts IN-QUERY that the join plan "
+    "contains no Exchange — the at-rest co-location that replaces the "
+    "fact-side shuffle at 100 TB — while the per-segment counts and "
+    "exact decimal price sums must match the oracle's plain join over "
+    "the parquet views.",
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.bucketing import bucketed_join, write_bucketed_table
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    tmp = tempfile.mkdtemp(prefix="ccpd_bucketed_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.sql("DROP TABLE IF EXISTS gate_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
+        write_bucketed_table(o, "gate_bkt_orders", "o_custkey", 8, path=f"{tmp}/o")
+        write_bucketed_table(c, "gate_bkt_cust", "c_custkey", 8, path=f"{tmp}/c")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "gate_bkt_orders", "gate_bkt_cust", "o_custkey", "c_custkey")
+        # the co-location claim, checked in-query: no Exchange anywhere
+        # in the JOIN's plan (the group-by below adds its own, after)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        colocated = "Exchange" not in plan and "SortMergeJoin" in plan
+        out = (
+            j.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("colocated_ok", F.lit(bool(colocated)))
+        )
+        # eager: the backing tables/paths are dropped in finally
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS gate_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
+        shutil.rmtree(tmp, ignore_errors=True)
