@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     "orc_roundtrip_stats",  # new in r4 (ORC source/sink breadth)
     "emb_pq_topk",  # new in r4 (product-quantization ANN + exact refine)
     "bucketed_join_agg",  # new in r4 (co-located bucketed join gate)
+    "doc_chunk_overlap",  # new in r4 (sliding-window chunking)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -89,6 +90,7 @@ _ROTATION_BENCHED = [
     "emb_knn_brute",  # green r2+r3, benched r4
     "pivot_hour_dow",  # green r2+r3, benched r4
     "rate_by_priority",  # green r2+r3, benched r4
+    "running_customer_revenue",  # green r2+r3, benched r4
 ]
 
 

@@ -1387,3 +1387,77 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+
+
+_CHUNK = 128  # tokens per chunk
+_STRIDE = 96  # chunk stride (32-token overlap)
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t,
+             CAST({_TOKCNT} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, source, n_tokens,
+             unnest(range(0, (n_tokens + {_STRIDE} - 1) // {_STRIDE})) AS ci,
+             t
+      FROM toks
+    ),
+    per_chunk AS (
+      SELECT source,
+             len(list_slice(t, ci * {_STRIDE} + 1, ci * {_STRIDE} + {_CHUNK})) AS chunk_tokens,
+             {_H32.format(s=f"array_to_string(list_slice(t, ci * {_STRIDE} + 1, ci * {_STRIDE} + {_CHUNK}), ' ')")} AS h
+      FROM chunks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+           CAST(SUM(CASE WHEN chunk_tokens = {_CHUNK} THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+           CAST(SUM(h) AS BIGINT) AS chunk_checksum
+    FROM per_chunk GROUP BY source
+    """,
+    doc="RAG/pretraining document chunking with overlap: each document "
+    f"splits into {_CHUNK}-token windows every {_STRIDE} tokens "
+    f"({_CHUNK - _STRIDE}-token overlap, the sliding-window chunking "
+    "long-context pipelines use so no boundary sentence is lost). "
+    "Chunk indices come from one explode(sequence) per doc — rows "
+    "scale with chunks, not chunks x tokens — and the md5-derived "
+    "checksum over every chunk's reassembled text pins the actual "
+    "chunk CONTENT cross-engine, not just the counts. A narrow map + "
+    "one explode + one group-by; embarrassingly parallel at any scale.",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        TX.tokens(F.col("text")).alias("t"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    ).withColumn("nc", F.expr(f"(n_tokens + {_STRIDE} - 1) DIV {_STRIDE}"))
+    chunks = toks.select(
+        "source",
+        "t",
+        F.explode(
+            # guard: sequence(0, -1) would DESCEND, not be empty
+            F.when(F.col("nc") > 0, F.sequence(F.lit(0), F.col("nc") - 1))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("ci"),
+    )
+    sl = F.slice(F.col("t"), F.col("ci") * _STRIDE + 1, _CHUNK)
+    per_chunk = chunks.select(
+        "source",
+        F.size(sl).cast("long").alias("chunk_tokens"),
+        TX.hash32(F.concat_ws(" ", sl)).alias("h"),
+    )
+    return per_chunk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").alias("sum_chunk_tokens"),
+        F.sum(F.when(F.col("chunk_tokens") == _CHUNK, 1).otherwise(0))
+        .cast("long")
+        .alias("n_full"),
+        F.sum("h").alias("chunk_checksum"),
+    )

@@ -518,3 +518,35 @@ def test_pq_topk_recall_on_testdata(spark, sf_oracle):
     assert all(-1.0 <= r.cos <= 1.0 for r in rows)
     hit = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
     assert hit / exact.count() >= 0.85  # measured 0.9 at sf0.01
+
+
+def test_chunk_overlap_hand_computed(spark):
+    """300 tokens at 128-window/96-stride: chunks start at 0/96/192/288
+    with lengths 128/128/108/12; empty docs produce no chunks."""
+    from chicago_crash_data_pipeline_dashboard_spark.plans.llm_ops import (
+        _CHUNK,
+        _STRIDE,
+    )
+
+    assert (_CHUNK, _STRIDE) == (128, 96)
+    rows = [(1, " ".join(f"w{i}" for i in range(300)), "s"), (2, "", "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    toks = df.select(
+        "doc_id",
+        TX.tokens(F.col("text")).alias("t"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    ).withColumn("nc", F.expr(f"(n_tokens + {_STRIDE} - 1) DIV {_STRIDE}"))
+    got = {r.doc_id: r.nc for r in toks.collect()}
+    assert got == {1: 4, 2: 0}
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.col("nc") > 0, F.sequence(F.lit(0), F.col("nc") - 1))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("ci"),
+        "t",
+    ).select(
+        "doc_id", "ci", F.size(F.slice(F.col("t"), F.col("ci") * _STRIDE + 1, _CHUNK)).alias("n")
+    )
+    lens = sorted((r.doc_id, r.ci, r.n) for r in chunks.collect())
+    assert lens == [(1, 0, 128), (1, 1, 128), (1, 2, 108), (1, 3, 12)]
