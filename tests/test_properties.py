@@ -372,3 +372,37 @@ def test_pii_scrub_matches_python_re(spark, texts):
         assert out[i]["clean"] == expect, f"text {t!r}"
         for kind, pat in TX.PII_PATTERNS.items():
             assert out[i][kind] == len(re.findall(pat, t)), f"{kind} on {t!r}"
+
+
+# --------------------------------------------------------------------------
+# Packing / chunking arithmetic vs pure-Python models
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=40))
+def test_pack_and_chunk_arithmetic_match_models(spark, counts):
+    """bin_id (running-sum integer DIV) and chunk fan-out (ceil-div
+    sequence explode) vs plain Python over arbitrary token counts —
+    the same expressions doc_pack_bins / doc_chunk_overlap use."""
+    from pyspark.sql import Window
+
+    rows = [(i, n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens long")
+
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    out = df.withColumn("start_off", start).withColumn(
+        "bin_id", F.expr("start_off DIV 512")
+    ).withColumn("nc", F.expr("(n_tokens + 95) DIV 96"))
+    got = {r.doc_id: (r.bin_id, r.nc) for r in out.collect()}
+
+    acc = 0
+    for i, n in enumerate(counts):
+        exp_bin = acc // 512
+        exp_nc = (n + 95) // 96
+        assert got[i] == (exp_bin, exp_nc), f"doc {i} n={n} acc={acc}"
+        acc += n
