@@ -221,3 +221,15 @@ def test_pack_bins_single_shuffle(spark, sf_oracle):
     plan = plan_of(QUERIES["doc_pack_bins"].fn(spark, sf_oracle), "simple")
     hash_exchanges = plan.count("Exchange hashpartitioning")
     assert hash_exchanges == 1, f"expected 1 hash Exchange, saw {hash_exchanges}"
+
+
+def test_pq_topk_stays_jvm_side_with_folded_codebook(spark, sf_oracle):
+    """PQ encode/ADC must be pure column HOFs (no EvalPython), with the
+    query-side filter still pushed into the embeddings scan. The
+    codebook enters via from_json of one string literal; Catalyst
+    constant-folds it before the physical plan, which is exactly the
+    point — assert the fold happened (no from_json node survives)."""
+    plan = plan_of(QUERIES["emb_pq_topk"].fn(spark, sf_oracle), "simple")
+    assert "EvalPython" not in plan
+    assert "from_json" not in plan  # folded to a literal at plan time
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)]" in plan
