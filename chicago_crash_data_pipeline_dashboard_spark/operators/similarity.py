@@ -21,6 +21,27 @@ from pyspark.sql import Window as W
 from ..functions import vectors as VX
 
 
+def _topk_by_cos(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k tail shared by every ANN variant:
+    rank on (cosine desc, neighbor_id asc), keep k."""
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _driver_sample(corpus: DataFrame, vec_col: str, train_sample: int, seed: int):
+    """Bounded driver-side vector sample for quantizer training — the
+    repo's one deliberate collect (FAISS discipline: quantizers train
+    on a sample; only the narrow assignment map sees the corpus)."""
+    n = corpus.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    sample_df = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    return [r[0] for r in sample_df.select(vec_col).collect()]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,12 +75,7 @@ def brute_force_topk(
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_by_cos(scored, k)
 
 
 def _flip_signatures(sig_col, n_planes: int):
@@ -116,12 +132,7 @@ def lsh_topk(
         .select("query_id", "neighbor_id", "cos")
         .distinct()  # multi-probe can hit the same pair via two buckets
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_by_cos(scored, k)
 
 
 def _fit_quantizer(sample, n_clusters: int, seed: int, max_iter: int = 20):
@@ -214,10 +225,7 @@ def ivf_index(
     assignment stays a narrow map; write the corpus PARTITIONED by
     cluster id — each probe then reads only its clusters' files
     (partition pruning = the inverted file)."""
-    n = corpus.count()
-    frac = min(1.0, train_sample / max(n, 1))
-    sample_df = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
-    sample = [r[0] for r in sample_df.select(vec_col).collect()]
+    sample = _driver_sample(corpus, vec_col, train_sample, seed)
     centroids = _fit_quantizer(sample, n_clusters, seed)
 
     assigned = corpus.select(
@@ -267,12 +275,7 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "cos")
         .distinct()
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_by_cos(scored, k)
 
 
 # --------------------------------------------------------------------------
@@ -290,10 +293,16 @@ def _l2sq(a, b):
     )
 
 
-def _unit(vec_col):
+def _unit(vec_col, norm_col=None):
     """L2-normalize an array column (zero vectors pass through), so
     squared L2 on the outputs is 2·(1 − cosine) and ADC ranking by
-    distance equals ranking by cosine."""
+    distance equals ranking by cosine. Pass ``norm_col`` when the norm
+    already exists as a column (pq_topk's cn/qn) instead of re-deriving
+    the O(dim) fold."""
+    if norm_col is not None:
+        return F.when(norm_col == 0, vec_col.cast("array<double>")).otherwise(
+            F.transform(vec_col, lambda x: x / norm_col)
+        )
     return VX.let(
         VX.norm(vec_col),
         lambda n: F.when(n == 0, vec_col.cast("array<double>")).otherwise(
@@ -314,7 +323,7 @@ def pq_train(sample, dim: int, m: int = 8, ks: int = 16, seed: int = 42):
     sub = dim // m
     x = np.asarray(sample, dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
-    x = np.where(norms == 0, x, x / np.where(norms == 0, 1.0, norms))
+    x = x / np.where(norms == 0, 1.0, norms)  # zero rows stay zero
     return [
         _fit_quantizer(x[:, mi * sub : (mi + 1) * sub], ks, seed + mi).tolist()
         for mi in range(m)
@@ -332,43 +341,48 @@ def _pq_codebook_lit(codebook):
     )
 
 
-def _pq_codes(vec_col, codebook):
+def _pq_codes(vec_col, codebook, norm_col=None):
     """PQ encode: per subspace, the index of the nearest sub-centroid
     (first index on ties) — ``array<int>`` of length m, a pure-HOF
-    narrow map over the constant codebook."""
+    narrow map over the constant codebook. The sub-vector slice is
+    let-bound so it evaluates once per subspace, not once per centroid
+    (Catalyst inlines sub-expressions into HOF lambdas per element —
+    see VX.let)."""
     m, sub = len(codebook), len(codebook[0][0])
     cb = _pq_codebook_lit(codebook)
 
     def body(v):
         def code_for(mi):
-            dists = F.transform(
-                F.element_at(cb, mi + 1),
-                lambda c: _l2sq(F.slice(v, mi * sub + 1, sub), c),
-            )
             return VX.let(
-                dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+                F.slice(v, mi * sub + 1, sub),
+                lambda sv: VX.let(
+                    F.transform(F.element_at(cb, mi + 1), lambda c: _l2sq(sv, c)),
+                    lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+                ),
             )
 
         return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
 
-    return VX.let(_unit(vec_col), body)
+    return VX.let(_unit(vec_col, norm_col), body)
 
 
-def _pq_lut(vec_col, codebook):
+def _pq_lut(vec_col, codebook, norm_col=None):
     """Asymmetric-distance lookup table for one query: squared L2 from
     each query sub-vector to every sub-centroid —
     ``array<array<double>>`` of shape m × ks, one narrow map per query
     row. Scoring a corpus code is then m array lookups instead of a
-    dim-wide float loop: the PQ speedup."""
+    dim-wide float loop: the PQ speedup. Sub-vector slices are
+    let-bound once per subspace (not once per centroid)."""
     sub = len(codebook[0][0])
     cb = _pq_codebook_lit(codebook)
 
     return VX.let(
-        _unit(vec_col),
+        _unit(vec_col, norm_col),
         lambda v: F.transform(
             cb,
-            lambda sub_cents, mi: F.transform(
-                sub_cents, lambda c: _l2sq(F.slice(v, mi * sub + 1, sub), c)
+            lambda sub_cents, mi: VX.let(
+                F.slice(v, mi * sub + 1, sub),
+                lambda sv: F.transform(sub_cents, lambda c: _l2sq(sv, c)),
             ),
         ),
     )
@@ -404,24 +418,21 @@ def pq_topk(
     exact cosine. At 100 TB the codes table IS the index: a scan reads
     m bytes/vector instead of the raw embeddings, and the exact rerank
     touches only k·refine full vectors per query."""
-    n = corpus.count()
-    frac = min(1.0, train_sample / max(n, 1))
-    sample_df = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
-    sample = [r[0] for r in sample_df.select(vec_col).collect()]
+    sample = _driver_sample(corpus, vec_col, train_sample, seed)
     codebook = pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
 
+    # two-step selects so encode/LUT reuse the cn/qn norm columns
+    # (codegen CSE then computes the O(dim) norm fold once per row)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         VX.norm(F.col(vec_col)).alias("cn"),
-        _pq_codes(F.col(vec_col), codebook).alias("codes"),
-    )
+    ).withColumn("codes", _pq_codes(F.col("cvec"), codebook, norm_col=F.col("cn")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         VX.norm(F.col(vec_col)).alias("qn"),
-        _pq_lut(F.col(vec_col), codebook).alias("lut"),
-    )
+    ).withColumn("lut", _pq_lut(F.col("qvec"), codebook, norm_col=F.col("qn")))
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -441,9 +452,4 @@ def pq_topk(
             ),
         )
     )
-    wc = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(wc))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_by_cos(cand, k)

@@ -826,6 +826,39 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DIM = 64
 _NQ = 8
 
+# Shared self-gating shape for the ANN variants whose index step is not
+# SQL-expressible (iterative k-means): cardinality is cross-engine, and
+# recall@5 >= 0.5 is checked against the in-Spark brute-force twin —
+# whose own results are fully hash-gated as emb_knn_brute.
+_ANN_GATE_ORACLE = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 * count(*) AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_NQ}
+    """
+
+
+def _ann_recall_gate(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Cardinality + recall@5 gate row for an approximate top-k result
+    vs its exact twin (both keyed (query_id, neighbor_id))."""
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    return (
+        approx.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_results"),
+        )
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_queries",
+            "n_results",
+            (
+                F.col("n_hits").cast("double") / F.col("n_results") >= F.lit(0.5)
+            ).alias("recall_ok"),
+        )
+    )
+
 
 @register(
     "emb_knn_brute",
@@ -1012,12 +1045,7 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_ivf_topk",
-    oracle=f"""
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(5 * count(*) AS BIGINT) AS n_results,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < {_NQ}
-    """,
+    oracle=_ANN_GATE_ORACLE,
     doc="IVF approximate top-k (operators/similarity.py ivf_topk): "
     "k-means coarse quantizer (16 clusters, seeded), 4-probe nearest-"
     "centroid search, exact in-cluster cosine rerank. Iterative k-means "
@@ -1033,23 +1061,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, n_probe=4, seed=42,
     )
     exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
-    hits = approx.select("query_id", "neighbor_id").join(
-        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    )
-    return (
-        approx.agg(
-            F.count_distinct("query_id").alias("n_queries"),
-            F.count(F.lit(1)).alias("n_results"),
-        )
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-        .select(
-            "n_queries",
-            "n_results",
-            (
-                F.col("n_hits").cast("double") / F.col("n_results") >= F.lit(0.5)
-            ).alias("recall_ok"),
-        )
-    )
+    return _ann_recall_gate(approx, exact)
 
 
 @register(
@@ -1344,12 +1356,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_pq_topk",
-    oracle=f"""
-    SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(5 * count(*) AS BIGINT) AS n_results,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < {_NQ}
-    """,
+    oracle=_ANN_GATE_ORACLE,
     doc="Product-quantization approximate top-k (operators/similarity.py "
     "pq_topk): 16 per-subspace codebooks (4 dims × 16 centroids each, "
     "seeded k-means on a bounded driver sample) compress every corpus "
@@ -1370,23 +1377,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, dim=_DIM, m=16, ks=16, refine=8, seed=42,
     )
     exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
-    hits = approx.select("query_id", "neighbor_id").join(
-        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
-    )
-    return (
-        approx.agg(
-            F.count_distinct("query_id").alias("n_queries"),
-            F.count(F.lit(1)).alias("n_results"),
-        )
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-        .select(
-            "n_queries",
-            "n_results",
-            (
-                F.col("n_hits").cast("double") / F.col("n_results") >= F.lit(0.5)
-            ).alias("recall_ok"),
-        )
-    )
+    return _ann_recall_gate(approx, exact)
 
 
 _CHUNK = 128  # tokens per chunk
@@ -1403,7 +1394,9 @@ _STRIDE = 96  # chunk stride (32-token overlap)
     ),
     chunks AS (
       SELECT doc_id, source, n_tokens,
-             unnest(range(0, (n_tokens + {_STRIDE} - 1) // {_STRIDE})) AS ci,
+             unnest(range(0, CASE WHEN n_tokens = 0 THEN 0
+                    ELSE 1 + (greatest(n_tokens - {_CHUNK}, 0) + {_STRIDE} - 1) // {_STRIDE}
+                    END)) AS ci,
              t
       FROM toks
     ),
@@ -1437,7 +1430,17 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         TX.tokens(F.col("text")).alias("t"),
         TX.token_count(F.col("text")).alias("n_tokens"),
-    ).withColumn("nc", F.expr(f"(n_tokens + {_STRIDE} - 1) DIV {_STRIDE}"))
+    ).withColumn(
+        # 1 + ceil((n - chunk)/stride): windows stop once one reaches
+        # the doc end — the naive ceil(n/stride) emits a tail window
+        # whose content is entirely inside the previous one whenever
+        # n mod stride <= overlap
+        "nc",
+        F.expr(
+            f"CASE WHEN n_tokens = 0 THEN 0 ELSE "
+            f"1 + (greatest(n_tokens - {_CHUNK}, 0) + {_STRIDE} - 1) DIV {_STRIDE} END"
+        ),
+    )
     chunks = toks.select(
         "source",
         "t",

@@ -521,23 +521,35 @@ def test_pq_topk_recall_on_testdata(spark, sf_oracle):
 
 
 def test_chunk_overlap_hand_computed(spark):
-    """300 tokens at 128-window/96-stride: chunks start at 0/96/192/288
-    with lengths 128/128/108/12; empty docs produce no chunks."""
+    """300 tokens at 128-window/96-stride: chunks start at 0/96/192
+    with lengths 128/128/108 — NO fourth window (its 12 tokens are
+    already inside chunk 2); a 100-token doc fits one window; empty
+    docs produce no chunks."""
     from chicago_crash_data_pipeline_dashboard_spark.plans.llm_ops import (
         _CHUNK,
         _STRIDE,
     )
 
     assert (_CHUNK, _STRIDE) == (128, 96)
-    rows = [(1, " ".join(f"w{i}" for i in range(300)), "s"), (2, "", "s")]
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(300)), "s"),
+        (2, "", "s"),
+        (3, " ".join(f"w{i}" for i in range(100)), "s"),
+    ]
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     toks = df.select(
         "doc_id",
         TX.tokens(F.col("text")).alias("t"),
         TX.token_count(F.col("text")).alias("n_tokens"),
-    ).withColumn("nc", F.expr(f"(n_tokens + {_STRIDE} - 1) DIV {_STRIDE}"))
+    ).withColumn(
+        "nc",
+        F.expr(
+            f"CASE WHEN n_tokens = 0 THEN 0 ELSE "
+            f"1 + (greatest(n_tokens - {_CHUNK}, 0) + {_STRIDE} - 1) DIV {_STRIDE} END"
+        ),
+    )
     got = {r.doc_id: r.nc for r in toks.collect()}
-    assert got == {1: 4, 2: 0}
+    assert got == {1: 3, 2: 0, 3: 1}
     chunks = toks.select(
         "doc_id",
         F.explode(
@@ -549,4 +561,4 @@ def test_chunk_overlap_hand_computed(spark):
         "doc_id", "ci", F.size(F.slice(F.col("t"), F.col("ci") * _STRIDE + 1, _CHUNK)).alias("n")
     )
     lens = sorted((r.doc_id, r.ci, r.n) for r in chunks.collect())
-    assert lens == [(1, 0, 128), (1, 1, 128), (1, 2, 108), (1, 3, 12)]
+    assert lens == [(1, 0, 128), (1, 1, 128), (1, 2, 108), (3, 0, 100)]

@@ -397,12 +397,18 @@ def test_pack_and_chunk_arithmetic_match_models(spark, counts):
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
     out = df.withColumn("start_off", start).withColumn(
         "bin_id", F.expr("start_off DIV 512")
-    ).withColumn("nc", F.expr("(n_tokens + 95) DIV 96"))
+    ).withColumn(
+        "nc",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0 ELSE "
+            "1 + (greatest(n_tokens - 128, 0) + 95) DIV 96 END"
+        ),
+    )
     got = {r.doc_id: (r.bin_id, r.nc) for r in out.collect()}
 
     acc = 0
     for i, n in enumerate(counts):
         exp_bin = acc // 512
-        exp_nc = (n + 95) // 96
+        exp_nc = 0 if n == 0 else 1 + (max(n - 128, 0) + 95) // 96
         assert got[i] == (exp_bin, exp_nc), f"doc {i} n={n} acc={acc}"
         acc += n
