@@ -207,7 +207,7 @@ def test_promo_star_scans_prune_dim_columns(spark, sf_oracle):
 def test_new_doc_gates_stay_jvm_side(spark, sf_oracle):
     """PII scrub / packing / bucketing are regex+window column plans —
     zero Python in the hot path."""
-    for name in ["doc_pii_scrub", "doc_pack_bins", "doc_quality_buckets"]:
+    for name in ["doc_pii_scrub", "doc_pack_bins", "doc_quality_buckets", "doc_chunk_overlap"]:
         plan = plan_of(QUERIES[name].fn(spark, sf_oracle), "simple")
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
 
