@@ -63,6 +63,8 @@ _VERIFY_FIRST = [
     "emb_pq_topk",  # new in r4 (product-quantization ANN + exact refine)
     "bucketed_join_agg",  # new in r4 (co-located bucketed join gate)
     "doc_chunk_overlap",  # new in r4 (sliding-window chunking)
+    "sql_adhoc_query",  # new in r4 (verbatim SQL pass-through, one text two engines)
+    "event_props_json",  # new in r4 (schema-on-read JSON extraction)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -91,6 +93,8 @@ _ROTATION_BENCHED = [
     "pivot_hour_dow",  # green r2+r3, benched r4
     "rate_by_priority",  # green r2+r3, benched r4
     "running_customer_revenue",  # green r2+r3, benched r4
+    "sliding_event_counts",  # green r2+r3, benched r4
+    "event_error_click_window",  # green r2+r3, benched r4
 ]
 
 

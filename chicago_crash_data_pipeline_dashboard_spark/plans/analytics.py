@@ -1471,3 +1471,71 @@ def event_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     z = z_value([F.col("user_id"), F.hour("ts").cast("long")], bits=16)
     return ev.select("event_id", z.alias("z"))
+
+
+# --------------------------------------------------------------------------
+# Ad-hoc SQL pass-through + semi-structured JSON extraction
+# --------------------------------------------------------------------------
+
+# ONE SQL text, TWO engines: written in the ANSI subset Spark SQL and
+# DuckDB share (standard joins, DATE literals, CAST/DECIMAL routing,
+# no engine-specific functions), it runs verbatim through spark.sql()
+# AND as its own DuckDB oracle — the reference dashboard's ad-hoc SQL
+# box (user-typed SQL against the warehouse) re-expressed on Spark.
+_ADHOC_SQL = """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY o.o_orderpriority
+    """
+
+
+@register(
+    "sql_adhoc_query",
+    oracle=_ADHOC_SQL,
+    doc="Ad-hoc SQL entry point: the parquet tables register as temp "
+    "views and ONE user-style SQL string executes verbatim via "
+    "spark.sql() — the same text is the DuckDB oracle, so the gate "
+    "proves dialect-portable SQL round-trips identically through "
+    "Catalyst (predicate pushdown, broadcast, codegen all still apply "
+    "to SQL-entered plans exactly as to DataFrame-built ones).",
+)
+def sql_adhoc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ADHOC_SQL)
+
+
+@register(
+    "event_props_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured schema-on-read: the events.props JSON string "
+    "column parses through from_json with an explicit schema (the "
+    "idiomatic Spark path — one JVM-side parse, malformed/missing "
+    "keys become NULL, never an error) and aggregates the extracted "
+    "field per event type; the oracle uses DuckDB's json_extract on "
+    "the same strings. At 100 TB this is the schema-evolution seam: "
+    "new JSON keys land in data before columns exist in tables.",
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    per = ev.select("event_type", k.alias("k"))
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
+    )
