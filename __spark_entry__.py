@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "doc_chunk_overlap",  # new in r4 (sliding-window chunking)
     "sql_adhoc_query",  # new in r4 (verbatim SQL pass-through, one text two engines)
     "event_props_json",  # new in r4 (schema-on-read JSON extraction)
+    "schema_evolution_merge",  # new in r4 (mergeSchema backfill gate)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -95,6 +96,7 @@ _ROTATION_BENCHED = [
     "running_customer_revenue",  # green r2+r3, benched r4
     "sliding_event_counts",  # green r2+r3, benched r4
     "event_error_click_window",  # green r2+r3, benched r4
+    "event_asof_last_click",  # green r2+r3, benched r4
 ]
 
 

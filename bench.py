@@ -62,6 +62,7 @@ SKIP = {
     "compact_small_files",
     "orc_roundtrip_stats",
     "bucketed_join_agg",
+    "schema_evolution_merge",
     "silver_catalog_validate",
     "event_sessions_stream",
     "event_first_seen_stream",

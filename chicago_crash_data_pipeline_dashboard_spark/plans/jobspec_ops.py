@@ -461,3 +461,56 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql("DROP TABLE IF EXISTS gate_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+                    '<pre-evolution>') AS priority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Parquet schema-evolution gate: an 'old' batch (o_orderkey, "
+    "o_totalprice) and a 'new' batch that adds o_orderpriority are "
+    "written as separate files under one dataset root, read back with "
+    "mergeSchema=true, and the union'd schema must backfill the "
+    "pre-evolution rows with NULL for the added column — the lakehouse "
+    "seam where producers add columns before every old file is "
+    "rewritten. The oracle recomputes the same split straight from the "
+    "orders view (even keys = old batch, NULL priority).",
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="ccpd_evolve_")
+    try:
+        base = f"{tmp}/orders_evolving"
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.parquet(f"{base}/batch=old")
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.parquet(f"{base}/batch=new")
+        merged = spark.read.option("mergeSchema", "true").parquet(base)
+        out = (
+            merged.groupBy(
+                F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+        rows = out.collect()  # eager: tmp dir is removed in finally
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
