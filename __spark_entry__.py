@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "sql_adhoc_query",  # new in r4 (verbatim SQL pass-through, one text two engines)
     "event_props_json",  # new in r4 (schema-on-read JSON extraction)
     "schema_evolution_merge",  # new in r4 (mergeSchema backfill gate)
+    "json_malformed_ingest",  # new in r4 (PERMISSIVE corrupt-record gate)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -97,6 +98,7 @@ _ROTATION_BENCHED = [
     "sliding_event_counts",  # green r2+r3, benched r4
     "event_error_click_window",  # green r2+r3, benched r4
     "event_asof_last_click",  # green r2+r3, benched r4
+    "event_sessions",  # green r2+r3, benched r4
 ]
 
 

@@ -63,6 +63,7 @@ SKIP = {
     "orc_roundtrip_stats",
     "bucketed_join_agg",
     "schema_evolution_merge",
+    "json_malformed_ingest",
     "silver_catalog_validate",
     "event_sessions_stream",
     "event_first_seen_stream",

@@ -514,3 +514,70 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "json_malformed_ingest",
+    oracle="""
+    WITH idx AS (SELECT i FROM range(0, 600) t(i)),
+    shaped AS (
+      SELECT i,
+             (i % 7 = 0) AS corrupt,
+             (i % 7 <> 0 AND i % 11 = 0) AS missing_v
+      FROM idx
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN missing_v THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_v,
+           CAST(SUM(CASE WHEN NOT corrupt THEN i ELSE 0 END) AS BIGINT) AS sum_id_parsed,
+           CAST(SUM(CAST(CASE WHEN NOT corrupt AND NOT missing_v THEN i * 0.5 ELSE 0 END
+                         AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+    FROM shaped
+    """,
+    doc="Error-tolerant ingestion gate (the S6/S7 PERMISSIVE contract "
+    "under real dirt): a fixture of 600 JSON lines — every 7th "
+    "syntactically broken, every 11th missing a field — reads under an "
+    "explicit schema with _corrupt_record; broken lines must surface "
+    "whole in the corrupt column (all data fields NULL), missing "
+    "fields must parse as NULL without poisoning the row, and nothing "
+    "may be dropped or raised. The oracle recomputes every aggregate "
+    "from the fixture's closed-form index arithmetic. At 100 TB a "
+    "reader that throws on the first bad crawl record never finishes; "
+    "quarantine-and-continue is the only viable contract.",
+)
+def json_malformed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    lines = []
+    for i in range(600):
+        if i % 7 == 0:
+            lines.append(f'{{"id": {i}, "v": ')  # truncated JSON
+        elif i % 11 == 0:
+            lines.append(f'{{"id": {i}}}')
+        else:
+            lines.append(f'{{"id": {i}, "v": {i * 0.5}}}')
+    tmp = tempfile.mkdtemp(prefix="ccpd_dirty_")
+    try:
+        path = f"{tmp}/dirty.json"
+        with open(path, "w") as f:
+            f.write("\n".join(lines))
+        df = spark.read.schema("id long, v double, _corrupt_record string").json(
+            path, mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record"
+        )
+        bad = F.col("_corrupt_record").isNotNull()
+        out = df.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+            F.sum(F.when(~bad & F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_v"),
+            F.sum(F.when(~bad, F.col("id")).otherwise(0)).alias("sum_id_parsed"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0.0)).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_v"),
+        )
+        rows = out.collect()  # eager: tmp file removed in finally
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
