@@ -1503,39 +1503,84 @@ _ADHOC_SQL = """
     "to SQL-entered plans exactly as to DataFrame-built ones).",
 )
 def sql_adhoc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("orders", "lineitem"):
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_ADHOC_SQL)
+    # drop the views after analysis: spark.sql resolves them eagerly,
+    # so the returned plan stays valid while the catalog names don't
+    # leak into the shared session (a later spark.table("orders")
+    # would otherwise silently read THIS sf_dir's parquet)
+    try:
+        for t in ("orders", "lineitem"):
+            load(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(_ADHOC_SQL)
+    finally:
+        for t in ("orders", "lineitem"):
+            spark.catalog.dropTempView(t)
 
 
 @register(
     "event_props_json",
     oracle="""
+    WITH dirty AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN '{"other": 1}'
+                  WHEN event_id % 17 = 0 THEN '{bad'
+                  ELSE props END AS p
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_type,
+             json_valid(p) AS ok,
+             CASE WHEN json_valid(p)
+                  THEN TRY_CAST(json_extract(p, '$.k') AS BIGINT) END AS k
+      FROM dirty
+    )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_json,
+           CAST(SUM(CASE WHEN ok AND k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k
+    FROM parsed
     GROUP BY event_type
     """,
-    doc="Semi-structured schema-on-read: the events.props JSON string "
-    "column parses through from_json with an explicit schema (the "
-    "idiomatic Spark path — one JVM-side parse, malformed/missing "
-    "keys become NULL, never an error) and aggregates the extracted "
-    "field per event type; the oracle uses DuckDB's json_extract on "
-    "the same strings. At 100 TB this is the schema-evolution seam: "
-    "new JSON keys land in data before columns exist in tables.",
+    doc="Semi-structured schema-on-read under real dirt: every 13th "
+    "event's props loses its key and every 17th becomes malformed "
+    "JSON (deterministic injection, same expression both engines — "
+    "the fixture corpus is 100% clean so without it the NULL legs "
+    "would be dead code), then from_json with an explicit schema "
+    "parses the rest: malformed rows yield a NULL struct, missing "
+    "keys a NULL field — never an error — and both populations are "
+    "counted separately per event type (malformed detection via "
+    "from_json's columnNameOfCorruptRecord option: the struct itself "
+    "comes back non-null for bad input). The oracle guards with "
+    "json_valid + TRY_CAST because DuckDB's json_extract throws on "
+    "malformed input where from_json degrades. At 100 TB this is the "
+    "schema-evolution seam: new JSON keys land in data before columns "
+    "exist in tables.",
 )
 def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "k long")["k"]
-    per = ev.select("event_type", k.alias("k"))
+    p = (
+        F.when(F.col("event_id") % 13 == 0, F.lit('{"other": 1}'))
+        .when(F.col("event_id") % 17 == 0, F.lit("{bad"))
+        .otherwise(F.col("props"))
+    )
+    s = F.from_json(
+        p, "k long, _bad string", {"columnNameOfCorruptRecord": "_bad"}
+    )
+    parsed = ev.select("event_type", s.alias("s"))
+    per = parsed.select(
+        "event_type",
+        F.col("s")["_bad"].isNotNull().alias("bad"),
+        F.col("s")["k"].alias("k"),
+    )
     return per.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").alias("sum_k"),
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
-        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0)).cast("long").alias("n_bad_json"),
+        F.sum(F.when(~F.col("bad") & F.col("k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_k"),
     )

@@ -573,7 +573,14 @@ def json_malformed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_missing_v"),
             F.sum(F.when(~bad, F.col("id")).otherwise(0)).alias("sum_id_parsed"),
-            F.sum(F.coalesce(F.col("v"), F.lit(0.0)).cast("decimal(25,6)"))
+            # gate on ~bad like every other aggregate: Spark's PERMISSIVE
+            # partial-results can populate fields on quarantined rows
+            # (fixture-shape dependent), and the oracle zeroes them
+            F.sum(
+                F.when(~bad, F.coalesce(F.col("v"), F.lit(0.0)))
+                .otherwise(0.0)
+                .cast("decimal(25,6)")
+            )
             .cast("double")
             .alias("sum_v"),
         )
