@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "event_props_json",  # new in r4 (schema-on-read JSON extraction)
     "schema_evolution_merge",  # new in r4 (mergeSchema backfill gate)
     "json_malformed_ingest",  # new in r4 (PERMISSIVE corrupt-record gate)
+    "partition_overwrite_dynamic",  # new in r4 (partition-scoped backfill)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -99,6 +100,7 @@ _ROTATION_BENCHED = [
     "event_error_click_window",  # green r2+r3, benched r4
     "event_asof_last_click",  # green r2+r3, benched r4
     "event_sessions",  # green r2+r3, benched r4
+    "event_zorder_keys",  # green r2+r3, benched r4
 ]
 
 

@@ -64,6 +64,7 @@ SKIP = {
     "bucketed_join_agg",
     "schema_evolution_merge",
     "json_malformed_ingest",
+    "partition_overwrite_dynamic",
     "silver_catalog_validate",
     "event_sessions_stream",
     "event_first_seen_stream",

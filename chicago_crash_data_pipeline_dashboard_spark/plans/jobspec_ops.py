@@ -588,3 +588,53 @@ def json_malformed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "partition_overwrite_dynamic",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+                              ELSE value END AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Dynamic partition overwrite gate — the 'backfill one day' "
+    "write path: events is written hive-partitioned by event_type, "
+    "then ONLY the click partition is rewritten (values doubled) via "
+    "partitionOverwriteMode=dynamic with an overwrite that carries "
+    "just click rows; static mode would TRUNCATE the whole table "
+    "here, so the gate proves the other four partitions survive "
+    "byte-for-byte (counts + exact decimal sums vs the oracle's "
+    "recomputation from the source view). At 100 TB nobody rewrites "
+    "the table to fix a day; partition-scoped overwrite is the "
+    "idempotent reprocessing primitive.",
+)
+def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="ccpd_dynpart_")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        base = f"{tmp}/events_part"
+        ev.write.partitionBy("event_type").parquet(base)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        fixed = ev.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") * 2
+        )
+        fixed.write.mode("overwrite").partitionBy("event_type").parquet(base)
+        back = spark.read.parquet(base)
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        rows = out.collect()  # eager: tmp dir removed in finally
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
