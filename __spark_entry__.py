@@ -68,6 +68,9 @@ _VERIFY_FIRST = [
     "schema_evolution_merge",  # new in r4 (mergeSchema backfill gate)
     "json_malformed_ingest",  # new in r4 (PERMISSIVE corrupt-record gate)
     "partition_overwrite_dynamic",  # new in r4 (partition-scoped backfill)
+    "incremental_agg_merge",  # new in r4 (partial-agg merge = IVM combine)
+    "event_funnel_steps",  # new in r4 (ordered conversion funnel)
+    "user_retention_cohorts",  # new in r4 (weekly retention triangle)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -101,6 +104,9 @@ _ROTATION_BENCHED = [
     "event_asof_last_click",  # green r2+r3, benched r4
     "event_sessions",  # green r2+r3, benched r4
     "event_zorder_keys",  # green r2+r3, benched r4
+    "anti_join_new_keys",  # green r2+r3, benched r4
+    "topk_orders_by_revenue",  # green r2+r3, benched r4
+    "quantiles",  # green r2+r3, benched r4
 ]
 
 

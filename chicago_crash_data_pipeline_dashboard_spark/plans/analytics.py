@@ -1584,3 +1584,127 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_missing_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel / cohort / incremental-aggregation — the classic product-
+# analytics workloads a reference-dashboard user runs daily
+# --------------------------------------------------------------------------
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT user_id % 50 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id % 50
+    """,
+    doc="Incremental aggregate maintenance: history (ts < cutoff) and a "
+    "new batch (ts >= cutoff) aggregate SEPARATELY into mergeable "
+    "partials (count, decimal sum), then union + re-aggregate — the "
+    "combine step of incremental view maintenance, where yesterday's "
+    "rollup never recomputes. The oracle recomputes from scratch over "
+    "all events, proving partial-merge equals full recompute exactly "
+    "(decimal routing makes the sums associative across any batch "
+    "boundary). At 100 TB the history partial is a stored table and "
+    "only the delta scans.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cutoff = "2024-01-15 00:00:00"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy((F.col("user_id") % 50).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value_d"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_d").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "event_funnel_steps",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+    doc="Ordered conversion funnel (view → click → purchase): each step "
+    "keeps only users whose step event strictly FOLLOWS their previous "
+    "step's first occurrence (min-ts chain via join-then-min, not mere "
+    "set intersection — a user who purchased before ever viewing does "
+    "not convert). Three aggregates + two equi-joins on user_id; every "
+    "stage co-partitions on the same key, so at scale the chain is one "
+    "shuffle family, not three.",
+)
+def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
+        df = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            df = df.join(prev.withColumnRenamed("t", "_pt"), "user_id").filter(
+                F.col("ts") > F.col("_pt")
+            )
+        return df.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, min(w) AS cohort_week FROM weekly GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST((w.w - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+    GROUP BY c.cohort_week, (w.w - c.cohort_week) // 7
+    """,
+    doc="Weekly retention cohorts: users cohort by their first active "
+    "ISO week (date_trunc('week') — Monday-based in BOTH engines), and "
+    "each later active week counts them at integer week offsets — the "
+    "classic retention triangle. Two shuffles (distinct user-weeks, "
+    "then the cohort join re-uses the user_id partitioning); day "
+    "arithmetic stays integer end-to-end.",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    j = weekly.join(cohorts, "user_id")
+    off = (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("long")
+    return j.groupBy("cohort_week", off.alias("week_offset")).agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
