@@ -1527,8 +1527,17 @@ def sql_adhoc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     parsed AS (
+      -- "bad" mirrors Spark's from_json corrupt semantics exactly:
+      -- malformed JSON, OR a present k whose JSON type is not an
+      -- integer (from_json flags type mismatches as corrupt; a JSON
+      -- null or absent key is merely a NULL field)
+      -- CASE (not AND) around json_type: DuckDB evaluates AND operands
+      -- for every row, so json_extract would throw on malformed input
       SELECT event_type,
-             json_valid(p) AS ok,
+             CASE WHEN NOT json_valid(p) THEN FALSE
+                  WHEN json_extract(p, '$.k') IS NULL THEN TRUE
+                  ELSE json_type(json_extract(p, '$.k')) IN ('BIGINT', 'UBIGINT', 'NULL')
+             END AS ok,
              CASE WHEN json_valid(p)
                   THEN TRY_CAST(json_extract(p, '$.k') AS BIGINT) END AS k
       FROM dirty
@@ -1548,11 +1557,12 @@ def sql_adhoc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JSON (deterministic injection, same expression both engines — "
     "the fixture corpus is 100% clean so without it the NULL legs "
     "would be dead code), then from_json with an explicit schema "
-    "parses the rest: malformed rows yield a NULL struct, missing "
-    "keys a NULL field — never an error — and both populations are "
-    "counted separately per event type (malformed detection via "
-    "from_json's columnNameOfCorruptRecord option: the struct itself "
-    "comes back non-null for bad input). The oracle guards with "
+    "parses the rest: malformed rows and type-mismatched keys flag the "
+    "corrupt-record column (the struct is always NON-null — bad input "
+    "must be detected via columnNameOfCorruptRecord, not s.isNull()), "
+    "absent/JSON-null keys become a NULL field — never an error — and "
+    "both populations are counted separately per event type. The "
+    "oracle mirrors the same classification and guards with "
     "json_valid + TRY_CAST because DuckDB's json_extract throws on "
     "malformed input where from_json degrades. At 100 TB this is the "
     "schema-evolution seam: new JSON keys land in data before columns "
@@ -1571,7 +1581,7 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = ev.select("event_type", s.alias("s"))
     per = parsed.select(
         "event_type",
-        F.col("s")["_bad"].isNotNull().alias("bad"),
+        (~F.col("s")["_bad"].isNotNull()).alias("ok"),
         F.col("s")["k"].alias("k"),
     )
     return per.groupBy("event_type").agg(
@@ -1579,8 +1589,8 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
-        F.sum(F.when(F.col("bad"), 1).otherwise(0)).cast("long").alias("n_bad_json"),
-        F.sum(F.when(~F.col("bad") & F.col("k").isNull(), 1).otherwise(0))
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).cast("long").alias("n_bad_json"),
+        F.sum(F.when(F.col("ok") & F.col("k").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_missing_k"),
     )
@@ -1621,7 +1631,10 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value_d"),
         )
 
-    base = partial(ev.filter(F.col("ts") < cutoff))
+    # null-safe split: a NULL ts satisfies neither < nor >=, and a row
+    # vanishing from both partials would break partial-merge ≡ full
+    # recompute; NULL-ts rows bucket into history
+    base = partial(ev.filter((F.col("ts") < cutoff) | F.col("ts").isNull()))
     delta = partial(ev.filter(F.col("ts") >= cutoff))
     return (
         base.unionByName(delta)
@@ -1636,12 +1649,18 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_funnel_steps",
     oracle="""
-    WITH v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+    WITH f AS (
+      SELECT * FROM events
+      WHERE (event_type = 'view')
+         OR (event_type = 'click' AND event_id % 4 = 0)
+         OR (event_type = 'purchase' AND event_id % 6 = 0)
+    ),
+    v AS (SELECT user_id, min(ts) AS t FROM f WHERE event_type = 'view' GROUP BY user_id),
     c AS (SELECT e.user_id, min(e.ts) AS t
-          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+          FROM f e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
           WHERE e.event_type = 'click' GROUP BY e.user_id),
     p AS (SELECT e.user_id, min(e.ts) AS t
-          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+          FROM f e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
     SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
@@ -1651,12 +1670,22 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keeps only users whose step event strictly FOLLOWS their previous "
     "step's first occurrence (min-ts chain via join-then-min, not mere "
     "set intersection — a user who purchased before ever viewing does "
-    "not convert). Three aggregates + two equi-joins on user_id; every "
-    "stage co-partitions on the same key, so at scale the chain is one "
-    "shuffle family, not three.",
+    "not convert). Click/purchase events are deterministically thinned "
+    "(event_id % 4 / % 6, same predicate both engines) because every "
+    "fixture user otherwise converts at every step — thinned, the "
+    "ordered chain measurably diverges from naive set intersection "
+    "(112 vs 130 step-3 conversions at sf0.01), so the strictly-after "
+    "semantics are live under the gate. Three aggregates + two "
+    "equi-joins on user_id; every stage co-partitions on the same key, "
+    "so at scale the chain is one shuffle family, not three.",
 )
 def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    raw = load(spark, sf_dir, "events")
+    ev = raw.filter(
+        (F.col("event_type") == "view")
+        | ((F.col("event_type") == "click") & (F.col("event_id") % 4 == 0))
+        | ((F.col("event_type") == "purchase") & (F.col("event_id") % 6 == 0))
+    )
 
     def first_after(step: str, prev: DataFrame | None) -> DataFrame:
         df = ev.filter(F.col("event_type") == step)
@@ -1679,9 +1708,13 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "user_retention_cohorts",
     oracle="""
-    WITH weekly AS (
+    WITH f AS (
+      SELECT * FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-01' + CAST((user_id % 4) * 7 AS INTEGER)
+    ),
+    weekly AS (
       SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
-      FROM events
+      FROM f
     ),
     cohorts AS (SELECT user_id, min(w) AS cohort_week FROM weekly GROUP BY user_id)
     SELECT c.cohort_week,
@@ -1693,12 +1726,21 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Weekly retention cohorts: users cohort by their first active "
     "ISO week (date_trunc('week') — Monday-based in BOTH engines), and "
     "each later active week counts them at integer week offsets — the "
-    "classic retention triangle. Two shuffles (distinct user-weeks, "
+    "classic retention triangle. Each user's early events are "
+    "deterministically deferred by (user_id % 4) weeks on both engines "
+    "because every fixture user is otherwise active from week one — "
+    "one degenerate cohort would leave per-user cohort assignment "
+    "untested; staggered, four distinct cohorts populate the triangle "
+    "(~38 users each at sf0.01). Two shuffles (distinct user-weeks, "
     "then the cohort join re-uses the user_id partitioning); day "
     "arithmetic stays integer end-to-end.",
 )
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    raw = load(spark, sf_dir, "events")
+    ev = raw.filter(
+        F.col("ts").cast("date")
+        >= F.date_add(F.lit("2024-01-01").cast("date"), ((F.col("user_id") % 4) * 7).cast("int"))
+    )
     weekly = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
     ).distinct()

@@ -41,6 +41,32 @@ from ..sources.silver import (
 )
 from .registry import load, register
 
+# ---------------------------------------------------------------------------
+# Shared plumbing for the file-round-trip gates (compact / ORC / bucketed /
+# schema-evolution / dirty-JSON / partition-overwrite): one scratch-dir
+# lifecycle and one eager-materialization helper instead of per-gate copies.
+# ---------------------------------------------------------------------------
+import contextlib as _contextlib
+import shutil as _shutil
+import tempfile as _tempfile
+
+
+@_contextlib.contextmanager
+def _scratch_dir(prefix: str):
+    """Temp dir for a file round-trip gate, removed on exit."""
+    tmp = _tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield tmp
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _materialize(spark: SparkSession, out: DataFrame) -> DataFrame:
+    """Eagerly collect a gate result whose backing files/tables are
+    about to disappear, preserving the schema (these gates return
+    data, not a lazy plan)."""
+    return spark.createDataFrame(out.collect(), out.schema)
+
 # Injected run date for reproducible since_days/default predicates
 # (the reference reads the clock; build_where takes ``today`` so
 # incremental runs are replayable — jobspec.py docstring).
@@ -274,14 +300,10 @@ def silver_catalog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "survives because the hive layout is preserved per leaf.",
 )
 def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..sources.compact import compact_partitioned, dir_stats
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
-    tmp = tempfile.mkdtemp(prefix="ccpd_compact_")
-    try:
+    with _scratch_dir("ccpd_compact_") as tmp:
         base = f"{tmp}/events"
         ev.repartition(8).write.partitionBy("event_type").parquet(base)
         before = dir_stats(base)
@@ -303,12 +325,7 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("compacted_ok", F.lit(ok))
         )
-        # materialize before the tmp dir disappears — like pipeline_e2e,
-        # this gate is an eager file round-trip, not a lazy plan
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        return _materialize(spark, out)
 
 
 @register(
@@ -377,14 +394,10 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from the parquet view.",
 )
 def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..functions import text as TX
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    tmp = tempfile.mkdtemp(prefix="ccpd_orc_")
-    try:
+    with _scratch_dir("ccpd_orc_") as tmp:
         path = f"{tmp}/documents_orc"
         docs.select("doc_id", "lang", "text", "n_chars").write.mode(
             "overwrite"
@@ -395,12 +408,7 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.sum(TX.hash32(F.col("text"))).alias("text_checksum"),
         )
-        # eager file round-trip (like compact_small_files): materialize
-        # before the tmp dir disappears
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        return _materialize(spark, out)
 
 
 @register(
@@ -423,16 +431,13 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the parquet views.",
 )
 def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from ..operators.bucketing import bucketed_join, write_bucketed_table
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    tmp = tempfile.mkdtemp(prefix="ccpd_bucketed_")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
+    with _scratch_dir("ccpd_bucketed_") as tmp:
+      try:
         spark.sql("DROP TABLE IF EXISTS gate_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
         write_bucketed_table(o, "gate_bkt_orders", "o_custkey", 8, path=f"{tmp}/o")
@@ -453,14 +458,11 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("colocated_ok", F.lit(bool(colocated)))
         )
-        # eager: the backing tables/paths are dropped in finally
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
+        return _materialize(spark, out)
+      finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS gate_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
-        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(
@@ -483,12 +485,8 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders view (even keys = old batch, NULL priority).",
 )
 def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     o = load(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="ccpd_evolve_")
-    try:
+    with _scratch_dir("ccpd_evolve_") as tmp:
         base = f"{tmp}/orders_evolving"
         o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_totalprice"
@@ -510,10 +508,7 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_price"),
             )
         )
-        rows = out.collect()  # eager: tmp dir is removed in finally
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        return _materialize(spark, out)
 
 
 @register(
@@ -546,9 +541,6 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quarantine-and-continue is the only viable contract.",
 )
 def json_malformed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     lines = []
     for i in range(600):
         if i % 7 == 0:
@@ -557,8 +549,7 @@ def json_malformed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             lines.append(f'{{"id": {i}}}')
         else:
             lines.append(f'{{"id": {i}, "v": {i * 0.5}}}')
-    tmp = tempfile.mkdtemp(prefix="ccpd_dirty_")
-    try:
+    with _scratch_dir("ccpd_dirty_") as tmp:
         path = f"{tmp}/dirty.json"
         with open(path, "w") as f:
             f.write("\n".join(lines))
@@ -584,10 +575,7 @@ def json_malformed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_v"),
         )
-        rows = out.collect()  # eager: tmp file removed in finally
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        return _materialize(spark, out)
 
 
 @register(
@@ -612,13 +600,10 @@ def json_malformed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "idempotent reprocessing primitive.",
 )
 def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    tmp = tempfile.mkdtemp(prefix="ccpd_dynpart_")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
+    with _scratch_dir("ccpd_dynpart_") as tmp:
+      try:
         base = f"{tmp}/events_part"
         ev.write.partitionBy("event_type").parquet(base)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -633,8 +618,6 @@ def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_value"),
         )
-        rows = out.collect()  # eager: tmp dir removed in finally
-        return spark.createDataFrame(rows, out.schema)
-    finally:
+        return _materialize(spark, out)
+      finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        shutil.rmtree(tmp, ignore_errors=True)
