@@ -1,0 +1,115 @@
+"""Hand-fixture semantic pins for the funnel / cohort / incremental
+gates — the oracle suite proves Spark ≡ DuckDB on the shared corpus;
+these pin the SEMANTICS themselves on adversarial micro-fixtures
+(ordering violations, cohort staggering, null timestamps)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+T0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+
+def _t(s: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _funnel(spark, rows):
+    """The same min-ts chain event_funnel_steps uses, on explicit rows."""
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    def first_after(step, prev):
+        df = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            df = df.join(prev.withColumnRenamed("t", "_pt"), "user_id").filter(
+                F.col("ts") > F.col("_pt")
+            )
+        return df.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    return (
+        {r.user_id for r in v.collect()},
+        {r.user_id for r in c.collect()},
+        {r.user_id for r in p.collect()},
+    )
+
+
+def test_funnel_orders_strictly(spark):
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, "view", _t(0)), (1, "click", _t(10)), (1, "purchase", _t(20)),
+        # user 2: purchased BEFORE ever viewing — must NOT convert
+        (2, "purchase", _t(0)), (2, "view", _t(10)), (2, "click", _t(20)),
+        # user 3: clicked before viewing, again after — converts at click
+        # via the later click, but has no purchase
+        (3, "click", _t(0)), (3, "view", _t(10)), (3, "click", _t(20)),
+        # user 4: click at the SAME instant as first view — strict '>'
+        # excludes it
+        (4, "view", _t(0)), (4, "click", _t(0)),
+    ]
+    v, c, p = _funnel(spark, rows)
+    assert v == {1, 2, 3, 4}
+    assert c == {1, 2, 3}  # user 4's tie loses to strict ordering
+    assert p == {1}  # user 2's early purchase does not convert
+
+
+def test_cohort_offsets_per_user(spark):
+    # two users joining two weeks apart, each active in their join week
+    # and one later week — offsets are relative to EACH user's cohort
+    rows = [
+        (1, dt.datetime(2025, 6, 2)), (1, dt.datetime(2025, 6, 16)),  # Mon wk0, wk2
+        (2, dt.datetime(2025, 6, 16)), (2, dt.datetime(2025, 6, 23)),  # Mon wk0, wk1
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    j = weekly.join(cohorts, "user_id")
+    off = (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("long")
+    got = {
+        (r.cohort_week.isoformat(), r.week_offset, r.n_users)
+        for r in j.groupBy("cohort_week", off.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert got == {
+        ("2025-06-02", 0, 1), ("2025-06-02", 2, 1),
+        ("2025-06-16", 0, 1), ("2025-06-16", 1, 1),
+    }
+
+
+def test_incremental_merge_keeps_null_ts_rows(spark):
+    rows = [
+        (1, _t(0), 1.0),
+        (2, None, 2.5),  # NULL ts must land in the history partial
+        (3, _t(100), 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    cutoff = _t(50)
+
+    def partial(df):
+        return df.groupBy((F.col("user_id") % 50).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("s"),
+        )
+
+    base = partial(ev.filter((F.col("ts") < cutoff) | F.col("ts").isNull()))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"), F.sum("s").cast("double").alias("s"))
+    )
+    full = (
+        ev.groupBy((F.col("user_id") % 50).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("s"),
+        )
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
