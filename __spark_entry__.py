@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "incremental_agg_merge",  # new in r4 (partial-agg merge = IVM combine)
     "event_funnel_steps",  # new in r4 (ordered conversion funnel)
     "user_retention_cohorts",  # new in r4 (weekly retention triangle)
+    "event_dedup_watermark_stream",  # new in r4 (bounded-state stream dedup)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -107,6 +108,7 @@ _ROTATION_BENCHED = [
     "anti_join_new_keys",  # green r2+r3, benched r4
     "topk_orders_by_revenue",  # green r2+r3, benched r4
     "quantiles",  # green r2+r3, benched r4
+    "revenue_rollup",  # green r2+r3, benched r4
 ]
 
 

@@ -69,6 +69,7 @@ SKIP = {
     "event_sessions_stream",
     "event_first_seen_stream",
     "event_windowed_counts_stream",
+    "event_dedup_watermark_stream",
     "event_error_click_window_stream",
     "streaming_ingest_e2e",
 }

@@ -1750,3 +1750,79 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("cohort_week", off.alias("week_offset")).agg(
         F.count_distinct("user_id").alias("n_users")
     )
+
+
+@register(
+    "event_dedup_watermark_stream",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS one_row_per_pair,
+           TRUE AS pairs_covered
+    FROM (SELECT DISTINCT user_id, event_type FROM events) t
+    """,
+    doc="Streaming dedup with BOUNDED state (streaming/joins.py "
+    "dedup_within_watermark → dropDuplicatesWithinWatermark): "
+    "suppression state for a (user_id, event_type) pair expires two "
+    "hours past its event time, so 100 TB of historical keys never "
+    "accumulates — unlike running_dedup's keep-forever state, this is "
+    "the variant a long-lived production stream runs. WHICH row "
+    "survives depends on arrival order, so the gate checks the "
+    "deterministic invariants: exactly one emitted row per pair and "
+    "emitted-pair coverage of the table's distinct pair set.",
+)
+def event_dedup_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import dedup_within_watermark
+
+    emitted = _drain_events_stream(
+        spark,
+        sf_dir,
+        "ccpd_event_dedup_wm_stream",
+        # NTZ→LTZ cast (value-preserving under the UTC session):
+        # watermarks require TIMESTAMP, and 4.1 reads the testdata's
+        # TIMESTAMP(NANOS) parquet as timestamp_ntz
+        lambda stream: dedup_within_watermark(
+            stream.select(
+                "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+            ),
+            ["user_id", "event_type"],
+            ts_col="ts",
+            watermark_delay="2 hours",
+        ),
+    ).persist()
+    distinct_pairs = (
+        load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    stats = emitted.agg(
+        F.count_distinct("user_id", "event_type").alias("n_pairs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).crossJoin(
+        emitted.select("user_id", "event_type")
+        .distinct()
+        .join(distinct_pairs, ["user_id", "event_type"], "full_outer")
+        .agg(F.count(F.lit(1)).alias("n_union"))
+    )
+    row = stats.first()
+    emitted.unpersist()
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("n_pairs", T.LongType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+            T.StructField("one_row_per_pair", T.BooleanType(), False),
+            T.StructField("pairs_covered", T.BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                row["n_pairs"],
+                row["n_rows"],
+                bool(row["n_rows"] == row["n_pairs"]),
+                bool(row["n_union"] == row["n_pairs"]),
+            )
+        ],
+        out_schema,
+    )
