@@ -72,6 +72,7 @@ _VERIFY_FIRST = [
     "event_funnel_steps",  # new in r4 (ordered conversion funnel)
     "user_retention_cohorts",  # new in r4 (weekly retention triangle)
     "event_dedup_watermark_stream",  # new in r4 (bounded-state stream dedup)
+    "doc_quality_regression",  # new in r4 (exact-moment per-source OLS)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -109,6 +110,7 @@ _ROTATION_BENCHED = [
     "topk_orders_by_revenue",  # green r2+r3, benched r4
     "quantiles",  # green r2+r3, benched r4
     "revenue_rollup",  # green r2+r3, benched r4
+    "approx_sketch_stats",  # green r2+r3, benched r4
 ]
 
 

@@ -1464,3 +1464,65 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_full"),
         F.sum("h").alias("chunk_checksum"),
     )
+
+
+@register(
+    "doc_quality_regression",
+    oracle=f"""
+    WITH pts AS (
+      SELECT source,
+             CAST(CAST({_TOKCNT} AS BIGINT) AS DECIMAL(25,6)) AS x,
+             CAST({_QUALITY} AS DECIMAL(25,6)) AS y
+      FROM documents
+    ),
+    mom AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY source
+    )
+    SELECT source, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / n, 6) AS intercept
+    FROM mom
+    """,
+    doc="Per-source OLS regression of quality on token count, computed "
+    "from EXACT decimal moments (n, Σx, Σy, Σxy, Σx²) so the slope and "
+    "intercept are order-independent and bit-identical across engines "
+    "— the built-in regr_slope/regr_intercept fold doubles in "
+    "engine-specific order and were deliberately bypassed. One "
+    "group-by; the moments are mergeable partials, so the same "
+    "expression incrementalizes (see incremental_agg_merge) and "
+    "distributes at any scale. The corpus-curation use: a source "
+    "whose quality DROPS with length is boilerplate-padded.",
+)
+def doc_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    p = TX.text_profile(F.col("text"))
+    pts = d.select(
+        "source",
+        p["n_tokens"].cast("decimal(25,6)").alias("x"),
+        p["quality"].cast("decimal(25,6)").alias("y"),
+    )
+    mom = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope_d = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    return mom.select(
+        "source",
+        "n",
+        F.round(slope_d, 6).alias("slope"),
+        F.round((sy.cast("double") - slope_d * sx.cast("double")) / n, 6).alias(
+            "intercept"
+        ),
+    )
