@@ -1099,6 +1099,53 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _key_coverage_gate(
+    spark: SparkSession,
+    emitted: DataFrame,
+    key_cols: list[str],
+    table_keys: DataFrame,
+    names: tuple[str, str, str, str],
+) -> DataFrame:
+    """Shared invariant row for the streaming-dedup gates: exactly one
+    emitted row per key tuple, and the emitted key set covers the
+    table's distinct key set. WHICH row a streaming dedup emits depends
+    on arrival order, so these are the deterministic checks."""
+    from pyspark.sql import types as T
+
+    emitted = emitted.persist()
+    stats = emitted.agg(
+        F.count_distinct(*[F.col(k) for k in key_cols]).alias("nk"),
+        F.count(F.lit(1)).alias("nr"),
+    ).crossJoin(
+        emitted.select(*key_cols)
+        .distinct()
+        .join(table_keys, key_cols, "full_outer")
+        .agg(F.count(F.lit(1)).alias("nu"))
+    )
+    row = stats.first()
+    emitted.unpersist()
+    n_name, rows_name, one_name, cov_name = names
+    out_schema = T.StructType(
+        [
+            T.StructField(n_name, T.LongType(), False),
+            T.StructField(rows_name, T.LongType(), False),
+            T.StructField(one_name, T.BooleanType(), False),
+            T.StructField(cov_name, T.BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                row["nk"],
+                row["nr"],
+                bool(row["nr"] == row["nk"]),
+                bool(row["nu"] == row["nk"]),
+            )
+        ],
+        out_schema,
+    )
+
+
 def _drain_events_stream(
     spark: SparkSession, sf_dir: str, name: str, build_query, n_streams: int = 1
 ):
@@ -1234,40 +1281,14 @@ def event_first_seen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "ccpd_event_first_seen_stream",
         lambda stream: running_dedup(stream.select("user_id", "event_id"), "user_id"),
-    ).persist()
+    )
     distinct_keys = load(spark, sf_dir, "events").select("user_id").distinct()
-    stats = emitted.agg(
-        F.count_distinct("user_id").alias("n_keys"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).crossJoin(
-        emitted.select("user_id")
-        .distinct()
-        .join(distinct_keys, "user_id", "full_outer")
-        .agg(F.count(F.lit(1)).alias("n_union"))
-    )
-    row = stats.first()
-    emitted.unpersist()
-
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(
-        [
-            T.StructField("n_keys", T.LongType(), False),
-            T.StructField("n_rows", T.LongType(), False),
-            T.StructField("one_row_per_key", T.BooleanType(), False),
-            T.StructField("keys_covered", T.BooleanType(), False),
-        ]
-    )
-    return spark.createDataFrame(
-        [
-            (
-                row["n_keys"],
-                row["n_rows"],
-                bool(row["n_rows"] == row["n_keys"]),
-                bool(row["n_union"] == row["n_keys"]),
-            )
-        ],
-        out_schema,
+    return _key_coverage_gate(
+        spark,
+        emitted,
+        ["user_id"],
+        distinct_keys,
+        ("n_keys", "n_rows", "one_row_per_key", "keys_covered"),
     )
 
 
@@ -1646,6 +1667,42 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_chain(ev: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")):
+    """Per-user first-qualifying-ts frames for an ordered funnel: each
+    step keeps only rows strictly AFTER the user's previous step's
+    first occurrence. Shared by the registered gate and the semantic
+    pins in tests/test_analytics_semantics.py — edit here, both move."""
+
+    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
+        df = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            df = df.join(prev.withColumnRenamed("t", "_pt"), "user_id").filter(
+                F.col("ts") > F.col("_pt")
+            )
+        return df.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    out, prev = [], None
+    for step in steps:
+        prev = first_after(step, prev)
+        out.append(prev)
+    return out
+
+
+def cohort_triangle(ev: DataFrame) -> DataFrame:
+    """Weekly retention triangle: cohort = each user's first active ISO
+    week, counted at integer week offsets. Shared by the registered
+    gate and tests/test_analytics_semantics.py."""
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    j = weekly.join(cohorts, "user_id")
+    off = (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("long")
+    return j.groupBy("cohort_week", off.alias("week_offset")).agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
 @register(
     "event_funnel_steps",
     oracle="""
@@ -1686,18 +1743,7 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("event_type") == "click") & (F.col("event_id") % 4 == 0))
         | ((F.col("event_type") == "purchase") & (F.col("event_id") % 6 == 0))
     )
-
-    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
-        df = ev.filter(F.col("event_type") == step)
-        if prev is not None:
-            df = df.join(prev.withColumnRenamed("t", "_pt"), "user_id").filter(
-                F.col("ts") > F.col("_pt")
-            )
-        return df.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    v = first_after("view", None)
-    c = first_after("click", v)
-    p = first_after("purchase", c)
+    v, c, p = funnel_chain(ev)
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
@@ -1741,15 +1787,7 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date")
         >= F.date_add(F.lit("2024-01-01").cast("date"), ((F.col("user_id") % 4) * 7).cast("int"))
     )
-    weekly = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
-    ).distinct()
-    cohorts = weekly.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
-    j = weekly.join(cohorts, "user_id")
-    off = (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("long")
-    return j.groupBy("cohort_week", off.alias("week_offset")).agg(
-        F.count_distinct("user_id").alias("n_users")
-    )
+    return cohort_triangle(ev)
 
 
 @register(
@@ -1769,7 +1807,12 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the variant a long-lived production stream runs. WHICH row "
     "survives depends on arrival order, so the gate checks the "
     "deterministic invariants: exactly one emitted row per pair and "
-    "emitted-pair coverage of the table's distinct pair set.",
+    "emitted-pair coverage of the table's distinct pair set. The "
+    "one-row claim is the SINGLE-micro-batch drain contract (the "
+    "fixture is one parquet file, so availableNow runs one batch and "
+    "state never expires mid-run); on a long-lived multi-batch stream "
+    "the operator's contract is rows-per-pair bounded by "
+    "watermark-horizon recurrences, not global uniqueness.",
 )
 def event_dedup_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import dedup_within_watermark
@@ -1789,40 +1832,14 @@ def event_dedup_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_col="ts",
             watermark_delay="2 hours",
         ),
-    ).persist()
+    )
     distinct_pairs = (
         load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
     )
-    stats = emitted.agg(
-        F.count_distinct("user_id", "event_type").alias("n_pairs"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).crossJoin(
-        emitted.select("user_id", "event_type")
-        .distinct()
-        .join(distinct_pairs, ["user_id", "event_type"], "full_outer")
-        .agg(F.count(F.lit(1)).alias("n_union"))
-    )
-    row = stats.first()
-    emitted.unpersist()
-
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(
-        [
-            T.StructField("n_pairs", T.LongType(), False),
-            T.StructField("n_rows", T.LongType(), False),
-            T.StructField("one_row_per_pair", T.BooleanType(), False),
-            T.StructField("pairs_covered", T.BooleanType(), False),
-        ]
-    )
-    return spark.createDataFrame(
-        [
-            (
-                row["n_pairs"],
-                row["n_rows"],
-                bool(row["n_rows"] == row["n_pairs"]),
-                bool(row["n_union"] == row["n_pairs"]),
-            )
-        ],
-        out_schema,
+    return _key_coverage_gate(
+        spark,
+        emitted,
+        ["user_id", "event_type"],
+        distinct_pairs,
+        ("n_pairs", "n_rows", "one_row_per_pair", "pairs_covered"),
     )

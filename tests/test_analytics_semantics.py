@@ -1,7 +1,9 @@
 """Hand-fixture semantic pins for the funnel / cohort / incremental
 gates — the oracle suite proves Spark ≡ DuckDB on the shared corpus;
-these pin the SEMANTICS themselves on adversarial micro-fixtures
-(ordering violations, cohort staggering, null timestamps)."""
+these pin the SEMANTICS of the shared production transformations
+(plans/analytics.py funnel_chain / cohort_triangle — the registered
+queries call the same functions) on adversarial micro-fixtures:
+ordering violations, cohort staggering, null timestamps."""
 
 from __future__ import annotations
 
@@ -9,33 +11,16 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from chicago_crash_data_pipeline_dashboard_spark.plans.analytics import (
+    cohort_triangle,
+    funnel_chain,
+)
+
 T0 = dt.datetime(2025, 6, 1, 12, 0, 0)
 
 
 def _t(s: int) -> dt.datetime:
     return T0 + dt.timedelta(seconds=s)
-
-
-def _funnel(spark, rows):
-    """The same min-ts chain event_funnel_steps uses, on explicit rows."""
-    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
-
-    def first_after(step, prev):
-        df = ev.filter(F.col("event_type") == step)
-        if prev is not None:
-            df = df.join(prev.withColumnRenamed("t", "_pt"), "user_id").filter(
-                F.col("ts") > F.col("_pt")
-            )
-        return df.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    v = first_after("view", None)
-    c = first_after("click", v)
-    p = first_after("purchase", c)
-    return (
-        {r.user_id for r in v.collect()},
-        {r.user_id for r in c.collect()},
-        {r.user_id for r in p.collect()},
-    )
 
 
 def test_funnel_orders_strictly(spark):
@@ -51,10 +36,11 @@ def test_funnel_orders_strictly(spark):
         # excludes it
         (4, "view", _t(0)), (4, "click", _t(0)),
     ]
-    v, c, p = _funnel(spark, rows)
-    assert v == {1, 2, 3, 4}
-    assert c == {1, 2, 3}  # user 4's tie loses to strict ordering
-    assert p == {1}  # user 2's early purchase does not convert
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    v, c, p = funnel_chain(ev)
+    assert {r.user_id for r in v.collect()} == {1, 2, 3, 4}
+    assert {r.user_id for r in c.collect()} == {1, 2, 3}  # user 4's tie loses
+    assert {r.user_id for r in p.collect()} == {1}  # user 2's early purchase fails
 
 
 def test_cohort_offsets_per_user(spark):
@@ -65,17 +51,9 @@ def test_cohort_offsets_per_user(spark):
         (2, dt.datetime(2025, 6, 16)), (2, dt.datetime(2025, 6, 23)),  # Mon wk0, wk1
     ]
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
-    weekly = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
-    ).distinct()
-    cohorts = weekly.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
-    j = weekly.join(cohorts, "user_id")
-    off = (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("long")
     got = {
         (r.cohort_week.isoformat(), r.week_offset, r.n_users)
-        for r in j.groupBy("cohort_week", off.alias("week_offset"))
-        .agg(F.count_distinct("user_id").alias("n_users"))
-        .collect()
+        for r in cohort_triangle(ev).collect()
     }
     assert got == {
         ("2025-06-02", 0, 1), ("2025-06-02", 2, 1),
