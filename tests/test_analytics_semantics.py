@@ -91,3 +91,36 @@ def test_incremental_merge_keeps_null_ts_rows(spark):
         )
     )
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_ols_moments_match_numpy(spark):
+    """The exact-decimal-moment slope/intercept (doc_quality_regression's
+    formula) must agree with numpy's least-squares fit on arbitrary
+    integer-x / fixed-point-y points."""
+    import numpy as np
+
+    rng_pts = [
+        (i, (i * 37) % 113, round(0.003 * ((i * 53) % 97) + 0.1 * (i % 7), 6))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rng_pts, "i long, x long, y double")
+    pts = df.select(
+        F.col("x").cast("decimal(25,6)").alias("x"),
+        F.col("y").cast("decimal(25,6)").alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).first()
+    n, sx, sy = mom["n"], float(mom["sx"]), float(mom["sy"])
+    sxy, sxx = float(mom["sxy"]), float(mom["sxx"])
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    xs = np.array([p[1] for p in rng_pts], dtype=float)
+    ys = np.array([p[2] for p in rng_pts], dtype=float)
+    ref_slope, ref_intercept = np.polyfit(xs, ys, 1)
+    assert abs(slope - ref_slope) < 1e-9
+    assert abs(intercept - ref_intercept) < 1e-9
