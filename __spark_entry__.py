@@ -73,6 +73,7 @@ _VERIFY_FIRST = [
     "user_retention_cohorts",  # new in r4 (weekly retention triangle)
     "event_dedup_watermark_stream",  # new in r4 (bounded-state stream dedup)
     "doc_quality_regression",  # new in r4 (exact-moment per-source OLS)
+    "binary_file_ingest",  # new in r4 (binaryFile source → header decode)
     "crash_rule_eval",  # green r2, fell out of the r3 sample
     "doc_training_pipeline",  # green r2, fell out of the r3 sample
 ]
@@ -111,6 +112,7 @@ _ROTATION_BENCHED = [
     "quantiles",  # green r2+r3, benched r4
     "revenue_rollup",  # green r2+r3, benched r4
     "approx_sketch_stats",  # green r2+r3, benched r4
+    "customer_orders_wide",  # green r2+r3, benched r4
 ]
 
 

@@ -65,6 +65,7 @@ SKIP = {
     "schema_evolution_merge",
     "json_malformed_ingest",
     "partition_overwrite_dynamic",
+    "binary_file_ingest",
     "silver_catalog_validate",
     "event_sessions_stream",
     "event_first_seen_stream",

@@ -621,3 +621,82 @@ def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
       finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@register(
+    "binary_file_ingest",
+    oracle="""
+    WITH idx AS (SELECT i FROM range(0, 48) t(i)),
+    bmp AS (SELECT i, 8+(i%5) AS w, 6+(i%7) AS h FROM idx WHERE i%3=0),
+    wav AS (SELECT i, 1+(i%2) AS ch, 800+40*(i%10) AS fr FROM idx WHERE i%3=1),
+    ppm AS (SELECT i, 4+(i%4) AS w, 3+(i%6) AS h FROM idx WHERE i%3=2)
+    SELECT 'bmp' AS ext, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(54 + h*((3*w+3)//4*4)) AS BIGINT) AS total_bytes,
+           CAST(SUM(w) AS BIGINT) AS sum_width
+    FROM bmp
+    UNION ALL
+    SELECT 'wav', CAST(count(*) AS BIGINT), CAST(SUM(44 + fr*ch*2) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM wav
+    UNION ALL
+    SELECT 'ppm', CAST(count(*) AS BIGINT), CAST(SUM(11 + 3*w*h) AS BIGINT),
+           CAST(SUM(w) AS BIGINT)
+    FROM ppm
+    """,
+    doc="binaryFile-source ingestion — how raw media actually enters a "
+    "100 TB lake (one row per FILE: path, length, content bytes — no "
+    "parsing at scan time, lengths served from file metadata): 48 "
+    "deterministic BMP/WAV/PPM files are written to disk from the "
+    "closed-form fixture generators (operators/multimodal.py), read "
+    "back through spark.read.format('binaryFile'), decoded at the "
+    "header level (extract_media_meta's Arrow-batched mapInPandas), "
+    "and the per-extension file counts / byte totals / decoded widths "
+    "must reproduce the oracle's fixture arithmetic exactly.",
+)
+def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    with _scratch_dir("ccpd_binfile_") as tmp:
+        for i in range(48):
+            kind = i % 3
+            if kind == 0:
+                blob, ext = MM.make_bmp(8 + (i % 5), 6 + (i % 7), seed=i), "bmp"
+            elif kind == 1:
+                blob, ext = (
+                    MM.make_wav(800 + 40 * (i % 10), sample_rate=8000,
+                                n_channels=1 + (i % 2), seed=i),
+                    "wav",
+                )
+            else:
+                blob, ext = MM.make_ppm(4 + (i % 4), 3 + (i % 6), seed=i), "ppm"
+            with open(f"{tmp}/m{i:03d}.{ext}", "wb") as f:
+                f.write(blob)
+        files = spark.read.format("binaryFile").load(tmp)
+        media = files.select(
+            F.monotonically_increasing_id().alias("media_id"),
+            F.col("content"),
+            F.struct(
+                F.lit(None).cast("string").alias("media_type"),
+                F.element_at(F.split(F.col("path"), r"\."), -1).alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+                F.lit(None).cast("int").alias("n_channels"),
+            ).alias("meta"),
+        ).persist()  # pin the nondeterministic ids across the two uses
+        decoded = MM.extract_media_meta(media)
+        out = (
+            decoded.join(
+                media.select("media_id", F.col("meta")["format"].alias("ext")),
+                "media_id",
+            )
+            .groupBy("ext")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("n_bytes").alias("total_bytes"),
+                F.coalesce(F.sum("width"), F.lit(0)).cast("long").alias("sum_width"),
+            )
+        )
+        result = _materialize(spark, out)
+        media.unpersist()
+        return result
