@@ -173,7 +173,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            round(CAST(SUM(CAST(dup_line_frac AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_dup_line_frac,
            round(CAST(SUM(CAST(top2_frac AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_top2_frac,
-           SUM(CASE WHEN dup_line_frac > 0.30 OR top2_frac > 0.20 THEN 1 ELSE 0 END) AS n_flagged
+           CAST(SUM(CASE WHEN dup_line_frac > 0.30 OR top2_frac > 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
     FROM j GROUP BY source
     """,
     doc="Gopher-style repetition quality signals per source: duplicate "
