@@ -352,18 +352,38 @@ def _band_structs(bands: int, rows_per_band: int):
     )
 
 
-def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, max_bucket: int = 1000
+) -> DataFrame:
     """Band the signature; docs sharing any band-bucket are candidates.
-    One shuffle on (band, bucket-key)."""
+
+    One shuffle on (band, bucket-key): buckets are collected per key and
+    pairs explode in-array — the same shape as ``ngram_jaccard_pairs``,
+    replacing the former band-bucket self-join (two shuffles) with one.
+    Buckets larger than ``max_bucket`` are dropped at the collect (hot-
+    bucket skew guard: at 100 TB one degenerate band slice shared by
+    boilerplate/empty docs would otherwise make its bucket quadratic)."""
     banded = sigs.select(
         "doc", F.explode(_band_structs(bands, rows_per_band)).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
-    a = banded.select("band", "bucket", F.col("doc").alias("doc_a"))
-    b = banded.select("band", "bucket", F.col("doc").alias("doc_b"))
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+    )
+    docs = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -378,16 +398,24 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     seed: int = 42,
     hash_mode: str = "murmur3",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by signature-estimated
     Jaccard (fraction of equal signature positions) ≥ threshold.
 
-    Single-pass shape: the signature RIDES ALONG with each banded row,
-    so the band-bucket self-join already has both signatures in hand —
-    no re-join of the signature frame (which would re-run the md5 +
-    permutation map twice more) and only one extra shuffle for the
-    final pair distinct. The carried payload is num_hashes longs per
-    banded row — small next to the text it replaces."""
+    Single-pass shape: the signature RIDES ALONG with each banded row
+    into the (band, bucket) collect, so the in-bucket pair explode
+    already has both signatures in hand — no re-join of the signature
+    frame (which would re-run the md5 + permutation map twice more).
+    The carried payload is num_hashes longs per banded row — small next
+    to the text it replaces.
+
+    Buckets larger than ``max_bucket`` are dropped at the collect —
+    the hot-bucket skew guard. Without it, a degenerate band slice
+    (boilerplate/empty docs agreeing on one band) turns that bucket
+    quadratic at 100 TB; identical docs in a dropped bucket still
+    surface via the exact-dedup path (``dedup_exact``), which is the
+    right tool for literal clones anyway."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
@@ -398,15 +426,29 @@ def minhash_near_duplicates(
     banded = sigs.select(
         "doc", "signature", F.explode(_band_structs(bands, rows_per_band)).alias("bb")
     ).select("doc", "signature", "bb.band", "bb.bucket")
-    a = banded.select(
-        "band", "bucket", F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "signature"))).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
     )
-    b = banded.select(
-        "band", "bucket", F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b")
+    docs = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    x["signature"].alias("sig_a"),
+                    y["doc"].alias("doc_b"),
+                    y["signature"].alias("sig_b"),
+                ),
+            ),
+        )
     )
     est = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.sig_a", "p.doc_b", "p.sig_b")
         .withColumn(
             "est_jaccard",
             F.size(

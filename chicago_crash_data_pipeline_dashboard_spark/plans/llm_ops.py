@@ -736,7 +736,14 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int, bands: int, shingle_n: int, seed: int, threshold: float) -> str:
+def _minhash_oracle(
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    threshold: float,
+    max_bucket: int = 1000,
+) -> str:
     rows = num_hashes // bands
     params = DD._hash_params(num_hashes, seed)
     mins = ", ".join(
@@ -754,7 +761,12 @@ def _minhash_oracle(num_hashes: int, bands: int, shingle_n: int, seed: int, thre
     WITH sh AS (SELECT doc_id AS doc, {_shingles_sql(shingle_n)} AS shingles FROM documents),
     hv AS (SELECT doc, list_transform(shingles, s -> {_H32.format(s='s')}) AS hvals FROM sh),
     sig AS (SELECT doc, [{mins}] AS signature FROM hv),
-    banded AS ({banded}),
+    banded0 AS ({banded}),
+    hot AS (SELECT band, bucket FROM banded0
+            GROUP BY band, bucket HAVING count(*) > {max_bucket}),
+    banded AS (SELECT b.* FROM banded0 b
+               WHERE NOT EXISTS (SELECT 1 FROM hot h
+                                 WHERE h.band = b.band AND h.bucket = b.bucket)),
     cand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
       FROM banded a JOIN banded b USING (band, bucket)
@@ -776,19 +788,24 @@ def _minhash_oracle(num_hashes: int, bands: int, shingle_n: int, seed: int, thre
 
 @register(
     "doc_minhash_near_dups",
-    oracle=_minhash_oracle(num_hashes=32, bands=8, shingle_n=3, seed=42, threshold=0.5),
+    oracle=_minhash_oracle(
+        num_hashes=32, bands=8, shingle_n=3, seed=42, threshold=0.5, max_bucket=1000
+    ),
     doc="MinHash+LSH near-dup pairs (operators/dedup.py): 32 universal-hash "
     "permutations over md5-hashed 3-shingles, 8 bands × 4 rows banding, "
     "signature-estimated Jaccard ≥ 0.5. Signature build is a narrow map; "
-    "the only shuffles are the band-bucket join and candidate distinct — "
-    "linear-time candidate generation at 100 TB. The oracle reproduces "
-    "signatures exactly via the portable md5 hash mode.",
+    "the only shuffles are the (band, bucket) collect and the pair "
+    "distinct — linear-time candidate generation at 100 TB, with buckets "
+    "beyond max_bucket=1000 dropped (hot-bucket skew guard, mirrored in "
+    "the oracle's `hot` CTE). The oracle reproduces signatures exactly "
+    "via the portable md5 hash mode.",
 )
 def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return DD.minhash_near_duplicates(
         d, "doc_id", "text",
         threshold=0.5, num_hashes=32, bands=8, shingle_n=3, seed=42, hash_mode="md5",
+        max_bucket=1000,
     )
 
 

@@ -70,6 +70,74 @@ def test_minhash_near_duplicates(docs, hash_mode):
     assert (1, 4) not in pairs
 
 
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    """Corpus with a planted hot bucket: 6 identical clones share every
+    band bucket, so with max_bucket<6 all their buckets are dropped."""
+    pair_a = "spark catalyst rewrites logical plans into physical plans very quickly today"
+    pair_b = "spark catalyst rewrites logical plans into physical plans very quickly tonight"
+    rows = [(i, BASE, "clone") for i in range(10, 16)] + [
+        (1, pair_a, "a"),
+        (3, pair_b, "b"),
+        (4, OTHER, "b"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_minhash_hot_bucket_guard_drops_degenerate_bucket(hot_docs):
+    kw = dict(threshold=0.5, num_hashes=32, bands=8, shingle_n=3, hash_mode="md5")
+    # uncapped: the 6 clones yield all 15 clone pairs
+    pairs_all = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_near_duplicates(hot_docs, "doc_id", "text", **kw).collect()
+    }
+    clone_pairs = {(a, b) for a in range(10, 16) for b in range(a + 1, 16)}
+    assert clone_pairs <= pairs_all
+    assert (1, 3) in pairs_all
+    # capped below the clone-bucket size: clone pairs are dropped (the
+    # exact-dedup path owns literal clones), the small near-dup survives
+    pairs_capped = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_near_duplicates(
+            hot_docs, "doc_id", "text", max_bucket=5, **kw
+        ).collect()
+    }
+    assert not (clone_pairs & pairs_capped)
+    assert (1, 3) in pairs_capped
+
+
+def test_minhash_hot_bucket_guard_matches_oracle(spark, hot_docs, tmp_path):
+    """Differential: the capped Spark path vs the oracle's `hot` CTE on
+    the SAME corpus (written to parquet, viewed as `documents`)."""
+    import duckdb
+
+    from chicago_crash_data_pipeline_dashboard_spark.plans.llm_ops import _minhash_oracle
+
+    pq = str(tmp_path / "documents.parquet")
+    hot_docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    oracle_rows = {
+        tuple(r)
+        for r in con.execute(
+            _minhash_oracle(
+                num_hashes=32, bands=8, shingle_n=3, seed=42, threshold=0.5, max_bucket=5
+            )
+        ).fetchall()
+    }
+    con.close()
+    spark_rows = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in DD.minhash_near_duplicates(
+            hot_docs, "doc_id", "text",
+            threshold=0.5, num_hashes=32, bands=8, shingle_n=3, seed=42,
+            hash_mode="md5", max_bucket=5,
+        ).collect()
+    }
+    assert spark_rows == oracle_rows
+    assert spark_rows  # non-vacuous: the surviving near-dup pair is present
+
+
 @pytest.mark.parametrize("hash_mode", ["murmur3", "md5"])
 def test_simhash_identical_fingerprints(docs, hash_mode):
     fp = {r.doc: r.simhash for r in DD.simhash(docs, "doc_id", "text", hash_mode=hash_mode).collect()}

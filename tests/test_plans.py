@@ -233,3 +233,13 @@ def test_pq_topk_stays_jvm_side_with_folded_codebook(spark, sf_oracle):
     assert "EvalPython" not in plan
     assert "from_json" not in plan  # folded to a literal at plan time
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)]" in plan
+
+
+def test_minhash_cap_path_join_free_and_jvm_side(spark, sf_oracle):
+    """The hot-bucket-guarded MinHash plan is a (band, bucket) collect +
+    in-array pair explode — NO join node at all (the former band-bucket
+    self-join cost a second shuffle), and zero Python in the path."""
+    plan = plan_of(QUERIES["doc_minhash_near_dups"].fn(spark, sf_oracle), "simple")
+    assert "EvalPython" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node} in the minhash plan"
