@@ -155,11 +155,22 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def make_png(
-    width: int, height: int, seed: int = 0, filters: list[int] | None = None
+    width: int,
+    height: int,
+    seed: int = 0,
+    filters: list[int] | None = None,
+    compress_level: int = -1,
 ) -> bytes:
     """8-bit RGB non-interlaced PNG with deterministic pixels from
     ``seed``; ``filters`` optionally picks each scanline's filter type
-    (default all 0) so tests can drive every unfilter branch."""
+    (default all 0) so tests can drive every unfilter branch.
+
+    ``compress_level=0`` emits stored (uncompressed) deflate blocks,
+    making the byte size CLOSED-FORM for scanline data under 64 KiB:
+    len = 68 + height·(3·width+1) — signature 8 + IHDR 25 +
+    IDAT 12+(11+L) + IEND 12, with the zlib stream = 2-byte header +
+    5-byte stored-block header + L raw bytes + 4-byte adler. The media
+    fixture uses this so a SQL oracle can recompute total_bytes."""
     import zlib
 
     def chunk(typ: bytes, data: bytes) -> bytes:
@@ -188,7 +199,7 @@ def make_png(
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), compress_level))
         + chunk(b"IEND", b"")
     )
 
@@ -654,7 +665,7 @@ def make_media_fixture(spark, n: int = 64) -> DataFrame:
     """Deterministic REAL-format media fixture with CLOSED-FORM
     metadata: every size/duration is an integer function of the row
     index ``i``, so an oracle can recompute any aggregate without
-    seeing the bytes. kind = i % 4:
+    seeing the bytes. kind = i % 5:
 
     - 0 → **BMP** image, w=8+(i%5), h=6+(i%7),
       n_bytes = 54 + h·((3w+3)//4·4);
@@ -665,11 +676,13 @@ def make_media_fixture(spark, n: int = 64) -> DataFrame:
       11-byte header), n_bytes = 11 + 3wh;
     - 3 → synthetic **mp4 video** (no raw container format exists for
       video): opaque bytes n_bytes = 200+(i%7)·16, provided-meta
-      duration_ms = 5000+100i — the unparseable-container case.
+      duration_ms = 5000+100i — the unparseable-container case;
+    - 4 → **PNG** image (stored-block deflate), w=5+(i%3), h=4+(i%6),
+      n_bytes = 68 + h·(3w+1).
     """
     rows = []
     for i in range(n):
-        kind = i % 4
+        kind = i % 5
         if kind == 0:
             w, h = 8 + (i % 5), 6 + (i % 7)
             blob = make_bmp(w, h, seed=i)
@@ -685,10 +698,15 @@ def make_media_fixture(spark, n: int = 64) -> DataFrame:
             blob = make_ppm(w, h, seed=i)
             meta = {"media_type": "image", "format": "ppm", "width": w, "height": h,
                     "duration_ms": None, "n_channels": 3}
-        else:
+        elif kind == 3:
             blob = bytes((i + j) % 256 for j in range(200 + (i % 7) * 16))
             meta = {"media_type": "video", "format": "mp4", "width": 640, "height": 360,
                     "duration_ms": 5000 + 100 * i, "n_channels": None}
+        else:
+            w, h = 5 + (i % 3), 4 + (i % 6)
+            blob = make_png(w, h, seed=i, compress_level=0)
+            meta = {"media_type": "image", "format": "png", "width": w, "height": h,
+                    "duration_ms": None, "n_channels": 3}
         rows.append((i, bytearray(blob), meta))
     # few, fat rows: don't spread them over local[32]'s default
     # parallelism — 8 partitions keeps task overhead < data

@@ -987,11 +987,12 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # breaks total_bytes / width / duration equality.
 
 _MEDIA_STATS_ORACLE = """
-WITH idx AS (SELECT i FROM range(0, 96) t(i)),
-bmp AS (SELECT i, 8+(i%5) AS w, 6+(i%7) AS h FROM idx WHERE i%4=0),
-wav AS (SELECT i, 1+(i%2) AS ch, 800+40*(i%10) AS fr FROM idx WHERE i%4=1),
-ppm AS (SELECT i, 4+(i%4) AS w, 3+(i%6) AS h FROM idx WHERE i%4=2),
-vid AS (SELECT i, 200+(i%7)*16 AS nb, 5000+100*i AS dur FROM idx WHERE i%4=3)
+WITH idx AS (SELECT i FROM range(0, 100) t(i)),
+bmp AS (SELECT i, 8+(i%5) AS w, 6+(i%7) AS h FROM idx WHERE i%5=0),
+wav AS (SELECT i, 1+(i%2) AS ch, 800+40*(i%10) AS fr FROM idx WHERE i%5=1),
+ppm AS (SELECT i, 4+(i%4) AS w, 3+(i%6) AS h FROM idx WHERE i%5=2),
+vid AS (SELECT i, 200+(i%7)*16 AS nb, 5000+100*i AS dur FROM idx WHERE i%5=3),
+png AS (SELECT i, 5+(i%3) AS w, 4+(i%6) AS h FROM idx WHERE i%5=4)
 SELECT 'bmp' AS format, CAST(count(*) AS BIGINT) AS n_items,
        CAST(SUM(54 + h*((3*w+3)//4*4)) AS BIGINT) AS total_bytes,
        CAST(count(*) AS BIGINT) AS n_from_header,
@@ -1011,6 +1012,10 @@ UNION ALL
 SELECT 'mp4', CAST(count(*) AS BIGINT), CAST(SUM(nb) AS BIGINT),
        CAST(0 AS BIGINT), CAST(SUM(640) AS BIGINT), CAST(SUM(dur) AS BIGINT)
 FROM vid
+UNION ALL
+SELECT 'png', CAST(count(*) AS BIGINT), CAST(SUM(68 + h*(3*w+1)) AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(SUM(w) AS BIGINT), CAST(0 AS BIGINT)
+FROM png
 """
 
 
@@ -1018,14 +1023,16 @@ FROM vid
     "media_feature_stats",
     oracle=_MEDIA_STATS_ORACLE,
     doc="REAL header-level media decode (operators/multimodal.py "
-    "extract_media_meta): WAV/BMP/PPM width/height/duration/channels "
+    "extract_media_meta): WAV/BMP/PPM/PNG width/height/duration/channels "
     "parsed from the binary column's bytes in an Arrow-batched "
     "mapInPandas (mp4 rows fall back to provided metadata), then "
     "per-format integer aggregation checked against a closed-form "
-    "DuckDB oracle over the fixture's generator arithmetic.",
+    "DuckDB oracle over the fixture's generator arithmetic (PNG sizes "
+    "are closed-form because the fixture writes stored-block deflate: "
+    "68 + h*(3w+1) bytes).",
 )
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.make_media_fixture(spark, n=96)
+    media = MM.make_media_fixture(spark, n=100)
     meta = MM.extract_media_meta(media)
     return meta.groupBy("format").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -1041,7 +1048,7 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_frame_plan",
     oracle="""
-WITH vid AS (SELECT i, 5000+100*i AS dur FROM range(0, 96) t(i) WHERE i%4=3)
+WITH vid AS (SELECT i, 5000+100*i AS dur FROM range(0, 100) t(i) WHERE i%5=3)
 SELECT 'mp4' AS format, CAST(count(*) AS BIGINT) AS n_videos,
        CAST(SUM((dur-1)//1000 + 1) AS BIGINT) AS n_frames
 FROM vid
@@ -1052,7 +1059,7 @@ FROM vid
     "duration arithmetic.",
 )
 def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.make_media_fixture(spark, n=96)
+    media = MM.make_media_fixture(spark, n=100)
     frames = MM.frame_sample_plan(media, every_ms=1000)
     return frames.groupBy(F.col("meta.format").alias("format")).agg(
         F.countDistinct("media_id").alias("n_videos"),

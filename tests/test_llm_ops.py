@@ -232,12 +232,12 @@ def test_media_stub_fallback_is_flagged(spark):
     """on_undecodable='stub': codec rows degrade to sha256 features
     marked 'stub'; raw rows still decode for real, marked 'decoded' —
     provenance keeps the two populations distinguishable."""
-    media = MM.make_media_fixture(spark, n=8)  # ids 3, 7 are mp4
+    media = MM.make_media_fixture(spark, n=10)  # ids 3, 8 are mp4
     rows = {r.media_id: r for r in
             MM.decode_and_featurize(media, real_decode=True,
                                     on_undecodable="stub").collect()}
-    assert {i for i, r in rows.items() if r.feature_source == "stub"} == {3, 7}
-    assert {i for i, r in rows.items() if r.feature_source == "decoded"} == {0, 1, 2, 4, 5, 6}
+    assert {i for i, r in rows.items() if r.feature_source == "stub"} == {3, 8}
+    assert {i for i, r in rows.items() if r.feature_source == "decoded"} == {0, 1, 2, 4, 5, 6, 7, 9}
     assert all(len(r.features) == 16 for r in rows.values())
 
 
@@ -286,7 +286,7 @@ def test_media_real_decode_raw_formats(spark):
     )
     feats = {r.media_id: r.features for r in
              MM.decode_and_featurize(media, real_decode=True).collect()}
-    assert len(feats) == 24
+    assert len(feats) == 26  # 32 minus the 6 mp4 rows (i%5==3)
     for v in feats.values():
         assert len(v) == 16
         assert all(-1.0 <= x <= 1.0 for x in v)
@@ -326,16 +326,19 @@ def test_extract_media_meta_headers_beat_provided(spark):
     assert rows[2].meta_source == "header" and rows[2].format == "ppm"
     assert rows[3].meta_source == "provided" and rows[3].format == "mp4"
     assert rows[3].duration_ms == 5300
+    assert rows[4].meta_source == "header" and rows[4].format == "png"
+    assert rows[4].width == 6 and rows[4].height == 8  # w=5+(4%3), h=4+(4%6)
+    assert rows[4].n_bytes == 68 + 8 * (3 * 6 + 1)  # stored-block closed form
 
 
 def test_frame_sample_plan(spark):
-    media = MM.make_media_fixture(spark, n=9)  # ids 3, 7 are video
+    media = MM.make_media_fixture(spark, n=9)  # ids 3, 8 are video
     frames = MM.frame_sample_plan(media, every_ms=1000).collect()
     by_id = {}
     for r in frames:
         by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
-    # duration 5000+i*100 → ids 3, 7 → 5300, 5700 ms → 6 samples each
-    assert set(by_id) == {3, 7}
+    # duration 5000+i*100 → ids 3, 8 → 5300, 5800 ms → 6 samples each
+    assert set(by_id) == {3, 8}
     assert all(ts == sorted(ts) and ts[0] == 0 and len(ts) == 6 for ts in by_id.values())
 
 
