@@ -60,6 +60,7 @@ except ImportError:
 SKIP = {
     "pipeline_e2e",
     "compact_small_files",
+    "emb_ivf_pruned",
     "orc_roundtrip_stats",
     "bucketed_join_agg",
     "schema_evolution_merge",

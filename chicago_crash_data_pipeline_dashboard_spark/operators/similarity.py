@@ -252,14 +252,26 @@ def ivf_topk(
     tunes with n_probe/n_clusters; the corpus-side work is one k-means
     assignment plus a bucket join (no all-pairs scan)."""
     assigned, centroids = ivf_index(corpus, id_col, vec_col, n_clusters, seed)
+    q = _probed_queries(queries, centroids, id_col, vec_col, n_probe)
+    return _score_probed(assigned, q, k)
 
+
+def _probed_queries(
+    queries: DataFrame, centroids, id_col: str, vec_col: str, n_probe: int
+) -> DataFrame:
+    """Query side of an IVF search: one row per (query, probed cluster)."""
     probes = _probe_clusters(F.col(vec_col), centroids, n_probe)
-    q = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         VX.norm(F.col(vec_col)).alias("qn"),
         F.explode(probes).alias("_cluster"),
     )
+
+
+def _score_probed(assigned: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Exact cosine rerank of probed clusters: broadcast the (tiny)
+    exploded query side against the cluster-assigned corpus."""
     scored = (
         assigned.join(F.broadcast(q), "_cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -276,6 +288,66 @@ def ivf_topk(
         .distinct()
     )
     return _topk_by_cos(scored, k)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    train_sample: int = 65536,
+) -> list[list[float]]:
+    """Materialize the IVF inverted file AT REST: the cluster-assigned
+    corpus written as parquet ``partitionBy("_cluster")``, plus the
+    centroid list under ``{path}/_centroids`` (underscore-prefixed, so
+    parquet discovery skips it like ``_SUCCESS``). Partition pruning IS
+    the inverted file — a probe reads only its clusters' directories,
+    so at 100 TB an n_probe/n_clusters probe touches that fraction of
+    the corpus bytes instead of all of them."""
+    import json
+
+    assigned, centroids = ivf_index(corpus, id_col, vec_col, n_clusters, seed, train_sample)
+    assigned.write.partitionBy("_cluster").mode("overwrite").parquet(path)
+    cents = [[float(x) for x in c] for c in centroids]
+    corpus.sparkSession.createDataFrame(
+        [(json.dumps(cents),)], "centroids_json string"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_centroids")
+    return cents
+
+
+def read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """Centroid list persisted by ``write_ivf_index`` (one tiny JSON
+    row — a driver-side read by design, like the quantizer sample)."""
+    import json
+
+    return json.loads(spark.read.json(f"{path}/_centroids").collect()[0].centroids_json)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k against an index written by ``write_ivf_index``.
+
+    The union of probed cluster ids is collected (bounded by
+    n_clusters — queries are top-k *requests*, inherently small) and
+    pushed as a literal ``IN`` filter on the partition column, so the
+    parquet scan shows ``PartitionFilters`` on ``_cluster`` and never
+    lists the unprobed clusters' files. Scoring is the same broadcast
+    exact-cosine rerank as the in-memory path — same inputs, same
+    results."""
+    centroids = read_ivf_centroids(spark, path)
+    q = _probed_queries(queries, centroids, id_col, vec_col, n_probe)
+    probed = sorted(r[0] for r in q.select("_cluster").distinct().collect())
+    assigned = spark.read.parquet(path).filter(F.col("_cluster").isin(probed))
+    return _score_probed(assigned, q, k)
 
 
 # --------------------------------------------------------------------------
@@ -419,6 +491,12 @@ def pq_topk(
     m bytes/vector instead of the raw embeddings, and the exact rerank
     touches only k·refine full vectors per query."""
     sample = _driver_sample(corpus, vec_col, train_sample, seed)
+    if sample and len(sample[0]) != dim:
+        # a mismatched dim would make F.slice/zip_with silently produce
+        # short or NULL sub-distances (wrong codes/rankings, no error)
+        raise ValueError(
+            f"dim={dim} does not match the embedding length {len(sample[0])}"
+        )
     codebook = pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
 
     # two-step selects so encode/LUT reuse the cn/qn norm columns

@@ -1089,6 +1089,41 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ivf_pruned",
+    oracle=_ANN_GATE_ORACLE,
+    doc="IVF index AT REST (operators/similarity.py write_ivf_index / "
+    "ivf_topk_indexed): the cluster-assigned corpus written as parquet "
+    "partitionBy(_cluster) with the centroids persisted alongside, then "
+    "probed through a literal IN filter on the partition column — the "
+    "probe scan lists only the probed clusters' files (PartitionFilters "
+    "asserted in tests/test_plans.py). Same seed/params as emb_ivf_topk, "
+    "so the same cardinality + recall@5 gate applies; the brute-force "
+    "twin is fully hash-gated as emb_knn_brute.",
+)
+def emb_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ)
+    tmp = tempfile.mkdtemp(prefix="ccpd_ivf_")
+    try:
+        path = f"{tmp}/ivf_index"
+        SIM.write_ivf_index(
+            e, path, id_col="vec_id", vec_col="embedding", n_clusters=16, seed=42
+        )
+        approx = SIM.ivf_topk_indexed(
+            spark, path, q, id_col="vec_id", vec_col="embedding", k=5, n_probe=4
+        )
+        exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+        gate = _ann_recall_gate(approx, exact)
+        # the index files vanish with the scratch dir — return data, not a plan
+        return spark.createDataFrame(gate.collect(), gate.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "doc_training_pipeline",
     oracle=f"""
     WITH scored AS (

@@ -243,3 +243,28 @@ def test_minhash_cap_path_join_free_and_jvm_side(spark, sf_oracle):
     assert "EvalPython" not in plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert node not in plan, f"unexpected {node} in the minhash plan"
+
+
+def test_ivf_index_at_rest_prunes_partitions(spark, sf_oracle, tmp_path):
+    """write_ivf_index's promise: a probe against the at-rest index
+    scans ONLY the probed clusters — the parquet scan must carry a
+    PartitionFilters IN-list on _cluster (same discipline as
+    test_year_partitioned_gold_prunes), and results must be identical
+    to the in-memory ivf_topk with the same seed/params."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    SIM.write_ivf_index(emb, path, n_clusters=16, seed=42)
+    q = emb.filter(F.col("vec_id") < 8)
+    out = SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=4)
+
+    plan = plan_of(out)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any(
+        "_cluster" in l and "IN" in l.upper() and "[]" not in l.replace(" ", "")
+        for l in pf_lines
+    ), f"no _cluster IN partition filter in: {pf_lines}"
+
+    in_memory = SIM.ivf_topk(emb, q, k=5, n_clusters=16, n_probe=4, seed=42)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, in_memory.collect()))
