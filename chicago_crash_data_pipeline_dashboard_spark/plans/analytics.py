@@ -1524,17 +1524,26 @@ _ADHOC_SQL = """
     "to SQL-entered plans exactly as to DataFrame-built ones).",
 )
 def sql_adhoc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # drop the views after analysis: spark.sql resolves them eagerly,
-    # so the returned plan stays valid while the catalog names don't
-    # leak into the shared session (a later spark.table("orders")
-    # would otherwise silently read THIS sf_dir's parquet)
+    # prefixed view names (the silver 'ccpd_cat_' convention): gates
+    # share one session catalog, so registering-then-dropping a bare
+    # 'orders'/'lineitem' would silently replace and delete a same-
+    # named view another gate registered. The user-style SQL text
+    # keeps the bare names (it IS the oracle) and is rewritten to the
+    # prefixed views only for the Spark run; views drop after analysis
+    # (spark.sql resolves eagerly, so the returned plan stays valid).
+    import re
+
+    names = {"orders": "ccpd_adhoc_orders", "lineitem": "ccpd_adhoc_lineitem"}
     try:
-        for t in ("orders", "lineitem"):
-            load(spark, sf_dir, t).createOrReplaceTempView(t)
-        return spark.sql(_ADHOC_SQL)
+        for t, view in names.items():
+            load(spark, sf_dir, t).createOrReplaceTempView(view)
+        rewritten = re.sub(
+            r"\b(orders|lineitem)\b", lambda m: names[m.group(1)], _ADHOC_SQL
+        )
+        return spark.sql(rewritten)
     finally:
-        for t in ("orders", "lineitem"):
-            spark.catalog.dropTempView(t)
+        for view in names.values():
+            spark.catalog.dropTempView(view)
 
 
 @register(

@@ -437,32 +437,34 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     with _scratch_dir("ccpd_bucketed_") as tmp:
-      try:
-        spark.sql("DROP TABLE IF EXISTS gate_bkt_orders")
-        spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
-        write_bucketed_table(o, "gate_bkt_orders", "o_custkey", 8, path=f"{tmp}/o")
-        write_bucketed_table(c, "gate_bkt_cust", "c_custkey", 8, path=f"{tmp}/c")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = bucketed_join(spark, "gate_bkt_orders", "gate_bkt_cust", "o_custkey", "c_custkey")
-        # the co-location claim, checked in-query: no Exchange anywhere
-        # in the JOIN's plan (the group-by below adds its own, after)
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        colocated = "Exchange" not in plan and "SortMergeJoin" in plan
-        out = (
-            j.groupBy("c_mktsegment")
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-                .cast("double")
-                .alias("total_price"),
+        try:
+            spark.sql("DROP TABLE IF EXISTS gate_bkt_orders")
+            spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
+            write_bucketed_table(o, "gate_bkt_orders", "o_custkey", 8, path=f"{tmp}/o")
+            write_bucketed_table(c, "gate_bkt_cust", "c_custkey", 8, path=f"{tmp}/c")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = bucketed_join(
+                spark, "gate_bkt_orders", "gate_bkt_cust", "o_custkey", "c_custkey"
             )
-            .withColumn("colocated_ok", F.lit(bool(colocated)))
-        )
-        return _materialize(spark, out)
-      finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS gate_bkt_orders")
-        spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
+            # the co-location claim, checked in-query: no Exchange anywhere
+            # in the JOIN's plan (the group-by below adds its own, after)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            colocated = "Exchange" not in plan and "SortMergeJoin" in plan
+            out = (
+                j.groupBy("c_mktsegment")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                    .cast("double")
+                    .alias("total_price"),
+                )
+                .withColumn("colocated_ok", F.lit(bool(colocated)))
+            )
+            return _materialize(spark, out)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS gate_bkt_orders")
+            spark.sql("DROP TABLE IF EXISTS gate_bkt_cust")
 
 
 @register(
@@ -603,24 +605,24 @@ def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     with _scratch_dir("ccpd_dynpart_") as tmp:
-      try:
-        base = f"{tmp}/events_part"
-        ev.write.partitionBy("event_type").parquet(base)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        fixed = ev.filter(F.col("event_type") == "click").withColumn(
-            "value", F.col("value") * 2
-        )
-        fixed.write.mode("overwrite").partitionBy("event_type").parquet(base)
-        back = spark.read.parquet(base)
-        out = back.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("value").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
-        return _materialize(spark, out)
-      finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        try:
+            base = f"{tmp}/events_part"
+            ev.write.partitionBy("event_type").parquet(base)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            fixed = ev.filter(F.col("event_type") == "click").withColumn(
+                "value", F.col("value") * 2
+            )
+            fixed.write.mode("overwrite").partitionBy("event_type").parquet(base)
+            back = spark.read.parquet(base)
+            out = back.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            return _materialize(spark, out)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 @register(
@@ -672,8 +674,12 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(f"{tmp}/m{i:03d}.{ext}", "wb") as f:
                 f.write(blob)
         files = spark.read.format("binaryFile").load(tmp)
+        # media_id derives deterministically from the file path: the
+        # decoded/ext join stays aligned under any recompute or
+        # partition-layout change (monotonically_increasing_id would
+        # need a persist pin and could still misalign on eviction)
         media = files.select(
-            F.monotonically_increasing_id().alias("media_id"),
+            F.xxhash64("path").alias("media_id"),
             F.col("content"),
             F.struct(
                 F.lit(None).cast("string").alias("media_type"),
@@ -683,7 +689,7 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("int").alias("duration_ms"),
                 F.lit(None).cast("int").alias("n_channels"),
             ).alias("meta"),
-        ).persist()  # pin the nondeterministic ids across the two uses
+        )
         decoded = MM.extract_media_meta(media)
         out = (
             decoded.join(
@@ -697,6 +703,4 @@ def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.sum("width"), F.lit(0)).cast("long").alias("sum_width"),
             )
         )
-        result = _materialize(spark, out)
-        media.unpersist()
-        return result
+        return _materialize(spark, out)
