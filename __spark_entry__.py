@@ -36,83 +36,97 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first: queries that have never had a driver correctness row
-# (r1-r3) or were displaced from the r3 sample. Sampled last (i.e.
-# rotated out this round): queries green in BOTH r2 and r3 with
-# unchanged code — they rotate back in next round.
+# Sampled first (r5): the 35 queries benched in r4 rotate back in so
+# their green rows don't go stale (COVERAGE.md rotation plan), plus
+# every query whose code/oracle/fixture changed this round, plus the
+# one new registration. Benched (rotated out): the r4-verified set
+# (green r4, unchanged this round) and 7 long-stable middles (green
+# r2+r3+r4, unchanged).
 _VERIFY_FIRST = [
-    "crash_model_eval",  # never driver-sampled r1-r3 (the MLlib scoring path)
-    "emb_ivf_topk",  # never driver-sampled
-    "media_frame_plan",  # never driver-sampled
-    "event_windowed_counts_stream",  # new in r4
-    "jobspec_extract",  # new in r4 (P1/P2/W1/ST4 gate)
-    "silver_catalog_validate",  # new in r4 (S12/S13/S14 gate)
-    "skew_salted_join_agg",  # new in r4 (skew toolkit gate)
-    "doc_repetition_stats",  # new in r4 (Gopher repetition signals)
-    "promo_part_star",  # new in r4 (part/supplier star join)
-    "compact_small_files",  # new in r4 (compaction maintenance gate)
-    "event_error_click_window_stream",  # new in r4 (stream-stream join gate)
-    "doc_winnow_fp",  # new in r4 (winnowing rolling-hash fingerprints)
-    "doc_decontaminate",  # new in r4 (eval-set n-gram-overlap scrub)
-    "emb_quantize_error",  # new in r4 (int8 quantization error gate)
-    "doc_stratified_sample",  # new in r4 (mixing-weight sampling gate)
-    "doc_pack_bins",  # new in r4 (sequence-packing accounting)
-    "doc_quality_buckets",  # new in r4 (CCNet head/middle/tail terciles)
-    "doc_pii_scrub",  # new in r4 (PII redaction gate, injected fixtures)
-    "orc_roundtrip_stats",  # new in r4 (ORC source/sink breadth)
-    "emb_pq_topk",  # new in r4 (product-quantization ANN + exact refine)
-    "bucketed_join_agg",  # new in r4 (co-located bucketed join gate)
-    "doc_chunk_overlap",  # new in r4 (sliding-window chunking)
-    "sql_adhoc_query",  # new in r4 (verbatim SQL pass-through, one text two engines)
-    "event_props_json",  # new in r4 (schema-on-read JSON extraction)
-    "schema_evolution_merge",  # new in r4 (mergeSchema backfill gate)
-    "json_malformed_ingest",  # new in r4 (PERMISSIVE corrupt-record gate)
-    "partition_overwrite_dynamic",  # new in r4 (partition-scoped backfill)
-    "incremental_agg_merge",  # new in r4 (partial-agg merge = IVM combine)
-    "event_funnel_steps",  # new in r4 (ordered conversion funnel)
-    "user_retention_cohorts",  # new in r4 (weekly retention triangle)
-    "event_dedup_watermark_stream",  # new in r4 (bounded-state stream dedup)
-    "doc_quality_regression",  # new in r4 (exact-moment per-source OLS)
-    "binary_file_ingest",  # new in r4 (binaryFile source → header decode)
-    "crash_rule_eval",  # green r2, fell out of the r3 sample
-    "doc_training_pipeline",  # green r2, fell out of the r3 sample
-]
-_ROTATION_BENCHED = [
+    # --- benched r4, rotating back in (all green r2+r3) ---
     "eda_day_labels",
     "run_history",
     "value_counts_topk",
     "whitelist_recode",
     "unpivot_daily_events",
     "hash_sample_stats",
-    "dedup_keep_first",  # green r2+r3, benched r4
-    "price_bins",  # green r2+r3, benched r4
-    "order_key_setops",  # green r2+r3, benched r4
-    "semi_join_discounted",  # green r2+r3, benched r4
-    "time_features",  # green r2+r3, benched r4
-    "null_profile",  # green r2+r3, benched r4
-    "corr_stats",  # green r2+r3, benched r4
-    "crash_hit_run_rate_by_weather",  # green r2+r3, benched r4
-    "doc_lang_confusion",  # green r2+r3, benched r4
-    "doc_text_stats",  # green r2+r3, benched r4
-    "doc_min_shingle_fp",  # green r2+r3, benched r4
-    "doc_exact_dup_stats",  # green r2+r3, benched r4
-    "doc_dedup_exact_by_source",  # green r2+r3, benched r4
-    "doc_simhash",  # green r2+r3, benched r4
-    "emb_knn_brute",  # green r2+r3, benched r4
-    "pivot_hour_dow",  # green r2+r3, benched r4
-    "rate_by_priority",  # green r2+r3, benched r4
-    "running_customer_revenue",  # green r2+r3, benched r4
-    "sliding_event_counts",  # green r2+r3, benched r4
-    "event_error_click_window",  # green r2+r3, benched r4
-    "event_asof_last_click",  # green r2+r3, benched r4
-    "event_sessions",  # green r2+r3, benched r4
-    "event_zorder_keys",  # green r2+r3, benched r4
-    "anti_join_new_keys",  # green r2+r3, benched r4
-    "topk_orders_by_revenue",  # green r2+r3, benched r4
-    "quantiles",  # green r2+r3, benched r4
-    "revenue_rollup",  # green r2+r3, benched r4
-    "approx_sketch_stats",  # green r2+r3, benched r4
-    "customer_orders_wide",  # green r2+r3, benched r4
+    "dedup_keep_first",
+    "price_bins",
+    "order_key_setops",
+    "semi_join_discounted",
+    "time_features",
+    "null_profile",
+    "corr_stats",
+    "crash_hit_run_rate_by_weather",
+    "doc_lang_confusion",
+    "doc_text_stats",
+    "doc_min_shingle_fp",
+    "doc_exact_dup_stats",
+    "doc_dedup_exact_by_source",
+    "doc_simhash",
+    "emb_knn_brute",
+    "pivot_hour_dow",
+    "rate_by_priority",
+    "running_customer_revenue",
+    "sliding_event_counts",
+    "event_error_click_window",
+    "event_asof_last_click",
+    "event_sessions",
+    "event_zorder_keys",
+    "anti_join_new_keys",
+    "topk_orders_by_revenue",
+    "quantiles",
+    "revenue_rollup",
+    "approx_sketch_stats",
+    "customer_orders_wide",
+    # --- changed in r5 or new: must (re-)earn a green row this round ---
+    "emb_ivf_pruned",  # NEW in r5: IVF index at rest, partition-pruned probes
+    "doc_repetition_stats",  # red r4 (oracle HUGEINT) — cast fixed in r5
+    "media_frame_plan",  # media fixture gained a PNG kind in r5
+    "sql_adhoc_query",  # r5: prefixed temp-view names (ADVICE)
+    "binary_file_ingest",  # r5: deterministic media_id derivation (ADVICE)
+    "emb_pq_topk",  # r5: dim validation added (ADVICE)
+    "emb_ivf_topk",  # r5: ivf_topk internals refactored into shared helpers
+]
+_ROTATION_BENCHED = [
+    # --- r4-verified (green r4, unchanged in r5) ---
+    "crash_model_eval",
+    "event_windowed_counts_stream",
+    "jobspec_extract",
+    "silver_catalog_validate",
+    "skew_salted_join_agg",
+    "promo_part_star",
+    "compact_small_files",
+    "event_error_click_window_stream",
+    "doc_winnow_fp",
+    "doc_decontaminate",
+    "emb_quantize_error",
+    "doc_stratified_sample",
+    "doc_pack_bins",
+    "doc_quality_buckets",
+    "doc_pii_scrub",
+    "orc_roundtrip_stats",
+    "bucketed_join_agg",
+    "doc_chunk_overlap",
+    "event_props_json",
+    "schema_evolution_merge",
+    "json_malformed_ingest",
+    "partition_overwrite_dynamic",
+    "incremental_agg_merge",
+    "event_funnel_steps",
+    "user_retention_cohorts",
+    "event_dedup_watermark_stream",
+    "doc_quality_regression",
+    "crash_rule_eval",
+    "doc_training_pipeline",
+    # --- long-stable middles (green r2+r3+r4, unchanged in r5) ---
+    "pricing_summary",  # also smoke-checked every round via entry()
+    "order_profile",
+    "revenue_by_nation",
+    "doc_tfidf_cosine_pairs",
+    "emb_near_dup_pairs",
+    "emb_lsh_topk",
+    "streaming_ingest_e2e",
 ]
 
 
