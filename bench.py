@@ -98,6 +98,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    notes: dict[str, dict] = {}
     for name, spec in sorted(QUERIES.items()):
         if name in SKIP:
             continue
@@ -116,6 +117,12 @@ def main() -> None:
             timings[name] = round(statistics.median(samples), 4)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        if name == "doc_dup_clusters":
+            # round count is THE cost of the iterative CC operator —
+            # record it so wall-time movement is explainable
+            from chicago_crash_data_pipeline_dashboard_spark.operators import graph
+
+            notes["doc_dup_clusters"] = dict(graph.LAST_RUN_STATS)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -132,6 +139,8 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if notes:
+        out["notes"] = notes
     print(json.dumps(out))
     spark.stop()
 

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Spark-only timings for the file-round-trip gates the latency bench
+skips (side-effectful writes + read-backs: gzip-JSON pipeline, ORC,
+bucketed tables, schema evolution, dynamic partition overwrite,
+binaryFile ingest, catalog probes, IVF index at rest). These are
+correctness-gated every round but were never timed — this artifact
+exists so an I/O-path regression can't hide (VERDICT r4 item 8).
+
+No oracle comparison and no DuckDB twin: the numbers are Spark
+wall-clock only, not part of the 2x gate vs BASELINE_BENCH.json.
+
+Prints ONE JSON line: {"metric": "io_total_median_query_seconds",
+"value": N, "unit": "sec", "queries": {...}, "sf": ..., "runs": N}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from chicago_crash_data_pipeline_dashboard_spark.plans import (  # noqa: F401
+    QUERIES,
+    analytics,
+    crash_ops,
+    jobspec_ops,
+    llm_ops,
+    ml_ops,
+)
+from chicago_crash_data_pipeline_dashboard_spark.session import get_spark
+
+# Every non-streaming member of bench.py's SKIP set: file round-trips
+# and driver-side catalog probes. Streaming gates stay out — they time
+# micro-batch machinery, not an I/O path.
+IO_QUERIES = [
+    "pipeline_e2e",
+    "compact_small_files",
+    "orc_roundtrip_stats",
+    "bucketed_join_agg",
+    "schema_evolution_merge",
+    "json_malformed_ingest",
+    "partition_overwrite_dynamic",
+    "binary_file_ingest",
+    "silver_catalog_validate",
+    "emb_ivf_pruned",
+]
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="ccpd_bench_io")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in IO_QUERIES:
+        samples = []
+        try:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df = QUERIES[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
+    out = {
+        "metric": "io_total_median_query_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": RUNS,
+        "n_queries": len(timings),
+        "complete": not errors,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
