@@ -106,6 +106,30 @@ def test_minhash_hot_bucket_guard_drops_degenerate_bucket(hot_docs):
     assert (1, 3) in pairs_capped
 
 
+def test_minhash_lsh_candidates_pairs_and_cap(docs, hot_docs):
+    """The candidates-only variant: near dups co-bucket, unrelated docs
+    don't, and the hot-bucket cap drops the degenerate clone bucket."""
+    sigs = DD.minhash_signatures(docs, "doc_id", "text", num_hashes=32, hash_mode="md5")
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4).collect()
+    }
+    assert {(1, 2), (1, 5), (2, 5)} <= cands  # identical docs share every band
+    assert (1, 4) not in cands
+    hot_sigs = DD.minhash_signatures(
+        hot_docs, "doc_id", "text", num_hashes=32, hash_mode="md5"
+    )
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_candidates(
+            hot_sigs, bands=8, rows_per_band=4, max_bucket=5
+        ).collect()
+    }
+    clone_pairs = {(a, b) for a in range(10, 16) for b in range(a + 1, 16)}
+    assert not (clone_pairs & capped)
+    assert (1, 3) in capped
+
+
 def test_minhash_hot_bucket_guard_matches_oracle(spark, hot_docs, tmp_path):
     """Differential: the capped Spark path vs the oracle's `hot` CTE on
     the SAME corpus (written to parquet, viewed as `documents`)."""
