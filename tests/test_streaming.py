@@ -98,3 +98,79 @@ def test_windowed_counts_stream_matches_batch(spark, sf_smoke, tmp_path):
         for r in spark.table("win_counts").collect()
     }
     assert got == batch_expected
+
+
+def test_windowed_counts_drop_events_older_than_watermark(spark, tmp_path):
+    """The DROP half of the watermark contract: once a window's state
+    has been evicted (watermark passed its end in an EARLIER batch), a
+    late row for that window is input-filtered — it neither resurrects
+    the window nor bumps the emitted count. Three files with
+    maxFilesPerTrigger=1 so the watermark advances between batches
+    (eviction and a same-batch late arrival would otherwise merge —
+    Spark only guarantees the drop across batch boundaries); append
+    mode emits each window exactly once, after finalization."""
+    import json as _json
+    import time as _time
+
+    src = tmp_path / "late_json"
+    src.mkdir()
+    # batch 0: three events in the Jan-1 window + one at Jan 10 →
+    # end-of-batch watermark = Jan 10 - 2 days = Jan 8 (past the
+    # Jan-1 window's end)
+    (src / "a_batch0.json").write_text(
+        "\n".join(
+            _json.dumps({"event_id": i, "ts": t})
+            for i, t in enumerate(
+                ["2025-01-01 01:00:00", "2025-01-01 05:00:00",
+                 "2025-01-01 23:00:00", "2025-01-10 00:00:00"]
+            )
+        )
+    )
+    _time.sleep(1.05)  # distinct mtimes: file order = batch order
+    # batch 1: runs WITH watermark Jan 8 → evicts + emits the Jan-1
+    # window (n=3); its own row keeps the stream moving
+    (src / "b_batch1.json").write_text(
+        _json.dumps({"event_id": 20, "ts": "2025-01-11 00:00:00"})
+    )
+    _time.sleep(1.05)
+    # batch 2: a LATE Jan-1 event (behind the watermark, window state
+    # gone → must be dropped, not resurrected) + a fresh Jan-13 row
+    (src / "c_batch2.json").write_text(
+        "\n".join(
+            _json.dumps({"event_id": i + 30, "ts": t})
+            for i, t in enumerate(["2025-01-01 12:00:00", "2025-01-13 00:00:00"])
+        )
+    )
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        windowed_event_counts(stream, window_duration="1 day", watermark_delay="2 days")
+        .writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    rows = spark.table("late_drop").collect()
+    jan1 = [r for r in rows if str(r.window_start).startswith("2025-01-01")]
+    assert len(jan1) == 1 and jan1[0].n_events == 3, rows  # late row excluded
+    assert dropped == 1  # and the engine filtered exactly that row
+    # control: a batch run of the same frame counts the late row
+    # (withWatermark is a no-op on batch frames)
+    batch = spark.read.schema("event_id bigint, ts timestamp").json(str(src))
+    batch_counts = {
+        str(r.window_start): r.n_events
+        for r in windowed_event_counts(batch).collect()
+    }
+    assert batch_counts["2025-01-01 00:00:00"] == 4
