@@ -222,9 +222,10 @@ def ivf_index(
     corpus and the centroid list.
 
     At 100 TB: the sample cap keeps quantizer training O(sample);
-    assignment stays a narrow map; write the corpus PARTITIONED by
-    cluster id — each probe then reads only its clusters' files
-    (partition pruning = the inverted file)."""
+    assignment stays a narrow map; ``write_ivf_index`` persists the
+    assigned corpus PARTITIONED by cluster id so each probe reads only
+    its clusters' files (partition pruning = the inverted file —
+    ``ivf_topk_indexed`` is that probe path)."""
     sample = _driver_sample(corpus, vec_col, train_sample, seed)
     centroids = _fit_quantizer(sample, n_clusters, seed)
 
