@@ -552,3 +552,80 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
     )
     return pairs.select("doc_a", "doc_b", F.round("cos", 6).alias("cosine"))
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_cluster: int = 4096,
+    train_sample: int = 65536,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal over an embedding column. K-means clusters
+    the embedding space (the IVF coarse quantizer — trained on a
+    bounded driver sample, assigned in one narrow map), then WITHIN
+    each cluster every pair with cosine ≥ ``threshold`` marks its
+    larger id as a duplicate; survivors are the input rows minus the
+    marked ids (keep-min-id per near-dup group, matching the exact
+    dedup family's policy).
+
+    Plan shape: one shuffle collects each cluster (sorted, so in-array
+    i<j pairing gives doc_a < doc_b for free), pairs explode in-array,
+    and one left_anti join removes the drops. The quadratic in-cluster
+    compare is the algorithm's cost model BY DESIGN (SemDeDup's whole
+    point is that k-means makes each quadratic small); clusters larger
+    than ``max_cluster`` are SKIPPED — kept undeduped, never joined —
+    so a degenerate cluster (zero vectors, one dominant mode) bounds
+    work instead of exploding it. At 100 TB, raise n_clusters so
+    N/n_clusters stays under the cap."""
+    from .similarity import ivf_index
+
+    assigned, _ = ivf_index(
+        vectors, id_col, vec_col, n_clusters=n_clusters, seed=seed,
+        train_sample=train_sample,
+    )
+    buckets = (
+        assigned.groupBy("_cluster")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("neighbor_id", "cvec", "cn"))
+            ).alias("docs")
+        )
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_cluster))
+    )
+    docs = F.col("docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(
+                    x["neighbor_id"].alias("doc_a"),
+                    x["cvec"].alias("vec_a"),
+                    x["cn"].alias("nrm_a"),
+                    y["neighbor_id"].alias("doc_b"),
+                    y["cvec"].alias("vec_b"),
+                    y["cn"].alias("nrm_b"),
+                ),
+            ),
+        )
+    )
+    drops = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .withColumn(
+            "cos",
+            VX.cosine_with_norms(
+                F.col("p.vec_a"), F.col("p.vec_b"), F.col("p.nrm_a"), F.col("p.nrm_b")
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("p.doc_b").alias("_drop_id"))
+        .distinct()
+    )
+    return vectors.join(
+        drops, vectors[id_col] == drops["_drop_id"], "left_anti"
+    )

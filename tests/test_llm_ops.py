@@ -182,6 +182,52 @@ def vecs(spark):
     return spark.createDataFrame(rows, ["vec_id", "embedding"]), dim
 
 
+def test_semantic_dedup_keeps_min_id_per_near_dup_group(spark):
+    """SemDeDup: near-identical embeddings (cos ≥ threshold) collapse to
+    their min id; dissimilar vectors all survive."""
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.0, 0.3]
+    orth = [0.0, 0.0, 1.0, 0.0, 0.5, -0.5, 1.0, -0.2]
+    rows = [
+        (0, base),
+        (1, [v * 1.001 for v in base]),        # cos ≈ 1 with 0
+        (2, [v + (0.001 if i == 0 else 0.0) for i, v in enumerate(base)]),
+        (3, orth),
+        (4, [v * 0.999 for v in orth]),        # cos ≈ 1 with 3
+        (5, [-v for v in base]),               # antipode: cos = -1, survives
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = sorted(
+        r.vec_id
+        for r in DD.semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=3, threshold=0.99, seed=7
+        ).collect()
+    )
+    assert kept == [0, 3, 5]
+
+
+def test_semantic_dedup_oversize_cluster_skipped(spark):
+    """Clusters beyond max_cluster are kept undeduped (bounded work),
+    never pair-exploded — the skew guard of the quadratic step."""
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.0, 0.3]
+    rows = [(i, [v * (1 + i * 1e-4) for v in base]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept_capped = sorted(
+        r.vec_id
+        for r in DD.semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=1, threshold=0.99, seed=7,
+            max_cluster=5,
+        ).collect()
+    )
+    assert kept_capped == [0, 1, 2, 3, 4, 5]  # 6-member cluster skipped
+    kept = sorted(
+        r.vec_id
+        for r in DD.semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=1, threshold=0.99, seed=7
+        ).collect()
+    )
+    assert kept == [0]  # uncapped: one survivor
+
+
 def test_brute_force_topk_ranks_by_cosine(vecs):
     df, _ = vecs
     out = SIM.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
