@@ -1,0 +1,132 @@
+"""Corpus-curation operators a production training-data pipeline runs
+between dedup and packing: per-source caps and boilerplate stripping.
+
+Both are single-digit-shuffle column plans (no UDFs):
+
+- ``cap_per_key``: at most K rows per key, deterministic priority —
+  the crawl-pipeline "domain cap" that stops one source from dominating
+  a mixture (one window shuffle on the key);
+- ``strip_boilerplate_lines``: drop lines that repeat across a large
+  fraction of a source's documents (headers/footers/nav chrome — the
+  CCNet-style per-domain boilerplate trim). One explode + one
+  doc-frequency groupBy; the resulting boilerplate set is tiny and
+  broadcasts back against the exploded lines.
+
+Driver gates for both are queued for the next rotation (COVERAGE.md);
+semantics are pinned by unit tests meanwhile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """At most ``k`` rows per key. ``order_by`` defines which rows
+    survive (first k in that order); defaults to the key frame's
+    natural ordering hazard-free alternative — you almost always want
+    an explicit priority (e.g. quality desc, id asc) for deterministic
+    caps on a cluster, so pass one.
+
+    One shuffle (the window partition). At 100 TB a skewed key is
+    bounded BY the operator itself: row_number short-circuits nothing,
+    but the output per key is capped at k, so downstream stages see at
+    most k·n_keys rows."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    order = order_by if order_by is not None else [F.col(key_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    min_docs: int = 3,
+    frac: float = 0.5,
+) -> DataFrame:
+    """(group, line) pairs that qualify as boilerplate: the non-blank
+    line appears in ≥ ``frac`` of the group's documents and the group
+    has ≥ ``min_docs`` documents. Counted once per document
+    (array_distinct before the explode), so a line repeated inside one
+    doc doesn't inflate its document frequency."""
+    lines = df.select(
+        F.col(group_col).alias("_grp"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != "")
+            )
+        ).alias("_line"),
+    )
+    grp_sizes = df.groupBy(F.col(group_col).alias("_grp")).agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    return (
+        lines.groupBy("_grp", "_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .join(grp_sizes, "_grp")
+        .filter(
+            (F.col("_n_docs") >= min_docs)
+            & (F.col("_df") >= F.col("_n_docs") * F.lit(frac))
+        )
+        .select("_grp", "_line")
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_docs: int = 3,
+    frac: float = 0.5,
+) -> DataFrame:
+    """Rewrite ``text_col`` with the group's boilerplate lines removed
+    (original line order preserved; blank lines kept — they're
+    formatting, not boilerplate). All other columns pass through.
+
+    Plan: posexplode keeps each line's position; the boilerplate set
+    joins back as a broadcast left_anti (it's per-group tiny by
+    construction — a group has few lines above a 50% doc-frequency);
+    one groupBy on the id reassembles survivors in position order. The
+    explode→regroup round trip is one shuffle on the id, and the text
+    never moves twice: only lines travel."""
+    boiler = boilerplate_lines(df, text_col, group_col, min_docs, frac)
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    kept = exploded.join(F.broadcast(boiler), ["_grp", "_line"], "left_anti")
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("_clean_text")
+        )
+    )
+    out = df.join(rebuilt, df[id_col] == rebuilt["_id"], "left").select(
+        *[
+            F.coalesce(F.col("_clean_text"), F.lit("")).alias(text_col)
+            if c == text_col
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    return out

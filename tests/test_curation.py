@@ -1,0 +1,77 @@
+"""Semantic tests for the corpus-curation operators (per-source caps,
+boilerplate line stripping) on small planted fixtures — driver gates
+are queued for the next rotation (COVERAGE.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chicago_crash_data_pipeline_dashboard_spark.operators import curation as CU
+
+
+def test_cap_per_key_deterministic_priority(spark):
+    rows = [(i, "a" if i < 7 else "b", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+    kept = CU.cap_per_key(
+        df, "source", 3, order_by=[F.desc("quality"), F.asc("doc_id")]
+    )
+    got = {r.source: sorted(x.doc_id for x in kept.filter(F.col("source") == r.source).collect())
+           for r in kept.select("source").distinct().collect()}
+    assert got == {"a": [4, 5, 6], "b": [7, 8, 9]}  # top-3 quality per source
+    assert kept.count() == 6
+
+
+def test_cap_per_key_rejects_nonpositive_k(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        CU.cap_per_key(df, "source", 0)
+
+
+def test_boilerplate_lines_frequency_and_min_docs(spark):
+    header = "SITE NAVIGATION MENU"
+    rows = (
+        [(i, f"{header}\nreal content {i}\n\nfooter junk", "big") for i in range(4)]
+        + [(10, f"{header}\nunique", "small"), (11, "other text", "small")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    boiler = {(r._grp, r._line) for r in CU.boilerplate_lines(df, "text", "source").collect()}
+    # 'big' source (4 docs): header + footer in 100% of docs -> boilerplate
+    assert ("big", header) in boiler and ("big", "footer junk") in boiler
+    # per-doc content lines never qualify; 'small' fails min_docs=3
+    assert not any(g == "small" for g, _ in boiler)
+    assert not any(l.startswith("real content") for _, l in boiler)
+
+
+def test_strip_boilerplate_preserves_order_blanks_and_other_groups(spark):
+    header = "SITE NAVIGATION MENU"
+    rows = (
+        [(i, f"{header}\nreal content {i}\n\nfooter junk", "big") for i in range(4)]
+        + [(10, f"{header}\nkept because small group", "small")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: r.text for r in CU.strip_boilerplate_lines(df, "doc_id", "text", "source").collect()}
+    # header/footer removed, content + blank line kept, order preserved
+    assert out[0] == "real content 0\n"
+    assert out[3] == "real content 3\n"
+    # the same header in the under-min_docs group survives
+    assert out[10] == f"{header}\nkept because small group"
+    # schema/columns pass through
+    cols = CU.strip_boilerplate_lines(df, "doc_id", "text", "source").columns
+    assert cols == ["doc_id", "text", "source"]
+
+
+def test_strip_boilerplate_all_lines_removed_yields_empty_text(spark):
+    rows = [(i, "only boilerplate", "s") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: r.text for r in CU.strip_boilerplate_lines(df, "doc_id", "text", "source").collect()}
+    assert set(out.values()) == {""}
+
+
+def test_strip_boilerplate_plan_broadcasts_and_stays_jvm_side(spark):
+    rows = [(i, "h\ncontent", "s") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    plan = CU.strip_boilerplate_lines(df, "doc_id", "text", "source")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # the boilerplate set never shuffles the lines
