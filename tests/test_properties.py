@@ -412,3 +412,67 @@ def test_pack_and_chunk_arithmetic_match_models(spark, counts):
         exp_nc = 0 if n == 0 else 1 + (max(n - 128, 0) + 95) // 96
         assert got[i] == (exp_bin, exp_nc), f"doc {i} n={n} acc={acc}"
         acc += n
+
+
+def _boiler_model(rows, min_docs=3, frac=0.5):
+    """Pure-Python strip_boilerplate_lines: per group, a non-blank line
+    is boilerplate when the group has >= min_docs docs and the line
+    appears (once-per-doc) in >= frac of them."""
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for i, t, g in rows:
+        by_grp[g].append((i, t))
+    boiler = defaultdict(set)
+    for g, docs in by_grp.items():
+        if len(docs) < min_docs:
+            continue
+        df = defaultdict(int)
+        for _i, t in docs:
+            for line in {l for l in t.split("\n") if l.strip()}:
+                df[line] += 1
+        boiler[g] = {l for l, c in df.items() if c >= len(docs) * frac}
+    return {
+        i: "\n".join(l for l in t.split("\n") if not (l.strip() and l in boiler[g]))
+        for i, t, g in rows
+    }
+
+
+_line_st = st.sampled_from(["HEADER", "footer", "body one", "body two", "", "  "])
+_doc_st = st.lists(_line_st, min_size=1, max_size=5).map("\n".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_doc_st, st.sampled_from(["s1", "s2"])), min_size=1, max_size=12))
+def test_strip_boilerplate_matches_model(spark, docs):
+    from chicago_crash_data_pipeline_dashboard_spark.operators import curation as CU
+
+    rows = [(i, t, g) for i, (t, g) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        r.doc_id: r.text
+        for r in CU.strip_boilerplate_lines(df, "doc_id", "text", "source").collect()
+    }
+    assert got == _boiler_model(rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+             min_size=1, max_size=25),
+    st.integers(1, 4),
+)
+def test_cap_per_key_matches_model(spark, rows, k):
+    from collections import defaultdict
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import curation as CU
+
+    data = [(i, g, q) for i, (g, q) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "source", "q"])
+    kept = CU.cap_per_key(df, "source", k, order_by=[F.desc("q"), F.asc("doc_id")])
+    got = sorted(r.doc_id for r in kept.collect())
+    by_g = defaultdict(list)
+    for i, g, q in data:
+        by_g[g].append((-q, i))
+    want = sorted(i for g, members in by_g.items() for _q, i in sorted(members)[:k])
+    assert got == want
