@@ -75,3 +75,25 @@ def test_strip_boilerplate_plan_broadcasts_and_stays_jvm_side(spark):
     plan = CU.strip_boilerplate_lines(df, "doc_id", "text", "source")._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # the boilerplate set never shuffles the lines
+
+
+def test_curation_chain_on_testdata(spark, sf_smoke):
+    """Integration: cap → boilerplate-strip → semantic dedup compose on
+    the real documents/embeddings tables with their real schemas."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    capped = CU.cap_per_key(
+        docs, "source", 5, order_by=[F.desc("n_chars"), F.asc("doc_id")]
+    )
+    per_src = capped.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 5 for r in per_src)
+    stripped = CU.strip_boilerplate_lines(capped, "doc_id", "text", "source")
+    assert stripped.count() == capped.count()  # row-preserving rewrite
+    assert stripped.columns == docs.columns
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    kept = DD.semantic_dedup(emb, "vec_id", "embedding", n_clusters=4, threshold=0.999)
+    n, k = emb.count(), kept.count()
+    assert 0 < k <= n
+    assert kept.columns == emb.columns
