@@ -26,13 +26,14 @@ def cap_per_key(
     df: DataFrame,
     key_col: str,
     k: int,
-    order_by: list[Column] | None = None,
+    order_by: list[Column],
 ) -> DataFrame:
-    """At most ``k`` rows per key. ``order_by`` defines which rows
-    survive (first k in that order); defaults to the key frame's
-    natural ordering hazard-free alternative — you almost always want
-    an explicit priority (e.g. quality desc, id asc) for deterministic
-    caps on a cluster, so pass one.
+    """At most ``k`` rows per key; ``order_by`` is the REQUIRED explicit
+    priority (e.g. quality desc, id asc) deciding which rows survive.
+    It must be a total order within each key (end with a unique
+    tiebreaker like the id) — anything weaker makes the survivors
+    partition-layout-dependent on a cluster, the silent
+    nondeterminism this signature exists to prevent.
 
     One shuffle (the window partition). At 100 TB a skewed key is
     bounded BY the operator itself: row_number short-circuits nothing,
@@ -40,8 +41,9 @@ def cap_per_key(
     most k·n_keys rows."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    order = order_by if order_by is not None else [F.col(key_col)]
-    w = Window.partitionBy(key_col).orderBy(*order)
+    if not order_by:
+        raise ValueError("order_by must name an explicit, total per-key priority")
+    w = Window.partitionBy(key_col).orderBy(*order_by)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

@@ -26,7 +26,9 @@ def test_cap_per_key_rejects_nonpositive_k(spark):
     import pytest
 
     with pytest.raises(ValueError, match="positive"):
-        CU.cap_per_key(df, "source", 0)
+        CU.cap_per_key(df, "source", 0, order_by=[F.asc("doc_id")])
+    with pytest.raises(ValueError, match="order_by"):
+        CU.cap_per_key(df, "source", 1, order_by=[])
 
 
 def test_boilerplate_lines_frequency_and_min_docs(spark):
