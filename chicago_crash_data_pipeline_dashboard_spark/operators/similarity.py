@@ -144,6 +144,12 @@ def _fit_quantizer(sample, n_clusters: int, seed: int, max_iter: int = 20):
     import numpy as np
 
     x = np.asarray(sample, dtype=np.float64)
+    if x.size == 0:
+        # surface the real problem, not numpy's "low >= high"
+        raise ValueError(
+            "cannot train a quantizer on an empty corpus sample — "
+            "the input frame has no vectors"
+        )
     rng = np.random.RandomState(seed)
     # k-means++ seeding
     centers = [x[rng.randint(len(x))]]

@@ -703,3 +703,15 @@ def test_chunk_overlap_hand_computed(spark):
     )
     lens = sorted((r.doc_id, r.ci, r.n) for r in chunks.collect())
     assert lens == [(1, 0, 128), (1, 1, 128), (1, 2, 108), (3, 0, 100)]
+
+
+def test_quantizer_ops_reject_empty_corpus(spark):
+    """ivf/pq/semantic paths fail with a CLEAR error on an empty input
+    frame instead of numpy's opaque randint ValueError."""
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        SIM.ivf_topk(empty, empty, k=3)
+    with pytest.raises(ValueError, match="empty corpus"):
+        DD.semantic_dedup(empty, "vec_id", "embedding")
