@@ -401,6 +401,13 @@ def pq_train(sample, dim: int, m: int = 8, ks: int = 16, seed: int = 42):
         raise ValueError(f"dim {dim} not divisible by m {m} sub-quantizers")
     sub = dim // m
     x = np.asarray(sample, dtype=np.float64)
+    if x.size == 0:
+        # same clear failure as _fit_quantizer (the axis=1 norm below
+        # would otherwise throw an opaque shape error first)
+        raise ValueError(
+            "cannot train a quantizer on an empty corpus sample — "
+            "the input frame has no vectors"
+        )
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(norms == 0, 1.0, norms)  # zero rows stay zero
     return [

@@ -715,3 +715,5 @@ def test_quantizer_ops_reject_empty_corpus(spark):
         SIM.ivf_topk(empty, empty, k=3)
     with pytest.raises(ValueError, match="empty corpus"):
         DD.semantic_dedup(empty, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="empty corpus"):
+        SIM.pq_topk(empty, empty, k=3, dim=8, m=4)
