@@ -27,6 +27,7 @@ def cap_per_key(
     key_col: str,
     k: int,
     order_by: list[Column],
+    salts: int | None = None,
 ) -> DataFrame:
     """At most ``k`` rows per key; ``order_by`` is the REQUIRED explicit
     priority (e.g. quality desc, id asc) deciding which rows survive.
@@ -35,14 +36,37 @@ def cap_per_key(
     partition-layout-dependent on a cluster, the silent
     nondeterminism this signature exists to prevent.
 
-    One shuffle (the window partition). At 100 TB a skewed key is
-    bounded BY the operator itself: row_number short-circuits nothing,
-    but the output per key is capped at k, so downstream stages see at
-    most k·n_keys rows."""
+    One shuffle (the window partition); pass ``salts`` for the
+    two-phase skew-safe variant (same results, proven by test): a hot
+    key's rows first reduce to top-k per content-hash salt bucket, so
+    no single task ever windows the key's full population — at 100 TB
+    one dominant domain would otherwise serialize onto one core.
+    Output per key is capped at k either way, so downstream stages see
+    at most k·n_keys rows."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if not order_by:
         raise ValueError("order_by must name an explicit, total per-key priority")
+    if salts is not None:
+        if salts <= 1:
+            raise ValueError(f"salts must be > 1, got {salts}")
+        # Two-phase (skew-safe) cap: stage 1 keeps top-k per
+        # (key, salt) — for ANY row partitioning, the union of
+        # per-group top-ks under one total order is a superset of the
+        # global top-k, so stage 2's exact window sees at most
+        # k·salts rows per key instead of the key's full population.
+        # The salt hashes the ROW CONTENT (all columns), not a random
+        # or monotonic id: a recomputed task re-derives identical
+        # salts, so shuffle retries can't produce a different stage-1
+        # survivor set (the classic nondeterministic-repartition
+        # corruption).
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+        w1 = Window.partitionBy(F.col(key_col), salt).orderBy(*order_by)
+        df = (
+            df.withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
     w = Window.partitionBy(key_col).orderBy(*order_by)
     return (
         df.withColumn("_rn", F.row_number().over(w))

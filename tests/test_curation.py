@@ -99,3 +99,21 @@ def test_curation_chain_on_testdata(spark, sf_smoke):
     n, k = emb.count(), kept.count()
     assert 0 < k <= n
     assert kept.columns == emb.columns
+
+
+def test_cap_per_key_salted_matches_single_phase(spark):
+    """The two-phase (skew-safe) cap must produce EXACTLY the single-
+    phase survivors — per-salt top-k union is a superset of the global
+    top-k, and stage 2 is the same exact window."""
+    rows = [(i, "hot" if i % 5 else "cold", float((i * 37) % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "quality"])
+    order = [F.desc("quality"), F.asc("doc_id")]
+    plain = sorted(tuple(r) for r in CU.cap_per_key(df, "source", 7, order).collect())
+    salted = sorted(
+        tuple(r) for r in CU.cap_per_key(df, "source", 7, order, salts=8).collect()
+    )
+    assert salted == plain
+    import pytest
+
+    with pytest.raises(ValueError, match="salts"):
+        CU.cap_per_key(df, "source", 7, order, salts=1)
