@@ -87,6 +87,11 @@ def boilerplate_lines(
     has ≥ ``min_docs`` documents. Counted once per document
     (array_distinct before the explode), so a line repeated inside one
     doc doesn't inflate its document frequency."""
+    if not 0.0 < frac <= 1.0:
+        # frac=0 would flag EVERY line as boilerplate
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     lines = df.select(
         F.col(group_col).alias("_grp"),
         F.explode(

@@ -117,3 +117,13 @@ def test_cap_per_key_salted_matches_single_phase(spark):
 
     with pytest.raises(ValueError, match="salts"):
         CU.cap_per_key(df, "source", 7, order, salts=1)
+
+
+def test_boilerplate_validates_frac_and_min_docs(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x", "s")], ["doc_id", "text", "source"])
+    with pytest.raises(ValueError, match="frac"):
+        CU.boilerplate_lines(df, "text", "source", frac=0.0)
+    with pytest.raises(ValueError, match="min_docs"):
+        CU.boilerplate_lines(df, "text", "source", min_docs=1)
