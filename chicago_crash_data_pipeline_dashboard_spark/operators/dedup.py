@@ -1,6 +1,6 @@
 """Deduplication family for training-data pipelines.
 
-Five strategies, all distributed, all deterministic:
+Six strategies, all distributed, all deterministic:
 
 - exact: hash-groupBy on a normalized-content fingerprint;
 - n-gram Jaccard: inverted shingle index → pair-count intersection —
@@ -10,7 +10,9 @@ Five strategies, all distributed, all deterministic:
   hashes (pure column arithmetic, no UDF);
 - SimHash: 32-bit sign-aggregated token-hash fingerprint, near-dups =
   same fingerprint bucket (or small Hamming distance);
-- embedding cosine: sign-LSH buckets → in-bucket exact cosine.
+- embedding cosine: sign-LSH buckets → in-bucket exact cosine;
+- SemDeDup: k-means clusters the embedding space, capped in-cluster
+  cosine marks semantic near-dups (keep min id).
 
 Scale notes: every strategy shuffles once on its bucketing key
 (fingerprint / shingle / band-hash / simhash / LSH signature); skewed
