@@ -81,6 +81,9 @@ _VERIFY_FIRST = [
     "customer_orders_wide",
     # --- changed in r5 or new: must (re-)earn a green row this round ---
     "emb_ivf_pruned",  # NEW in r5: IVF index at rest, partition-pruned probes
+    "doc_cap_per_source",  # NEW in r5: two-phase per-source cap (full hash oracle)
+    "doc_strip_boilerplate",  # NEW in r5: boilerplate strip, length-arithmetic oracle
+    "emb_semantic_dedup",  # NEW in r5: SemDeDup gate (self-checking, IVF pattern)
     "doc_repetition_stats",  # red r4 (oracle HUGEINT) — cast fixed in r5
     "media_frame_plan",  # media fixture gained a PNG kind in r5
     "sql_adhoc_query",  # r5: prefixed temp-view names (ADVICE)
@@ -127,6 +130,9 @@ _ROTATION_BENCHED = [
     "emb_near_dup_pairs",
     "emb_lsh_topk",
     "streaming_ingest_e2e",
+    "event_sessions_stream",  # benched to make room for the 3 new r5 gates
+    "event_first_seen_stream",
+    "crash_clean_chain",
 ]
 
 

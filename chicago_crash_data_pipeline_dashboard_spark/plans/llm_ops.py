@@ -1585,3 +1585,130 @@ def doc_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus curation gates (operators/curation.py + dedup.semantic_dedup)
+# --------------------------------------------------------------------------
+
+from ..operators import curation as CU  # noqa: E402
+
+
+@register(
+    "doc_cap_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn <= 5
+    """,
+    doc="Per-source cap (operators/curation.py cap_per_key): at most 5 "
+    "docs per source under the explicit (n_chars desc, doc_id asc) "
+    "priority. The gate runs the TWO-PHASE skew-safe variant (salts=8: "
+    "content-hash salted per-bucket top-k, then the exact per-key "
+    "window — no task ever windows a hot source's full population), "
+    "which is provably identical to the single-phase cap the oracle's "
+    "row_number expresses; full row-level hash differential.",
+)
+def doc_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return CU.cap_per_key(
+        d, "source", 5,
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+        salts=8,
+    )
+
+
+@register(
+    "doc_strip_boilerplate",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, source, unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ),
+    grp AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    df AS (
+      SELECT source, line, count(DISTINCT doc_id) AS d
+      FROM lines WHERE trim(line) <> '' GROUP BY source, line
+    ),
+    boiler AS (
+      SELECT df.source, df.line FROM df JOIN grp USING (source)
+      WHERE grp.n_docs >= 3 AND df.d >= grp.n_docs * 0.5
+    ),
+    kept AS (
+      SELECT l.doc_id, l.source, l.line FROM lines l
+      WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                        WHERE b.source = l.source AND b.line = l.line)
+    ),
+    doc_after AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(SUM(length(k.line)), 0)
+             + CASE WHEN count(k.line) > 0 THEN count(k.line) - 1 ELSE 0 END
+               AS chars_after
+      FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars_after) AS BIGINT) AS chars_after
+    FROM doc_after GROUP BY source
+    """,
+    doc="CCNet-style boilerplate stripping (operators/curation.py "
+    "strip_boilerplate_lines): non-blank lines appearing (once per "
+    "doc) in >= 50% of a >= 3-doc source are removed; texts "
+    "reassemble in original line order via posexplode -> broadcast "
+    "anti-join -> position-sorted regroup. The oracle recomputes each "
+    "stripped text's LENGTH from line arithmetic (kept line chars + "
+    "inter-line newlines), so reassembly itself is under the hash "
+    "gate, per source.",
+)
+def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stripped = CU.strip_boilerplate_lines(
+        d, "doc_id", "text", "source", min_docs=3, frac=0.5
+    )
+    return stripped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("chars_after"),
+    )
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS kept_nonempty, TRUE AS kept_le_total, TRUE AS kept_ids_unique
+    FROM embeddings
+    """,
+    doc="SemDeDup (operators/dedup.py semantic_dedup, Abbas et al. "
+    "2023): k-means clusters the embedding space (bounded driver-"
+    "sample quantizer, one narrow assignment map), capped in-cluster "
+    "cosine >= 0.99 drops the larger id of each semantic near-dup "
+    "pair. Iterative k-means is not SQL-expressible, so the gate row "
+    "is self-checking in the IVF/PQ pattern: cross-engine n_total "
+    "plus in-Spark invariants (survivors non-empty, bounded by the "
+    "corpus, ids unique); raw keep-min semantics are pinned in "
+    "tests/test_llm_ops.py.",
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    kept = DD.semantic_dedup(
+        e, "vec_id", "embedding", n_clusters=16, threshold=0.99, seed=42
+    )
+    stats = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.count_distinct("vec_id").alias("n_kept_ids"),
+    )
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(stats)
+        .select(
+            "n_total",
+            (F.col("n_kept") > 0).alias("kept_nonempty"),
+            (F.col("n_kept") <= F.col("n_total")).alias("kept_le_total"),
+            (F.col("n_kept_ids") == F.col("n_kept")).alias("kept_ids_unique"),
+        )
+    )
