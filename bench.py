@@ -120,9 +120,9 @@ def main() -> None:
         if name == "doc_dup_clusters":
             # round count is THE cost of the iterative CC operator —
             # record it so wall-time movement is explainable
-            from chicago_crash_data_pipeline_dashboard_spark.operators import graph
+            from chicago_crash_data_pipeline_dashboard_spark.plans import llm_ops
 
-            notes["doc_dup_clusters"] = dict(graph.LAST_RUN_STATS)
+            notes["doc_dup_clusters"] = dict(llm_ops.DUP_CLUSTERS_LAST_STATS)
 
     total = round(sum(timings.values()), 4)
     out = {

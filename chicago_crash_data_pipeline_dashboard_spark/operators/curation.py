@@ -12,14 +12,26 @@ Both are single-digit-shuffle column plans (no UDFs):
   doc-frequency groupBy; the resulting boilerplate set is tiny and
   broadcasts back against the exploded lines.
 
-Driver gates for both are queued for the next rotation (COVERAGE.md);
-semantics are pinned by unit tests meanwhile.
+Both are driver-gated (``doc_cap_per_source``, ``doc_strip_boilerplate``
+— green since round 5) on top of the unit tests pinning semantics.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _guard_reserved(df: DataFrame, *names: str) -> None:
+    """Internal temp columns must not silently shadow user columns —
+    a caller whose frame already has ``_rn``/``_pos``/... would get
+    that column dropped or rewritten without any error."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with reserved internal names; "
+            "rename them before calling"
+        )
 
 
 def cap_per_key(
@@ -47,6 +59,7 @@ def cap_per_key(
         raise ValueError(f"k must be positive, got {k}")
     if not order_by:
         raise ValueError("order_by must name an explicit, total per-key priority")
+    _guard_reserved(df, "_rn")
     if salts is not None:
         if salts <= 1:
             raise ValueError(f"salts must be > 1, got {salts}")
@@ -126,6 +139,9 @@ def strip_boilerplate_lines(
     """Rewrite ``text_col`` with the group's boilerplate lines removed
     (original line order preserved; blank lines kept — they're
     formatting, not boilerplate). All other columns pass through.
+    NULL texts stay NULL (a missing document is not an empty one);
+    ``id_col`` must be unique — colliding ids would merge two
+    documents' lines in the regroup.
 
     Plan: posexplode keeps each line's position; the boilerplate set
     joins back as a broadcast left_anti (it's per-group tiny by
@@ -133,6 +149,7 @@ def strip_boilerplate_lines(
     one groupBy on the id reassembles survivors in position order. The
     explode→regroup round trip is one shuffle on the id, and the text
     never moves twice: only lines travel."""
+    _guard_reserved(df, "_id", "_grp", "_pos", "_line", "_clean_text")
     boiler = boilerplate_lines(df, text_col, group_col, min_docs, frac)
     exploded = df.select(
         F.col(id_col).alias("_id"),
@@ -152,12 +169,12 @@ def strip_boilerplate_lines(
             ).alias("_clean_text")
         )
     )
+    # missing rebuilt text means every line was boilerplate → "", but a
+    # NULL input text stays NULL (a missing document is not an empty one)
+    stripped = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.coalesce(F.col("_clean_text"), F.lit(""))
+    )
     out = df.join(rebuilt, df[id_col] == rebuilt["_id"], "left").select(
-        *[
-            F.coalesce(F.col("_clean_text"), F.lit("")).alias(text_col)
-            if c == text_col
-            else F.col(c)
-            for c in df.columns
-        ]
+        *[stripped.alias(text_col) if c == text_col else F.col(c) for c in df.columns]
     )
     return out

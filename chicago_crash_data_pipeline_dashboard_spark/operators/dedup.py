@@ -36,6 +36,31 @@ from ..functions import vectors as VX
 _P31 = (1 << 31) - 1
 
 
+def _explode_pairs(buckets: DataFrame, docs_col: str = "docs") -> DataFrame:
+    """Unordered in-bucket pairs (``x``, ``y`` struct columns) from an
+    array-of-structs bucket column, as a TWO-LEVEL generate: posexplode
+    the bucket, then explode each element against the array tail.
+
+    Every per-row value stays O(bucket) — the previous single-level
+    ``flatten(transform(...))`` materialized all n·(n−1)/2 pair structs
+    as ONE array value per bucket row, which at a hot bucket near the
+    cap (and wide payloads: embedding vectors, minhash signatures)
+    brushes Spark's 2 GB single-value limit. Two generates produce the
+    identical pair set with per-row memory bounded by one bucket slice.
+    The bucket arrays arrive sorted, so pairing each element against
+    its tail yields ``x < y`` in bucket order for free."""
+    docs = F.col(docs_col)
+    step = buckets.select(
+        docs.alias("_docs"), F.posexplode(docs).alias("_i", "x")
+    )
+    return step.select(
+        "x",
+        F.explode(
+            F.slice(F.col("_docs"), F.col("_i") + F.lit(2), F.size("_docs"))
+        ).alias("y"),
+    )
+
+
 def joined_doc_ids(id_col: str):
     """Canonical ``doc_ids`` aggregate: members sorted on their NATIVE
     type, then comma-joined into ONE STRING. Every dedup group emitter
@@ -132,24 +157,14 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("doc", "n_sh"))).alias("docs"))
         .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
     )
-    docs = F.col("docs")
-    pair_structs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(
-                    x["doc"].alias("doc_a"),
-                    x["n_sh"].alias("n_a"),
-                    y["doc"].alias("doc_b"),
-                    y["n_sh"].alias("n_b"),
-                ),
-            ),
-        )
-    )
     pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
+        _explode_pairs(buckets)
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("x.n_sh").alias("n_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("y.n_sh").alias("n_b"),
+        )
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -246,23 +261,13 @@ def tfidf_cosine_pairs(
         ).alias("nrm")
     )
 
-    docs = F.col("docs")
-    pair_structs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(
-                    x["doc"].alias("doc_a"),
-                    y["doc"].alias("doc_b"),
-                    (x["w"] * y["w"]).alias("ww"),
-                ),
-            ),
-        )
-    )
     dots = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.ww")
+        _explode_pairs(buckets)
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            (F.col("x.w") * F.col("y.w")).alias("ww"),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("ww").cast("decimal(25,6)")).cast("double").alias("dot"))
     )
@@ -354,38 +359,46 @@ def _band_structs(bands: int, rows_per_band: int):
     )
 
 
+def _bucket_size_filter(max_bucket: int | None):
+    """Shared bucket predicate: pairs need ≥ 2 docs; ``max_bucket``
+    (when set) drops hot buckets at the collect."""
+    keep = F.size("docs") >= 2
+    if max_bucket is not None:
+        keep = keep & (F.size("docs") <= max_bucket)
+    return keep
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, max_bucket: int = 1000
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature; docs sharing any band-bucket are candidates.
 
     One shuffle on (band, bucket-key): buckets are collected per key and
-    pairs explode in-array — the same shape as ``ngram_jaccard_pairs``,
+    pairs explode in-bucket — the same shape as ``ngram_jaccard_pairs``,
     replacing the former band-bucket self-join (two shuffles) with one.
-    Buckets larger than ``max_bucket`` are dropped at the collect (hot-
-    bucket skew guard: at 100 TB one degenerate band slice shared by
-    boilerplate/empty docs would otherwise make its bucket quadratic)."""
+
+    ``max_bucket`` is OPT-IN (default: no cap — every candidate pair is
+    emitted). Passing it drops buckets larger than the cap at the
+    collect — the hot-bucket skew guard a 100 TB run wants (one
+    degenerate band slice shared by boilerplate/empty docs would
+    otherwise make its bucket quadratic) — at the documented cost that
+    >max_bucket identical docs produce no pairs from that bucket
+    (literal clones still surface via ``dedup_exact``). The cap is a
+    behavior choice, so callers state it explicitly."""
     banded = sigs.select(
         "doc", F.explode(_band_structs(bands, rows_per_band)).alias("bb")
     ).select("doc", "bb.band", "bb.bucket")
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
-    )
-    docs = F.col("docs")
-    pair_structs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+        .filter(_bucket_size_filter(max_bucket))
     )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        _explode_pairs(buckets)
+        .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
         .distinct()
     )
 
@@ -400,7 +413,7 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
     seed: int = 42,
     hash_mode: str = "murmur3",
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by signature-estimated
     Jaccard (fraction of equal signature positions) ≥ threshold.
@@ -412,12 +425,14 @@ def minhash_near_duplicates(
     The carried payload is num_hashes longs per banded row — small next
     to the text it replaces.
 
-    Buckets larger than ``max_bucket`` are dropped at the collect —
-    the hot-bucket skew guard. Without it, a degenerate band slice
-    (boilerplate/empty docs agreeing on one band) turns that bucket
-    quadratic at 100 TB; identical docs in a dropped bucket still
-    surface via the exact-dedup path (``dedup_exact``), which is the
-    right tool for literal clones anyway."""
+    ``max_bucket`` is OPT-IN (default: no cap). When set, buckets
+    larger than the cap are dropped at the collect — the hot-bucket
+    skew guard a 100 TB run wants (a degenerate band slice shared by
+    boilerplate/empty docs turns that bucket quadratic) — at the
+    documented cost that >max_bucket identical docs produce zero pairs
+    from this path (literal clones still surface via ``dedup_exact``).
+    Dropping candidates is a behavior choice, so callers opt in
+    explicitly (the driver gates pass max_bucket=1000)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
@@ -431,26 +446,16 @@ def minhash_near_duplicates(
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(F.struct("doc", "signature"))).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
-    )
-    docs = F.col("docs")
-    pair_structs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(
-                    x["doc"].alias("doc_a"),
-                    x["signature"].alias("sig_a"),
-                    y["doc"].alias("doc_b"),
-                    y["signature"].alias("sig_b"),
-                ),
-            ),
-        )
+        .filter(_bucket_size_filter(max_bucket))
     )
     est = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.sig_a", "p.doc_b", "p.sig_b")
+        _explode_pairs(buckets)
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("x.signature").alias("sig_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("y.signature").alias("sig_b"),
+        )
         .withColumn(
             "est_jaccard",
             F.size(
@@ -506,13 +511,90 @@ def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, hash_mode: str = "murmur3"
 ) -> DataFrame:
     """Docs sharing an identical SimHash fingerprint (Hamming distance
-    0 — the scalable bucket form; small-distance variants re-bucket on
-    fingerprint segments)."""
+    0 — the scalable bucket form; ``simhash_hamming_pairs`` is the
+    small-distance variant that re-buckets on fingerprint segments)."""
     fp = simhash(df, id_col, text_col, bits, hash_mode)
     return (
         fp.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), joined_doc_ids("doc").alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    bits: int = 32,
+    hash_mode: str = "murmur3",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance ``max_distance``
+    — the production tolerance form (Manku, Jain & Das Sarma, WWW 2007
+    use 64-bit fingerprints at distance 3; this is the same pigeonhole
+    construction at ``bits`` bits).
+
+    Pigeonhole probe: the fingerprint splits into ``max_distance + 1``
+    contiguous segments. Two fingerprints within distance d differ in
+    at most d bits, which can touch at most d segments — so at least
+    ONE of the d+1 segments is bit-identical. Bucketing every doc once
+    per (segment index, segment value) therefore finds EVERY qualifying
+    pair; candidates are verified by exact popcount of the XOR
+    (``bit_count``, engine-portable for the differential oracle).
+
+    One shuffle on the (segment, value) key — d+1 index rows per doc,
+    the same linear-in-corpus candidate generation as MinHash banding.
+    ``max_bucket`` is the family's opt-in hot-bucket cap (a segment
+    value shared by a degenerate doc population — e.g. empty docs all
+    fingerprinting to 0 — would otherwise go quadratic at 100 TB).
+    """
+    if max_distance < 1:
+        raise ValueError(
+            f"max_distance must be >= 1, got {max_distance} "
+            "(distance 0 is simhash_near_duplicates' bucket form)"
+        )
+    n_seg = max_distance + 1
+    if n_seg > bits:
+        raise ValueError(f"max_distance {max_distance} needs {n_seg} segments > {bits} bits")
+    base, rem = divmod(bits, n_seg)
+    widths = [base + (1 if i < rem else 0) for i in range(n_seg)]
+    offsets = [sum(widths[:i]) for i in range(n_seg)]
+
+    fp = simhash(df, id_col, text_col, bits, hash_mode)
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(n_seg)
+        ]
+    )
+    exploded = fp.select(
+        "doc", "simhash", F.explode(segs).alias("sv")
+    ).select("doc", "simhash", "sv.seg", "sv.val")
+    buckets = (
+        exploded.groupBy("seg", "val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "simhash"))).alias("docs"))
+        .filter(_bucket_size_filter(max_bucket))
+    )
+    return (
+        _explode_pairs(buckets)
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("x.simhash").alias("fp_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("y.simhash").alias("fp_b"),
+        )
+        .distinct()  # a close pair can share several segments
+        .withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
 
 
@@ -563,7 +645,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.95,
     seed: int = 42,
-    max_cluster: int = 4096,
+    max_cluster: int = 512,
     train_sample: int = 65536,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -582,7 +664,11 @@ def semantic_dedup(
     point is that k-means makes each quadratic small); clusters larger
     than ``max_cluster`` are SKIPPED — kept undeduped, never joined —
     so a degenerate cluster (zero vectors, one dominant mode) bounds
-    work instead of exploding it. At 100 TB, raise n_clusters so
+    work instead of exploding it. The default cap is 512 because each
+    pair carries BOTH full vectors: even with the two-level pair
+    generate keeping per-row values O(cluster), the pair ROW COUNT per
+    cluster is n²/2, and 512²/2 ≈ 131k pairs × 2 wide vectors is the
+    sane per-bucket work unit. At 100 TB, raise n_clusters so
     N/n_clusters stays under the cap."""
     from .similarity import ivf_index
 
@@ -599,33 +685,16 @@ def semantic_dedup(
         )
         .filter((F.size("docs") >= 2) & (F.size("docs") <= max_cluster))
     )
-    docs = F.col("docs")
-    pair_structs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(
-                    x["neighbor_id"].alias("doc_a"),
-                    x["cvec"].alias("vec_a"),
-                    x["cn"].alias("nrm_a"),
-                    y["neighbor_id"].alias("doc_b"),
-                    y["cvec"].alias("vec_b"),
-                    y["cn"].alias("nrm_b"),
-                ),
-            ),
-        )
-    )
     drops = (
-        buckets.select(F.explode(pair_structs).alias("p"))
+        _explode_pairs(buckets)
         .withColumn(
             "cos",
             VX.cosine_with_norms(
-                F.col("p.vec_a"), F.col("p.vec_b"), F.col("p.nrm_a"), F.col("p.nrm_b")
+                F.col("x.cvec"), F.col("y.cvec"), F.col("x.cn"), F.col("y.cn")
             ),
         )
         .filter(F.col("cos") >= threshold)
-        .select(F.col("p.doc_b").alias("_drop_id"))
+        .select(F.col("y.neighbor_id").alias("_drop_id"))
         .distinct()
     )
     return vectors.join(

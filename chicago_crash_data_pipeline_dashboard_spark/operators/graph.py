@@ -29,19 +29,13 @@ import time
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-# Filled by every connected_components run: {"rounds": int,
-# "round_secs": [float, ...]} — round count is THE cost of this
-# operator (each round is a full shuffle at scale), so the bench
-# records it alongside the wall time to explain run-to-run movement.
-LAST_RUN_STATS: dict = {}
-
-
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     use_reliable_checkpoint: bool = False,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(node, comp) for every node appearing in ``edges``; ``comp`` is
     the minimum node id reachable from the node (undirected).
@@ -52,6 +46,13 @@ def connected_components(
     SparkContext's checkpoint dir — the right choice on a real cluster
     where executor churn over a many-round job is expected. Requires
     ``spark.sparkContext.setCheckpointDir(...)`` to have been called.
+
+    ``stats_out``: pass a dict to receive ``{"rounds": int,
+    "round_secs": [float, ...]}`` for THIS run — round count is the
+    operator's real cost (each round is a full shuffle at scale), so
+    the bench records it alongside wall time to explain run-to-run
+    movement. A caller-owned dict, not a module global: concurrent
+    runs (parallel tests, nested pipelines) each see their own stats.
     """
 
     def _ckpt(df: DataFrame) -> DataFrame:
@@ -129,8 +130,9 @@ def connected_components(
         round_secs.append(round(time.perf_counter() - t0, 4))
         if obs.get["changed"] == 0:
             break
-    LAST_RUN_STATS.clear()
-    LAST_RUN_STATS.update({"rounds": rounds, "round_secs": round_secs})
+    if stats_out is not None:
+        stats_out.clear()
+        stats_out.update({"rounds": rounds, "round_secs": round_secs})
     return labels
 
 
@@ -140,6 +142,7 @@ def dedup_clusters(
     id_b: str = "doc_b",
     max_iter: int = 25,
     use_reliable_checkpoint: bool = False,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pair list → per-cluster summary: canonical id (= min
     member), member count, sorted member list. The keep-one-per-cluster
@@ -160,6 +163,7 @@ def dedup_clusters(
         dst=id_b,
         max_iter=max_iter,
         use_reliable_checkpoint=use_reliable_checkpoint,
+        stats_out=stats_out,
     )
     return (
         comp.groupBy(F.col("comp").alias("cluster"))

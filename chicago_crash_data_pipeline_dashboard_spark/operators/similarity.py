@@ -351,7 +351,11 @@ def ivf_topk_indexed(
     exact-cosine rerank as the in-memory path — same inputs, same
     results."""
     centroids = read_ivf_centroids(spark, path)
-    q = _probed_queries(queries, centroids, id_col, vec_col, n_probe)
+    # persist the probed-query frame: it is consumed twice (probe-id
+    # collect, then scoring) and each evaluation re-derives the
+    # per-query centroid-distance fold — cache the tiny frame instead
+    # of computing it twice
+    q = _probed_queries(queries, centroids, id_col, vec_col, n_probe).persist()
     probed = sorted(r[0] for r in q.select("_cluster").distinct().collect())
     assigned = spark.read.parquet(path).filter(F.col("_cluster").isin(probed))
     return _score_probed(assigned, q, k)
@@ -483,6 +487,54 @@ def _adc(codes_col, lut_col):
     )
 
 
+def _pq_adc_candidates(
+    c: DataFrame, q: DataFrame, n_cand: int, salts: int | None
+) -> DataFrame:
+    """ADC candidate selection: the top ``n_cand`` corpus rows per
+    query by asymmetric distance. Returns ONLY (query_id, neighbor_id)
+    — by construction no full vector ever enters this subplan: the
+    corpus side carries (neighbor_id, codes), i.e. m small ints per
+    row, which is PQ's whole compression claim, and the query side
+    broadcasts (query_id, lut).
+
+    The per-query top-n_cand is TWO-PHASE when ``salts`` is set (the
+    identical salted-window superset argument ``cap_per_key(salts=)``
+    proves, operators/curation.py): stage 1 keeps the top n_cand per
+    (query_id, content-hash salt bucket) — each global top-n_cand row
+    is in its own bucket's top-n_cand under the same total order, so
+    nothing is lost — and stage 2's exact window then ranks at most
+    n_cand·salts rows per query instead of the FULL corpus. Without
+    the salt, every corpus row for a query lands in ONE window task: a
+    single-reducer-per-query bottleneck at 100 TB scale."""
+    pairs = (
+        c.select("neighbor_id", "codes")
+        .crossJoin(F.broadcast(q.select("query_id", "lut")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", _adc(F.col("codes"), F.col("lut")))
+        .select("query_id", "neighbor_id", "adc")
+    )
+    order = [F.asc("adc"), F.asc("neighbor_id")]
+    if salts is not None:
+        if salts <= 1:
+            raise ValueError(f"salts must be > 1, got {salts}")
+        # content-hash salt (not random/monotonic): shuffle-retry
+        # recomputation re-derives identical buckets — same discipline
+        # as cap_per_key
+        salt = F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(salts))
+        w1 = W.partitionBy(F.col("query_id"), salt).orderBy(*order)
+        pairs = (
+            pairs.withColumn("_srank", F.row_number().over(w1))
+            .filter(F.col("_srank") <= n_cand)
+            .drop("_srank")
+        )
+    wa = W.partitionBy("query_id").orderBy(*order)
+    return (
+        pairs.withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -495,15 +547,23 @@ def pq_topk(
     refine: int = 4,
     seed: int = 42,
     train_sample: int = 65536,
+    salts: int | None = 8,
 ) -> DataFrame:
     """PQ approximate top-k with exact refinement (FAISS IVF-PQ's
     refine stage): corpus vectors compress to m sub-centroid codes
     (m bytes/vector at ks ≤ 256 — 32× smaller than 64 floats), queries
     broadcast with a per-query ADC lookup table, candidates rank by
-    ADC in O(m) per pair, and the top ``k·refine`` per query rerank by
-    exact cosine. At 100 TB the codes table IS the index: a scan reads
-    m bytes/vector instead of the raw embeddings, and the exact rerank
-    touches only k·refine full vectors per query."""
+    ADC in O(m) per pair via a salted two-phase top-k (see
+    ``_pq_adc_candidates``), and the surviving ``k·refine`` ids per
+    query re-join their FULL vectors for the exact-cosine rerank.
+
+    At 100 TB the codes table IS the index: the candidate pass scans
+    and shuffles m bytes/vector instead of the raw embeddings (the
+    full vector never enters the ADC subplan), no window task ever
+    ranks more than n_cand·salts rows, and the vector fetch for the
+    rerank is a broadcast semi-join touching only k·refine rows per
+    query. ``salts=None`` disables stage 1 (single exact window) —
+    results are identical either way, property-tested."""
     sample = _driver_sample(corpus, vec_col, train_sample, seed)
     if sample and len(sample[0]) != dim:
         # a mismatched dim would make F.slice/zip_with silently produce
@@ -525,15 +585,15 @@ def pq_topk(
         F.col(vec_col).alias("qvec"),
         VX.norm(F.col(vec_col)).alias("qn"),
     ).withColumn("lut", _pq_lut(F.col("qvec"), codebook, norm_col=F.col("qn")))
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc", _adc(F.col("codes"), F.col("lut")))
-    )
-    wa = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
-    cand = (
-        pairs.withColumn("_arank", F.row_number().over(wa))
-        .filter(F.col("_arank") <= k * refine)
+
+    cand = _pq_adc_candidates(c, q, n_cand=k * refine, salts=salts)
+    rerank = (
+        # candidates are k·refine per query — tiny, so they broadcast
+        # against the corpus for the vector fetch (column pruning drops
+        # the codes computation from this scan)
+        c.select("neighbor_id", "cvec", "cn")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qvec", "qn")), "query_id")
         .withColumn(
             "cos",
             F.round(
@@ -544,4 +604,4 @@ def pq_topk(
             ),
         )
     )
-    return _topk_by_cos(cand, k)
+    return _topk_by_cos(rerank, k)

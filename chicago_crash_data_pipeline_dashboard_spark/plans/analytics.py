@@ -1537,8 +1537,16 @@ def sql_adhoc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for t, view in names.items():
             load(spark, sf_dir, t).createOrReplaceTempView(view)
+        # rewrite ONLY table references — names directly after
+        # FROM/JOIN (optionally re-matched before an alias). A bare
+        # \b(orders|lineitem)\b would also rewrite occurrences inside
+        # string literals or comments if the SQL ever grew one
+        # (tests/test_analytics_units.py pins exactly two rewrites).
         rewritten = re.sub(
-            r"\b(orders|lineitem)\b", lambda m: names[m.group(1)], _ADHOC_SQL
+            r"\b(FROM|JOIN)\s+(orders|lineitem)\b",
+            lambda m: f"{m.group(1)} {names[m.group(2)]}",
+            _ADHOC_SQL,
+            flags=re.IGNORECASE,
         )
         return spark.sql(rewritten)
     finally:

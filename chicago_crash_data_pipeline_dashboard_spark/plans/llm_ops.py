@@ -690,7 +690,17 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5, max_bucket=1000, hash_mode="md5"
     )
-    return dedup_clusters(pairs, "doc_a", "doc_b")
+    return dedup_clusters(
+        pairs, "doc_a", "doc_b", stats_out=DUP_CLUSTERS_LAST_STATS
+    )
+
+
+# Bench-telemetry side channel for the gate above: the registry
+# callable signature is fixed at (spark, sf_dir), so bench.py reads the
+# CC round stats here after timing the query (serial runs only — the
+# OPERATOR itself takes a caller-owned stats_out dict and has no
+# global state).
+DUP_CLUSTERS_LAST_STATS: dict = {}
 
 
 @register(

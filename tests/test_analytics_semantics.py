@@ -124,3 +124,39 @@ def test_ols_moments_match_numpy(spark):
     ref_slope, ref_intercept = np.polyfit(xs, ys, 1)
     assert abs(slope - ref_slope) < 1e-9
     assert abs(intercept - ref_intercept) < 1e-9
+
+
+def test_adhoc_sql_rewrite_touches_only_table_references():
+    """The sql_adhoc_query view rewrite must rename exactly the two
+    FROM/JOIN table references — and must NOT touch occurrences of the
+    words 'orders'/'lineitem' inside string literals or comments (the
+    regex is anchored to the FROM/JOIN token for that reason)."""
+    import re
+
+    names = {"orders": "ccpd_adhoc_orders", "lineitem": "ccpd_adhoc_lineitem"}
+
+    def rewrite(sql: str) -> str:
+        return re.sub(
+            r"\b(FROM|JOIN)\s+(orders|lineitem)\b",
+            lambda m: f"{m.group(1)} {names[m.group(2)]}",
+            sql,
+            flags=re.IGNORECASE,
+        )
+
+    from chicago_crash_data_pipeline_dashboard_spark.plans.analytics import _ADHOC_SQL
+
+    got = rewrite(_ADHOC_SQL)
+    assert got.count("ccpd_adhoc_") == 2  # exactly the two table refs
+    assert "FROM lineitem" not in got and "JOIN orders" not in got
+
+    tricky = (
+        "SELECT 'orders placed' AS label, o_comment -- lineitem notes\n"
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey\n"
+        "WHERE o_comment <> 'all my orders'"
+    )
+    got = rewrite(tricky)
+    assert "FROM ccpd_adhoc_orders o" in got
+    assert "JOIN ccpd_adhoc_lineitem l" in got
+    assert "'orders placed'" in got  # literal untouched
+    assert "-- lineitem notes" in got  # comment untouched
+    assert "'all my orders'" in got  # literal untouched

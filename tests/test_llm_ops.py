@@ -661,6 +661,105 @@ def test_pq_topk_recall_on_testdata(spark, sf_oracle):
     assert hit / exact.count() >= 0.85  # measured 0.9 at sf0.01
 
 
+def test_pq_topk_salted_equals_unsalted(spark, sf_oracle):
+    """The two-phase (salted) ADC top-k must return EXACTLY the single-
+    window result — the same superset argument cap_per_key(salts=)
+    proves, here for the (adc asc, neighbor_id asc) total order."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    kw = dict(k=5, dim=64, m=16, ks=16, refine=8)
+    salted = SIM.pq_topk(emb, q, salts=8, **kw).collect()
+    single = SIM.pq_topk(emb, q, salts=None, **kw).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, single))
+
+
+# --------------------------------------------------------------------------
+# SimHash Hamming-distance-k pairs (pigeonhole segment probe)
+# --------------------------------------------------------------------------
+
+
+def _hamming_docs(spark):
+    """Corpus with planted near-dups: two identical docs (distance 0),
+    one off-by-a-word doc (small distance), plus real testdata texts."""
+    base = " ".join(f"token{i}" for i in range(60))
+    rows = [
+        (1001, base),
+        (1002, base),  # identical → distance 0
+        (1003, base.replace("token30", "changed")),  # near → small distance
+        (1004, "completely different text about other topics entirely"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize("hash_mode", ["murmur3", "md5"])
+def test_simhash_hamming_pairs_match_bruteforce(spark, hash_mode):
+    """Differential: the segment-probe candidate set, verified by
+    popcount, must equal the all-pairs brute force — the pigeonhole
+    guarantee (≤ d flipped bits touch ≤ d of the d+1 segments, so one
+    segment matches exactly)."""
+    docs = _hamming_docs(spark)
+    d = 3
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in DD.simhash_hamming_pairs(
+            docs, "doc_id", "text", max_distance=d, hash_mode=hash_mode
+        ).collect()
+    }
+    fp = DD.simhash(docs, "doc_id", "text", hash_mode=hash_mode)
+    a = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("fb"))
+    brute = {
+        (r.doc_a, r.doc_b, int(r.h))
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("h") <= d)
+        .collect()
+    }
+    assert got == brute
+    assert (1001, 1002, 0) in got  # the planted identical pair
+
+
+def test_simhash_hamming_pairs_on_testdata(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(200)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in DD.simhash_hamming_pairs(docs, "doc_id", "text", max_distance=3).collect()
+    }
+    fp = DD.simhash(docs, "doc_id", "text")
+    a = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("fb"))
+    brute = {
+        (r.doc_a, r.doc_b, int(r.h))
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_simhash_hamming_max_bucket_drops_hot_segment(spark):
+    """Opt-in cap: identical docs all share every segment bucket, so a
+    cap below the clone count suppresses their pairs (clones remain the
+    exact-dedup path's job), while the uncapped default finds them."""
+    rows = [(i, "the same exact document text repeated") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = DD.simhash_hamming_pairs(docs, "doc_id", "text", max_distance=2)
+    assert uncapped.count() == 8 * 7 // 2
+    capped = DD.simhash_hamming_pairs(
+        docs, "doc_id", "text", max_distance=2, max_bucket=5
+    )
+    assert capped.count() == 0
+
+
+def test_simhash_hamming_rejects_bad_distance(spark):
+    docs = _hamming_docs(spark)
+    with pytest.raises(ValueError, match="max_distance"):
+        DD.simhash_hamming_pairs(docs, "doc_id", "text", max_distance=0)
+
+
 def test_chunk_overlap_hand_computed(spark):
     """300 tokens at 128-window/96-stride: chunks start at 0/96/192
     with lengths 128/128/108 — NO fourth window (its 12 tokens are

@@ -233,6 +233,39 @@ def test_pq_topk_stays_jvm_side_with_folded_codebook(spark, sf_oracle):
     assert "EvalPython" not in plan
     assert "from_json" not in plan  # folded to a literal at plan time
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)]" in plan
+    # the ADC candidate pass must run two-phase: a content-hash salt in
+    # a window partition key proves no task ranks the full corpus for a
+    # single query (the r5 single-reducer-per-query tail)
+    assert "pmod(xxhash64(neighbor_id" in plan
+
+
+def test_pq_adc_candidates_salted_and_vector_free(spark):
+    """The ADC candidate subplan must (a) window two-phase — one salted
+    window, then the exact one — and (b) never reference a full vector
+    column: PQ's compression claim is that only (neighbor_id, codes)
+    shuffles, with the k·refine survivors re-joining their vectors."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    c = spark.createDataFrame(
+        [(i, [i % 4, (i * 3) % 4], [0.1] * 4, 1.0) for i in range(64)],
+        "neighbor_id long, codes array<int>, cvec array<double>, cn double",
+    )
+    q = spark.createDataFrame(
+        [(100, [[0.0, 1.0, 2.0, 3.0], [3.0, 2.0, 1.0, 0.0]], [0.2] * 4, 1.0)],
+        "query_id long, lut array<array<double>>, qvec array<double>, qn double",
+    )
+    cand = SIM._pq_adc_candidates(c, q, n_cand=5, salts=4)
+    assert cand.columns == ["query_id", "neighbor_id"]
+    plan = plan_of(cand, "simple")
+    # salted stage-1 + exact stage-2 (WindowGroupLimit nodes also say
+    # "Window", so count the actual window definitions)
+    assert plan.count("row_number() windowspecdefinition") == 2, plan
+    assert "pmod(xxhash64(neighbor_id" in plan
+    # column pruning must drop the vector columns from every Project /
+    # Exchange in the subplan (the ExistingRDD scan line itself lists
+    # the source schema — a parquet scan would prune via ReadSchema)
+    lines = [l for l in plan.splitlines() if "Scan ExistingRDD" not in l]
+    assert not any("cvec" in l or "qvec" in l for l in lines), plan
 
 
 def test_minhash_cap_path_join_free_and_jvm_side(spark, sf_oracle):
