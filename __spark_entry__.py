@@ -36,14 +36,67 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first (r5): the 35 queries benched in r4 rotate back in so
+# Sampled first (r6): the 39 queries benched in r5 rotate back in so
 # their green rows don't go stale (COVERAGE.md rotation plan), plus
 # every query whose code/oracle/fixture changed this round, plus the
-# one new registration. Benched (rotated out): the r4-verified set
-# (green r4, unchanged this round) and 7 long-stable middles (green
-# r2+r3+r4, unchanged).
+# two new registrations. Benched (rotated out): the r5-verified set —
+# green r5, unchanged in r6.
 _VERIFY_FIRST = [
-    # --- benched r4, rotating back in (all green r2+r3) ---
+    # --- benched r5, rotating back in (green r4 and earlier) ---
+    "crash_model_eval",
+    "event_windowed_counts_stream",
+    "jobspec_extract",
+    "silver_catalog_validate",
+    "skew_salted_join_agg",
+    "promo_part_star",
+    "compact_small_files",
+    "event_error_click_window_stream",
+    "doc_winnow_fp",
+    "doc_decontaminate",
+    "emb_quantize_error",
+    "doc_stratified_sample",
+    "doc_pack_bins",
+    "doc_quality_buckets",
+    "doc_pii_scrub",
+    "orc_roundtrip_stats",
+    "bucketed_join_agg",
+    "doc_chunk_overlap",
+    "event_props_json",
+    "schema_evolution_merge",
+    "json_malformed_ingest",
+    "partition_overwrite_dynamic",
+    "incremental_agg_merge",
+    "event_funnel_steps",
+    "user_retention_cohorts",
+    "event_dedup_watermark_stream",
+    "doc_quality_regression",
+    "crash_rule_eval",
+    "doc_training_pipeline",
+    "pricing_summary",  # also smoke-checked every round via entry()
+    "order_profile",
+    "revenue_by_nation",
+    "doc_tfidf_cosine_pairs",  # also changed r6 (two-level pair explode)
+    "emb_near_dup_pairs",
+    "emb_lsh_topk",
+    "streaming_ingest_e2e",
+    "event_sessions_stream",
+    "event_first_seen_stream",
+    "crash_clean_chain",
+    # --- changed in r6 or new: must (re-)earn a green row this round ---
+    "emb_pq_topk",  # r6: two-phase salted ADC top-k, vector-free candidate pass
+    "emb_semantic_dedup",  # r6: planted-clone gate + two-level pair explode
+    "doc_minhash_near_dups",  # r6: two-level pair explode, opt-in max_bucket
+    "doc_jaccard_pairs",  # r6: two-level pair explode
+    "doc_dup_clusters",  # r6: stats_out plumbing (+ jaccard pair path)
+    "doc_cap_per_source",  # r6: reserved-column guard in cap_per_key
+    "doc_strip_boilerplate",  # r6: NULL-text preservation + reserved-name guard
+    "emb_ivf_pruned",  # r6: probed-query frame persisted (single computation)
+    "sql_adhoc_query",  # r6: FROM/JOIN-anchored view rewrite (ADVICE)
+    "doc_simhash_hamming",  # NEW in r6: pigeonhole Hamming<=3 pairs, full oracle
+    "doc_curation_pipeline",  # NEW in r6: strip->dedup->cap composite oracle
+]
+_ROTATION_BENCHED = [
+    # --- r5-verified (green r5, unchanged in r6) ---
     "eda_day_labels",
     "run_history",
     "value_counts_topk",
@@ -79,60 +132,12 @@ _VERIFY_FIRST = [
     "revenue_rollup",
     "approx_sketch_stats",
     "customer_orders_wide",
-    # --- changed in r5 or new: must (re-)earn a green row this round ---
-    "emb_ivf_pruned",  # NEW in r5: IVF index at rest, partition-pruned probes
-    "doc_cap_per_source",  # NEW in r5: two-phase per-source cap (full hash oracle)
-    "doc_strip_boilerplate",  # NEW in r5: boilerplate strip, length-arithmetic oracle
-    "emb_semantic_dedup",  # NEW in r5: SemDeDup gate (self-checking, IVF pattern)
-    "doc_repetition_stats",  # red r4 (oracle HUGEINT) — cast fixed in r5
-    "media_frame_plan",  # media fixture gained a PNG kind in r5
-    "sql_adhoc_query",  # r5: prefixed temp-view names (ADVICE)
-    "binary_file_ingest",  # r5: deterministic media_id derivation (ADVICE)
-    "emb_pq_topk",  # r5: dim validation added (ADVICE)
-    "emb_ivf_topk",  # r5: ivf_topk internals refactored into shared helpers
-]
-_ROTATION_BENCHED = [
-    # --- r4-verified (green r4, unchanged in r5) ---
-    "crash_model_eval",
-    "event_windowed_counts_stream",
-    "jobspec_extract",
-    "silver_catalog_validate",
-    "skew_salted_join_agg",
-    "promo_part_star",
-    "compact_small_files",
-    "event_error_click_window_stream",
-    "doc_winnow_fp",
-    "doc_decontaminate",
-    "emb_quantize_error",
-    "doc_stratified_sample",
-    "doc_pack_bins",
-    "doc_quality_buckets",
-    "doc_pii_scrub",
-    "orc_roundtrip_stats",
-    "bucketed_join_agg",
-    "doc_chunk_overlap",
-    "event_props_json",
-    "schema_evolution_merge",
-    "json_malformed_ingest",
-    "partition_overwrite_dynamic",
-    "incremental_agg_merge",
-    "event_funnel_steps",
-    "user_retention_cohorts",
-    "event_dedup_watermark_stream",
-    "doc_quality_regression",
-    "crash_rule_eval",
-    "doc_training_pipeline",
-    # --- long-stable middles (green r2+r3+r4, unchanged in r5) ---
-    "pricing_summary",  # also smoke-checked every round via entry()
-    "order_profile",
-    "revenue_by_nation",
-    "doc_tfidf_cosine_pairs",
-    "emb_near_dup_pairs",
-    "emb_lsh_topk",
-    "streaming_ingest_e2e",
-    "event_sessions_stream",  # benched to make room for the 3 new r5 gates
-    "event_first_seen_stream",
-    "crash_clean_chain",
+    "doc_repetition_stats",
+    "media_frame_plan",
+    "binary_file_ingest",
+    "emb_ivf_topk",
+    "media_feature_stats",
+    "pipeline_e2e",
 ]
 
 

@@ -123,6 +123,15 @@ def main() -> None:
             from chicago_crash_data_pipeline_dashboard_spark.plans import llm_ops
 
             notes["doc_dup_clusters"] = dict(llm_ops.DUP_CLUSTERS_LAST_STATS)
+        if name == "doc_decontaminate" and samples:
+            # BASELINE.md records 2.5/4/28.6 s across sessions for an
+            # identical plan — publish the raw per-run samples so a
+            # real regression (all runs slow) is distinguishable from
+            # host noise (one outlier run inflating nothing, since the
+            # median absorbs it)
+            notes["doc_decontaminate"] = {
+                "samples": [round(s, 4) for s in samples]
+            }
 
     total = round(sum(timings.values()), 4)
     out = {

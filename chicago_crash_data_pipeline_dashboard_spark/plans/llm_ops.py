@@ -819,18 +819,26 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(bits: int) -> str:
+def _simhash_fp_ctes(bits: int) -> str:
+    """Shared CTE chain ending in ``fp(doc, simhash)`` — the portable
+    md5-mode SimHash fingerprint, reused by the fingerprint gate and
+    the Hamming-pair gate."""
     bsums = ", ".join(
         f"list_sum(list_transform(hvals, h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) AS b{i}"
         for i in range(bits)
     )
     fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
-    return f"""
-    WITH hv AS (SELECT doc_id AS doc,
+    return f"""hv AS (SELECT doc_id AS doc,
                 list_transform({_TOKS}, t -> {_H32.format(s='t')}) AS hvals
                 FROM documents),
-    bs AS (SELECT doc, {bsums} FROM hv)
-    SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM bs
+    bs AS (SELECT doc, {bsums} FROM hv),
+    fp AS (SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM bs)"""
+
+
+def _simhash_oracle(bits: int) -> str:
+    return f"""
+    WITH {_simhash_fp_ctes(bits)}
+    SELECT doc, simhash FROM fp
     """
 
 
@@ -844,6 +852,34 @@ def _simhash_oracle(bits: int) -> str:
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return DD.simhash(d, "doc_id", "text", bits=32, hash_mode="md5")
+
+
+@register(
+    "doc_simhash_hamming",
+    oracle=f"""
+    WITH {_simhash_fp_ctes(32)}
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs within Hamming distance 3 "
+    "(operators/dedup.py simhash_hamming_pairs, Manku et al. WWW 2007 "
+    "pigeonhole probe): the 32-bit fingerprint splits into 4 segments; "
+    "two fingerprints within distance 3 must agree on at least one "
+    "segment, so bucketing per (segment, value) finds every qualifying "
+    "pair — one shuffle, linear candidate generation — and exact "
+    "popcount verifies. The oracle brute-forces all pairs with "
+    "bit_count(xor) on the identical md5-mode fingerprints, so the "
+    "probe's completeness (not just its precision) is under the hash "
+    "gate. The opt-in hot-bucket cap is unit-tested; the gate runs "
+    "uncapped for the exact differential.",
+)
+def doc_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return DD.simhash_hamming_pairs(
+        d, "doc_id", "text", max_distance=3, bits=32, hash_mode="md5"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1687,38 +1723,146 @@ def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_curation_pipeline",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      FROM documents
+    ),
+    grp AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    dfq AS (
+      SELECT source, line, count(DISTINCT doc_id) AS d
+      FROM lines WHERE trim(line) <> '' GROUP BY source, line
+    ),
+    boiler AS (
+      SELECT dfq.source, dfq.line FROM dfq JOIN grp USING (source)
+      WHERE grp.n_docs >= 3 AND dfq.d >= grp.n_docs * 0.5
+    ),
+    keptl AS (
+      SELECT l.doc_id, l.line, l.pos FROM lines l
+      WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                        WHERE b.source = l.source AND b.line = l.line)
+    ),
+    rebuilt AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+      FROM documents d LEFT JOIN keptl k ON k.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.source
+    ),
+    uniq AS (
+      SELECT doc_id, source, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY {_FPRINT}
+                                     ORDER BY doc_id) AS rn
+        FROM rebuilt) WHERE rn = 1
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY length(text) DESC, doc_id ASC) AS rn
+        FROM uniq) WHERE rn <= 10
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars_total,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM capped GROUP BY source
+    """,
+    doc="END-TO-END curation chain under ONE oracle — strip boilerplate "
+    "(strip_boilerplate_lines) -> exact dedup on the STRIPPED text "
+    "(dedup_exact keep-min-id; stripping first is what makes docs that "
+    "differed only in nav chrome collapse) -> per-source cap of 10 "
+    "under the (stripped length desc, doc_id asc) priority "
+    "(cap_per_key, two-phase salted) -> per-source survivor stats. "
+    "Each stage is individually gated (doc_strip_boilerplate, "
+    "doc_dedup_exact_by_source, doc_cap_per_source); this gate proves "
+    "the COMPOSITION: sum_ids pins the exact survivor id-set per "
+    "source, so a drift in any stage interaction (e.g. dedup seeing "
+    "unstripped text) flips the row hash. The oracle rebuilds stripped "
+    "texts via position-ordered string_agg and chains the same three "
+    "stages in SQL.",
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    stripped = CU.strip_boilerplate_lines(
+        d, "doc_id", "text", "source", min_docs=3, frac=0.5
+    )
+    deduped = DD.dedup_exact(stripped, "doc_id", "text")
+    capped = CU.cap_per_key(
+        deduped, "source", 10,
+        order_by=[F.desc(F.length("text")), F.asc("doc_id")],
+        salts=8,
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("chars_total"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+_SEM_CLONES = 10  # planted exact-duplicate vectors (see gate doc)
+_SEM_CLONE_OFFSET = 1_000_000
+
+
+@register(
     "emb_semantic_dedup",
-    oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_total,
-           TRUE AS kept_nonempty, TRUE AS kept_le_total, TRUE AS kept_ids_unique
+    oracle=f"""
+    SELECT CAST(count(*) + {_SEM_CLONES} AS BIGINT) AS n_total,
+           CAST(count(DISTINCT embedding) AS BIGINT) AS n_distinct_vec,
+           CAST({_SEM_CLONES} AS BIGINT) AS n_planted_dropped,
+           TRUE AS kept_nonempty, TRUE AS kept_le_distinct, TRUE AS kept_ids_unique
     FROM embeddings
     """,
     doc="SemDeDup (operators/dedup.py semantic_dedup, Abbas et al. "
     "2023): k-means clusters the embedding space (bounded driver-"
     "sample quantizer, one narrow assignment map), capped in-cluster "
     "cosine >= 0.99 drops the larger id of each semantic near-dup "
-    "pair. Iterative k-means is not SQL-expressible, so the gate row "
-    "is self-checking in the IVF/PQ pattern: cross-engine n_total "
-    "plus in-Spark invariants (survivors non-empty, bounded by the "
-    "corpus, ids unique); raw keep-min semantics are pinned in "
+    "pair. Iterative k-means is not SQL-expressible, so the gate "
+    "PLANTS its own ground truth: the 10 lowest-id vectors are cloned "
+    "under offset ids — exact duplicates are semantic dups at ANY "
+    "threshold, land in their original's cluster deterministically, "
+    "and must ALL be dropped (keep-min-id). n_planted_dropped (Spark-"
+    "counted) must equal the oracle's literal 10, and n_kept must stay "
+    "<= the cross-engine count(DISTINCT embedding) — both FAIL if "
+    "thresholding silently stops working, which the r5 invariants-only "
+    "gate could not detect. Raw keep-min semantics remain pinned in "
     "tests/test_llm_ops.py.",
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = (
+        e.orderBy("vec_id")
+        .limit(_SEM_CLONES)
+        .select(
+            (F.col("vec_id") + F.lit(_SEM_CLONE_OFFSET)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    aug = e.unionByName(clones)
     kept = DD.semantic_dedup(
-        e, "vec_id", "embedding", n_clusters=16, threshold=0.99, seed=42
+        aug, "vec_id", "embedding", n_clusters=16, threshold=0.99, seed=42,
+        # explicit: the gate must never silently skip a cluster — the
+        # planted-clone guarantee depends on every cluster being paired
+        max_cluster=100_000,
     )
     stats = kept.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.count_distinct("vec_id").alias("n_kept_ids"),
+        F.sum((F.col("vec_id") >= _SEM_CLONE_OFFSET).cast("long")).alias(
+            "n_planted_kept"
+        ),
     )
-    return (
-        e.agg(F.count(F.lit(1)).alias("n_total"))
-        .crossJoin(stats)
-        .select(
-            "n_total",
-            (F.col("n_kept") > 0).alias("kept_nonempty"),
-            (F.col("n_kept") <= F.col("n_total")).alias("kept_le_total"),
-            (F.col("n_kept_ids") == F.col("n_kept")).alias("kept_ids_unique"),
-        )
+    totals = aug.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("embedding").alias("n_distinct_vec"),
+    )
+    return totals.crossJoin(stats).select(
+        "n_total",
+        "n_distinct_vec",
+        (F.lit(_SEM_CLONES) - F.col("n_planted_kept")).cast("long").alias(
+            "n_planted_dropped"
+        ),
+        (F.col("n_kept") > 0).alias("kept_nonempty"),
+        (F.col("n_kept") <= F.col("n_distinct_vec")).alias("kept_le_distinct"),
+        (F.col("n_kept_ids") == F.col("n_kept")).alias("kept_ids_unique"),
     )
