@@ -138,6 +138,11 @@ _ROTATION_BENCHED = [
     "emb_ivf_topk",
     "media_feature_stats",
     "pipeline_e2e",
+    # --- registered late in r6 (after the 50-slot sample was fixed by
+    # the rotation): verified green by the local oracle harness at
+    # sf0.01; scheduled to sample in r7 with the other rotate-ins ---
+    "value_counts_approx_topk",
+    "emb_pq_pruned",
 ]
 
 

@@ -61,6 +61,7 @@ SKIP = {
     "pipeline_e2e",
     "compact_small_files",
     "emb_ivf_pruned",
+    "emb_pq_pruned",
     "orc_roundtrip_stats",
     "bucketed_join_agg",
     "schema_evolution_merge",

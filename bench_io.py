@@ -47,6 +47,7 @@ IO_QUERIES = [
     "binary_file_ingest",
     "silver_catalog_validate",
     "emb_ivf_pruned",
+    "emb_pq_pruned",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -535,6 +535,139 @@ def _pq_adc_candidates(
     )
 
 
+def _pq_corpus_frames(
+    corpus: DataFrame, id_col: str, vec_col: str, codebook
+) -> DataFrame:
+    """(neighbor_id, cvec, cn, codes) — the encoded corpus frame shared
+    by the in-memory and at-rest PQ paths."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        VX.norm(F.col(vec_col)).alias("cn"),
+    ).withColumn("codes", _pq_codes(F.col("cvec"), codebook, norm_col=F.col("cn")))
+
+
+def _pq_query_frame(queries: DataFrame, id_col: str, vec_col: str, codebook) -> DataFrame:
+    """(query_id, qvec, qn, lut) — the broadcast query side."""
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        VX.norm(F.col(vec_col)).alias("qn"),
+    ).withColumn("lut", _pq_lut(F.col("qvec"), codebook, norm_col=F.col("qn")))
+
+
+def _pq_train_validated(
+    corpus: DataFrame, vec_col: str, dim: int, m: int, ks: int, seed: int,
+    train_sample: int,
+):
+    sample = _driver_sample(corpus, vec_col, train_sample, seed)
+    if sample and len(sample[0]) != dim:
+        # a mismatched dim would make F.slice/zip_with silently produce
+        # short or NULL sub-distances (wrong codes/rankings, no error)
+        raise ValueError(
+            f"dim={dim} does not match the embedding length {len(sample[0])}"
+        )
+    return pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    train_sample: int = 65536,
+):
+    """Materialize the PQ index AT REST — the shape that makes PQ's
+    compression claim real on disk, not just in a shuffle:
+
+    - ``{path}/codes``: (neighbor_id, codes) — m small ints per vector.
+      At 100 TB THIS is what every query scans: m bytes/vector instead
+      of the raw embeddings (32× smaller at dim=64 float vs m=8).
+    - ``{path}/vectors``: (neighbor_id, cvec, cn) sorted by id within
+      partitions, so the exact-rerank fetch of k·refine ids per query
+      skips row groups via min/max statistics on the pushed IN filter.
+    - ``{path}/_codebook``: the m×ks×(dim/m) codebook as one JSON row
+      (underscore-prefixed like ``_centroids`` so discovery skips it).
+
+    Returns the codebook (also persisted)."""
+    import json
+
+    codebook = _pq_train_validated(corpus, vec_col, dim, m, ks, seed, train_sample)
+    c = _pq_corpus_frames(corpus, id_col, vec_col, codebook)
+    c.select("neighbor_id", "codes").write.mode("overwrite").parquet(f"{path}/codes")
+    (
+        c.select("neighbor_id", "cvec", "cn")
+        .sortWithinPartitions("neighbor_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    corpus.sparkSession.createDataFrame(
+        [(json.dumps([[[float(x) for x in cc] for cc in cs] for cs in codebook]),)],
+        "codebook_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_codebook")
+    return codebook
+
+
+def read_pq_codebook(spark, path: str):
+    """Codebook persisted by ``write_pq_index`` (one tiny JSON row — a
+    driver-side read by design, like the quantizer sample)."""
+    import json
+
+    return json.loads(
+        spark.read.json(f"{path}/_codebook").collect()[0].codebook_json
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 4,
+    salts: int | None = 8,
+) -> DataFrame:
+    """PQ top-k against an index written by ``write_pq_index``.
+
+    The candidate pass scans ONLY the codes table (ReadSchema is
+    (neighbor_id, codes) — the raw embeddings never enter it), ranks by
+    ADC through the same salted two-phase top-k as the in-memory path,
+    then the k·refine surviving ids per query are collected (bounded:
+    k·refine·n_queries rows — queries are top-k *requests*, inherently
+    small) and pushed as an ``IN`` filter into the vectors scan, so the
+    exact-cosine rerank reads row groups containing only those ids.
+    Same codebook + seed as ``pq_topk`` ⇒ identical results, tested."""
+    codebook = read_pq_codebook(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    q = _pq_query_frame(queries, id_col, vec_col, codebook)
+    n_cand = k * refine
+    cand_rows = _pq_adc_candidates(codes, q, n_cand=n_cand, salts=salts).collect()
+    cand = spark.createDataFrame(cand_rows, "query_id long, neighbor_id long")
+    ids = sorted({r.neighbor_id for r in cand_rows})
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("neighbor_id").isin(ids)
+    )
+    rerank = (
+        vectors.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qvec", "qn")), "query_id")
+        .withColumn(
+            "cos",
+            F.round(
+                VX.cosine_with_norms(
+                    F.col("cvec"), F.col("qvec"), F.col("cn"), F.col("qn")
+                ),
+                6,
+            ),
+        )
+    )
+    return _topk_by_cos(rerank, k)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -564,27 +697,12 @@ def pq_topk(
     rerank is a broadcast semi-join touching only k·refine rows per
     query. ``salts=None`` disables stage 1 (single exact window) —
     results are identical either way, property-tested."""
-    sample = _driver_sample(corpus, vec_col, train_sample, seed)
-    if sample and len(sample[0]) != dim:
-        # a mismatched dim would make F.slice/zip_with silently produce
-        # short or NULL sub-distances (wrong codes/rankings, no error)
-        raise ValueError(
-            f"dim={dim} does not match the embedding length {len(sample[0])}"
-        )
-    codebook = pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
+    codebook = _pq_train_validated(corpus, vec_col, dim, m, ks, seed, train_sample)
 
     # two-step selects so encode/LUT reuse the cn/qn norm columns
     # (codegen CSE then computes the O(dim) norm fold once per row)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        VX.norm(F.col(vec_col)).alias("cn"),
-    ).withColumn("codes", _pq_codes(F.col("cvec"), codebook, norm_col=F.col("cn")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        VX.norm(F.col(vec_col)).alias("qn"),
-    ).withColumn("lut", _pq_lut(F.col("qvec"), codebook, norm_col=F.col("qn")))
+    c = _pq_corpus_frames(corpus, id_col, vec_col, codebook)
+    q = _pq_query_frame(queries, id_col, vec_col, codebook)
 
     cand = _pq_adc_candidates(c, q, n_cand=k * refine, salts=salts)
     rerank = (

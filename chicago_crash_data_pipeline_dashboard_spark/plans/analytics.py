@@ -930,6 +930,44 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q23b. Sketch-based heavy hitters — the 100 TB path for W4's top-k
+# --------------------------------------------------------------------------
+@register(
+    "value_counts_approx_topk",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(max(c) AS BIGINT) AS max_cnt,
+           CAST(min(c) AS BIGINT) AS min_cnt,
+           CAST(sum(c) AS BIGINT) AS sum_cnt
+    FROM (SELECT count(*) AS c FROM lineitem
+          GROUP BY l_partkey ORDER BY c DESC LIMIT 10)
+    """,
+    doc="Heavy hitters over a HIGH-cardinality key via approx_top_k "
+    "(Spark 4's bounded-memory top-k sketch) — the scale path for W4's "
+    "exact value_counts top-k: at 100 TB an exact top-k over a "
+    "billion-key column still needs the full groupBy state, while the "
+    "sketch tracks maxItemsTracked counters per partition and merges. "
+    "At gate SF the tracking budget (100k) exceeds l_partkey's "
+    "cardinality, so counts are EXACT and the gate is fully "
+    "differential (the quantiles-vs-approx_sketch_stats pattern). The "
+    "compared row is the top-10 COUNT MULTISET (k/max/min/sum) — "
+    "deterministic under boundary ties, which item order is not.",
+)
+def value_counts_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    tk = li.agg(F.expr("approx_top_k(l_partkey, 10, 100000)").alias("tk"))
+    counts = tk.select(F.explode("tk").alias("s")).select(
+        F.col("s.count").alias("cnt")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.sum("cnt").alias("sum_cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q24. Hierarchical rollup (grouping sets) — subtotal/grand-total in one pass
 # --------------------------------------------------------------------------
 @register(

@@ -1170,6 +1170,43 @@ def emb_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_pq_pruned",
+    oracle=_ANN_GATE_ORACLE,
+    doc="PQ index AT REST (operators/similarity.py write_pq_index / "
+    "pq_topk_indexed): the codes table persisted as (id, codes) parquet "
+    "— m small ints per vector, PQ's compression made real ON DISK: the "
+    "candidate scan's ReadSchema carries no embedding column — with the "
+    "full vectors in a second id-sorted table read only for the "
+    "k·refine rerank ids through a pushed IN filter (both asserted in "
+    "tests/test_plans.py). Same codebook/seed as emb_pq_topk, so the "
+    "same cardinality + recall@5 gate applies; result parity with the "
+    "in-memory pq_topk is pinned exactly in tests/test_llm_ops.py.",
+)
+def emb_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ)
+    tmp = tempfile.mkdtemp(prefix="ccpd_pq_")
+    try:
+        path = f"{tmp}/pq_index"
+        SIM.write_pq_index(
+            e, path, id_col="vec_id", vec_col="embedding",
+            dim=_DIM, m=16, ks=16, seed=42,
+        )
+        approx = SIM.pq_topk_indexed(
+            spark, path, q, id_col="vec_id", vec_col="embedding", k=5, refine=8
+        )
+        exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+        gate = _ann_recall_gate(approx, exact)
+        # the index files vanish with the scratch dir — return data, not a plan
+        return spark.createDataFrame(gate.collect(), gate.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "doc_training_pipeline",
     oracle=f"""
     WITH scored AS (

@@ -661,6 +661,16 @@ def test_pq_topk_recall_on_testdata(spark, sf_oracle):
     assert hit / exact.count() >= 0.85  # measured 0.9 at sf0.01
 
 
+def test_pq_index_roundtrip_codebook(spark, sf_oracle, tmp_path):
+    """write_pq_index persists the codebook bit-exactly (JSON round-
+    trips doubles via repr → correctly-rounded parse)."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    path = str(tmp_path / "pq_index")
+    written = SIM.write_pq_index(emb, path, dim=64, m=8, ks=8, seed=7)
+    read = SIM.read_pq_codebook(spark, path)
+    assert read == [[[float(x) for x in c] for c in cs] for cs in written]
+
+
 def test_pq_topk_salted_equals_unsalted(spark, sf_oracle):
     """The two-phase (salted) ADC top-k must return EXACTLY the single-
     window result — the same superset argument cap_per_key(salts=)

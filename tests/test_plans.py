@@ -278,6 +278,60 @@ def test_minhash_cap_path_join_free_and_jvm_side(spark, sf_oracle):
         assert node not in plan, f"unexpected {node} in the minhash plan"
 
 
+def test_simhash_hamming_plan_is_join_free_and_jvm_side(spark, sf_oracle):
+    """The pigeonhole probe is the same join-free shape as the MinHash
+    path: one (segment, value) collect + in-bucket pair explode. No
+    join node may appear (a fp-side self-join would shuffle the corpus
+    twice), and no Python anywhere."""
+    plan = plan_of(QUERIES["doc_simhash_hamming"].fn(spark, sf_oracle), "simple")
+    assert "EvalPython" not in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node} in the simhash-hamming plan"
+
+
+def test_curation_pipeline_broadcasts_small_sides(spark, sf_oracle):
+    """The composite strip→dedup→cap chain must keep its small sides
+    broadcast (boilerplate set, exact-dedup keep-set) — a SortMergeJoin
+    against either would shuffle the full corpus for a per-group-tiny
+    lookup — and stay Python-free."""
+    plan = plan_of(QUERIES["doc_curation_pipeline"].fn(spark, sf_oracle), "simple")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "a small side fell off the broadcast path"
+
+
+def test_pq_index_at_rest_scans_codes_only_and_pushes_id_filter(spark, sf_oracle, tmp_path):
+    """write_pq_index's promise: the candidate pass scans ONLY the
+    codes table (ReadSchema without any vector column — m ints per
+    vector IS the on-disk index), and the vectors table is read through
+    a pushed IN filter on the rerank ids. Results must equal the
+    in-memory pq_topk with the same codebook/seed."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    path = str(tmp_path / "pq_index")
+    SIM.write_pq_index(emb, path, dim=64, m=16, ks=16, seed=42)
+    q = emb.filter(F.col("vec_id") < 8)
+    out = SIM.pq_topk_indexed(spark, path, q, k=5, refine=8)
+
+    plan = plan_of(out)
+    # the rerank subplan reads the vectors table with the id IN-list
+    # pushed into the parquet scan
+    assert any(
+        "PushedFilters" in l and "In(neighbor_id" in l
+        for l in plan.splitlines()
+    ), plan
+    # no codes-table scan appears in the final (rerank) plan at all —
+    # the ADC pass already ran (bounded collect); and the vectors scan
+    # reads exactly the three rerank columns
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("codes" not in l for l in read_schemas)
+
+    in_memory = SIM.pq_topk(emb, q, k=5, dim=64, m=16, ks=16, refine=8, seed=42)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, in_memory.collect()))
+
+
 def test_ivf_index_at_rest_prunes_partitions(spark, sf_oracle, tmp_path):
     """write_ivf_index's promise: a probe against the at-rest index
     scans ONLY the probed clusters — the parquet scan must carry a
