@@ -143,6 +143,8 @@ _ROTATION_BENCHED = [
     # sf0.01; scheduled to sample in r7 with the other rotate-ins ---
     "value_counts_approx_topk",
     "emb_pq_pruned",
+    "event_sessions_native",
+    "event_props_variant",
 ]
 
 

@@ -1132,6 +1132,60 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(ev, key_col="event_type", ts_col="ts", gap_seconds=3600.0)
 
 
+@register(
+    "event_sessions_native",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, ts,
+             CASE WHEN EXTRACT(epoch FROM ts) -
+                       lag(EXTRACT(epoch FROM ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                       > 3600 OR
+                       lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT key, ts,
+             SUM(new_sess) OVER (PARTITION BY key ORDER BY ts
+                                 RANGE UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT key, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY key, sid
+    """,
+    doc="The NATIVE session operator: groupBy(key, session_window(ts, "
+    "'1 hour')) — Spark's built-in gap-based session aggregation, the "
+    "JVM-side alternative to both the window-function form "
+    "(event_sessions) and the Python-stateful streaming form "
+    "(stateful.sessionize). Boundary semantics verified empirically: "
+    "an event exactly gap seconds after its predecessor still MERGES "
+    "(new session strictly > gap), identical to the lag-based form, so "
+    "the oracle shares its gaps-and-islands SQL with session_end = "
+    "max(ts) + gap (session_window's end is last-event + gap, not "
+    "last-event). At scale this is one hash exchange on the key with "
+    "in-memory window merging — no O(events) per-key window sort "
+    "state, and it is the same operator Structured Streaming uses for "
+    "watermarked session aggregation.",
+)
+def event_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("key"),
+            F.session_window("ts", "1 hour").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Q27b. The REAL stateful streaming path under the gate
 # --------------------------------------------------------------------------
@@ -1669,6 +1723,60 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ok") & F.col("k").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_missing_k"),
+    )
+
+
+@register(
+    "event_props_variant",
+    oracle="""
+    WITH dirty AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN '{"other": 1}'
+                  WHEN event_id % 17 = 0 THEN '{bad'
+                  ELSE props END AS p
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_type,
+             CASE WHEN p IS NULL OR NOT json_valid(p) THEN 1 ELSE 0 END AS invalid,
+             CASE WHEN p IS NOT NULL AND json_valid(p)
+                  THEN TRY_CAST(json_extract(p, '$.k') AS BIGINT) END AS k
+      FROM dirty
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(invalid) AS BIGINT) AS n_invalid,
+           CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY event_type
+    """,
+    doc="Semi-structured props through Spark 4's VARIANT type: "
+    "try_parse_json keeps the whole document as a typed binary variant "
+    "(NULL on malformed — same dirty injection as event_props_json), "
+    "try_variant_get extracts '$.k' as bigint (NULL on type mismatch "
+    "or absent key). Against from_json, VARIANT needs NO up-front "
+    "schema — at 100 TB that means one parse at ingest and "
+    "shredded-access pushdown later, instead of a schema migration "
+    "per new key. Oracle: DuckDB json_valid + TRY_CAST json_extract.",
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = (
+        F.when(F.col("event_id") % 13 == 0, F.lit('{"other": 1}'))
+        .when(F.col("event_id") % 17 == 0, F.lit("{bad"))
+        .otherwise(F.col("props"))
+    )
+    per = ev.select(
+        "event_type", F.try_parse_json(p).alias("v")
+    ).select(
+        "event_type",
+        F.col("v").isNull().alias("invalid"),
+        F.expr("try_variant_get(v, '$.k', 'bigint')").alias("k"),
+    )
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("invalid"), 1).otherwise(0)).cast("long").alias("n_invalid"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).cast("long").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
     )
 
 

@@ -160,3 +160,26 @@ def test_adhoc_sql_rewrite_touches_only_table_references():
     assert "'orders placed'" in got  # literal untouched
     assert "-- lineitem notes" in got  # comment untouched
     assert "'all my orders'" in got  # literal untouched
+
+
+def test_session_window_boundary_merges_at_exact_gap(spark):
+    """Pins the native session_window boundary semantics the
+    event_sessions_native oracle depends on: an event exactly gap
+    seconds after its predecessor MERGES (new session strictly > gap),
+    and the emitted end is last-event + gap."""
+    rows = [
+        ("a", T0), ("a", _t(3599)), ("a", _t(7199)),   # chained merge
+        ("b", T0), ("b", _t(3600)),                     # exact-gap merge
+        ("c", T0), ("c", _t(3601)),                     # split
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    out = {
+        (r.k, r.start, r.n)
+        for r in df.groupBy("k", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("k", F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n")
+        .collect()
+    }
+    assert ("a", T0, 3) in out
+    assert ("b", T0, 2) in out
+    assert ("c", T0, 1) in out and ("c", _t(3601), 1) in out
