@@ -145,6 +145,7 @@ _ROTATION_BENCHED = [
     "emb_pq_pruned",
     "event_sessions_native",
     "event_props_variant",
+    "event_sessions_native_stream",
 ]
 
 

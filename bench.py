@@ -70,6 +70,7 @@ SKIP = {
     "binary_file_ingest",
     "silver_catalog_validate",
     "event_sessions_stream",
+    "event_sessions_native_stream",
     "event_first_seen_stream",
     "event_windowed_counts_stream",
     "event_dedup_watermark_stream",

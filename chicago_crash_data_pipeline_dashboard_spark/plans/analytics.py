@@ -1350,6 +1350,77 @@ def event_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_sessions_native_stream",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(event_type AS VARCHAR) AS key, ts,
+             CASE WHEN EXTRACT(epoch FROM ts) -
+                       lag(EXTRACT(epoch FROM ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                       > 3600 OR
+                       lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT key, ts,
+             SUM(new_sess) OVER (PARTITION BY key ORDER BY ts
+                                 RANGE UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    sess AS (
+      SELECT key, sid, min(ts) AS session_start, max(ts) AS last_ev,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY key, sid
+    )
+    SELECT key, CAST(session_start AS TIMESTAMP) AS session_start,
+           CAST(last_ev + INTERVAL 1 HOUR AS TIMESTAMP) AS session_end,
+           n_events
+    FROM sess
+    -- append-mode emission: the final watermark (ms floor of max event
+    -- time at delay 0, as microseconds) must be >= the session end
+    -- (NON-strict — equality emits; probed empirically, see the gate
+    -- doc). The last session of the globally-latest key stays in state.
+    WHERE (SELECT epoch_us(max(ts)) FROM events) // 1000 * 1000
+          >= epoch_us(last_ev + INTERVAL 1 HOUR)
+    """,
+    doc="The NATIVE streaming session operator: withWatermark + "
+    "groupBy(session_window) in append mode, drained availableNow into "
+    "a memory sink — Spark's built-in watermarked session aggregation, "
+    "the JVM-side production form of what stateful.sessionize does in "
+    "Python (state lives in the HDFS-backed state store; no Arrow "
+    "round-trip, no Python workers). A session emits when the "
+    "watermark reaches its end (last event + gap): probed empirically "
+    "— a watermark EXACTLY equal to the end emits (non-strict), one "
+    "1 ms past emits, anything earlier holds state — and the oracle "
+    "encodes exactly that rule with the final-watermark ms floor. "
+    "events.ts (TIMESTAMP_NTZ) casts to TIMESTAMP for the watermark "
+    "(UTC session timezone keeps the wall instant) and back for "
+    "oracle parity.",
+)
+def event_sessions_native_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(stream):
+        s = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            s.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.col("event_type").alias("key"),
+                F.session_window("ts", "1 hour").alias("w"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "key",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    return _drain_events_stream(
+        spark, sf_dir, "ccpd_event_sessions_native_stream", build
+    )
+
+
+@register(
     "event_first_seen_stream",
     oracle="""
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,

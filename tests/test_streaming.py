@@ -174,3 +174,52 @@ def test_windowed_counts_drop_events_older_than_watermark(spark, tmp_path):
         for r in windowed_event_counts(batch).collect()
     }
     assert batch_counts["2025-01-01 00:00:00"] == 4
+
+
+def test_native_session_window_stream_emits_at_exact_watermark(spark, tmp_path):
+    """Pins the append-mode emission rule the event_sessions_native_stream
+    oracle encodes: a session emits when the final watermark is >= its
+    end (NON-strict — a watermark exactly equal to last-event + gap
+    emits), and a session whose end exceeds the watermark holds state."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def run(rows, name):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, event_type string"
+        )
+        src = tmp_path / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(src))
+        raw = spark.read.parquet(str(src))
+        stream = spark.readStream.schema(raw.schema).parquet(str(src))
+        s = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        q = (
+            s.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.col("event_type").alias("key"),
+                F.session_window("ts", "1 hour").alias("w"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted((r.key, r.n) for r in spark.table(name).collect())
+
+    # watermark lands EXACTLY on a's session end (t0 + gap) -> emits
+    exact = run(
+        [(1, t0, "a"), (2, t0 + dt.timedelta(seconds=3600), "b")],
+        "ccpd_t_sess_exact",
+    )
+    assert exact == [("a", 1)]  # a emitted at equality; b held
+
+    # watermark 1 ms past a's end -> emits too (sanity)
+    past = run(
+        [(1, t0, "a"), (2, t0 + dt.timedelta(seconds=3600, microseconds=1000), "b")],
+        "ccpd_t_sess_past",
+    )
+    assert past == [("a", 1)]
