@@ -1824,6 +1824,13 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped = CU.strip_boilerplate_lines(
         d, "doc_id", "text", "source", min_docs=3, frac=0.5
     )
+    # Stage boundary: dedup_exact references its input twice (keep-set
+    # + semi-join side) and the cap/stats branch a third time — without
+    # materializing, every branch re-runs the whole strip subtree
+    # (measured: 18 scans of `documents` in one plan). A production
+    # pipeline persists between curation stages; localCheckpoint also
+    # truncates the lineage so the downstream plan stays flat.
+    stripped = stripped.localCheckpoint(eager=True)
     deduped = DD.dedup_exact(stripped, "doc_id", "text")
     capped = CU.cap_per_key(
         deduped, "source", 10,
