@@ -476,3 +476,32 @@ def test_cap_per_key_matches_model(spark, rows, k):
         by_g[g].append((-q, i))
     want = sorted(i for g, members in by_g.items() for _q, i in sorted(members)[:k])
     assert got == want
+
+
+@given(
+    buckets=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_explode_pairs_matches_itertools_combinations(spark, buckets):
+    """The shared two-level pair generate (dedup._explode_pairs — under
+    the jaccard/tfidf/minhash/semantic/simhash-hamming paths) must emit
+    exactly itertools.combinations(bucket, 2) per bucket, in-array
+    order, including duplicate elements and multi-bucket unions."""
+    import itertools
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators.dedup import (
+        _explode_pairs,
+    )
+
+    df = spark.createDataFrame([(b,) for b in buckets], "docs array<long>")
+    got = sorted(
+        (r.x, r.y) for r in _explode_pairs(df).collect()
+    )
+    want = sorted(
+        (x, y) for b in buckets for x, y in itertools.combinations(b, 2)
+    )
+    assert got == want
