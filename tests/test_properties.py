@@ -505,3 +505,42 @@ def test_explode_pairs_matches_itertools_combinations(spark, buckets):
         (x, y) for b in buckets for x, y in itertools.combinations(b, 2)
     )
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab x"),  # tiny alphabet → real collisions
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    d=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=8, deadline=None)
+def test_simhash_hamming_pigeonhole_complete(spark, docs, d):
+    """The d+1-segment probe must find EXACTLY the all-pairs brute-force
+    result at any distance bound — the pigeonhole completeness argument,
+    exercised on random near-colliding docs (tiny alphabet drives many
+    identical/close fingerprints, including the all-empty-token case)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in DD.simhash_hamming_pairs(df, "doc_id", "text", max_distance=d).collect()
+    }
+    fp = DD.simhash(df, "doc_id", "text")
+    a = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("fb"))
+    brute = {
+        (r.doc_a, r.doc_b, int(r.h))
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("h") <= d)
+        .collect()
+    }
+    assert got == brute
