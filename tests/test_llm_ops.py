@@ -661,6 +661,66 @@ def test_pq_topk_recall_on_testdata(spark, sf_oracle):
     assert hit / exact.count() >= 0.85  # measured 0.9 at sf0.01
 
 
+def test_fit_quantizer_matches_naive_reference_bitwise():
+    """The incremental k-means++ seeding + per-center Lloyd assignment
+    must be BIT-IDENTICAL to the naive 3-d-broadcast reference (same
+    per-center float expression, exact min/argmin) — the r6 rewrite is
+    an O(k²·n·d) → O(k·n·d) memory/flops fix, not an algorithm change,
+    so every gate built on the quantizer keeps its exact results."""
+    import numpy as np
+
+    def naive(sample, n_clusters, seed, max_iter=20):
+        x = np.asarray(sample, dtype=np.float64)
+        rng = np.random.RandomState(seed)
+        centers = [x[rng.randint(len(x))]]
+        for _ in range(1, n_clusters):
+            d2 = np.min(
+                ((x[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1), axis=1
+            )
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            centers.append(x[rng.choice(len(x), p=probs)])
+        c = np.asarray(centers)
+        for _ in range(max_iter):
+            assign = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+            new_c = np.array(
+                [x[assign == j].mean(axis=0) if (assign == j).any() else c[j]
+                 for j in range(n_clusters)]
+            )
+            if np.allclose(new_c, c):
+                break
+            c = new_c
+        return c
+
+    rng = np.random.RandomState(7)
+    sample = (rng.rand(600, 16) - 0.5).tolist()
+    # include duplicate rows and a zero vector — degenerate but legal
+    sample[10] = sample[11]
+    sample[12] = [0.0] * 16
+    for k, seed in [(4, 42), (16, 42), (23, 7)]:
+        got = SIM._fit_quantizer(sample, k, seed)
+        want = naive(sample, k, seed)
+        assert np.array_equal(got, want), (k, seed)
+
+
+def test_assign_clusters_batched_agrees_with_hof(spark, sf_oracle):
+    """The Arrow-batched matmul assignment (the large-k scale path)
+    must agree with the constant-folded HOF assignment on separated
+    data — same nearest centroid, same lowest-index tie policy."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    sample = SIM._driver_sample(emb, "embedding", 65536, 42)
+    cents = SIM._fit_quantizer(sample, 8, 42)
+    hof = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM._nearest_centroid(F.col("embedding"), cents).alias("_cluster"),
+    )
+    batched = SIM.assign_clusters_batched(emb, cents).select(
+        "neighbor_id", "_cluster"
+    )
+    a = {r.neighbor_id: r._cluster for r in hof.collect()}
+    b = {r.neighbor_id: r._cluster for r in batched.collect()}
+    assert a == b
+
+
 def test_pq_index_roundtrip_codebook(spark, sf_oracle, tmp_path):
     """write_pq_index persists the codebook bit-exactly (JSON round-
     trips doubles via repr → correctly-rounded parse)."""
