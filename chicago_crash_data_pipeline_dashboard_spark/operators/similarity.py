@@ -23,7 +23,16 @@ from ..functions import vectors as VX
 
 def _topk_by_cos(scored: DataFrame, k: int) -> DataFrame:
     """Deterministic per-query top-k tail shared by every ANN variant:
-    rank on (cosine desc, neighbor_id asc), keep k."""
+    rank on (cosine desc, neighbor_id asc), keep k.
+
+    Scale shape: Spark ≥ 3.5 plans a ``row_number() <= k`` filter as
+    WindowGroupLimit with a PARTIAL stage before the exchange — each
+    map task pre-prunes to its local top-k per query, so the shuffle
+    carries at most k·n_partitions rows per query and the final
+    per-query window task never sees the full candidate population
+    (asserted in tests/test_plans.py). The candidate-bounding above
+    this tail (LSH buckets / IVF probes / PQ's salted ADC stage) is
+    still what bounds total work; this bounds the tail itself."""
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -239,6 +239,16 @@ def test_pq_topk_stays_jvm_side_with_folded_codebook(spark, sf_oracle):
     assert "pmod(xxhash64(neighbor_id" in plan
 
 
+def test_ann_topk_tail_uses_partial_window_group_limit(spark, sf_oracle):
+    """The shared _topk_by_cos tail must plan as WindowGroupLimit with
+    a Partial stage before the exchange — map-side top-k pruning, so
+    even the exact brute-force baseline never shuffles a query's full
+    candidate population to one task."""
+    plan = plan_of(QUERIES["emb_knn_brute"].fn(spark, sf_oracle), "simple")
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan, plan  # the pre-exchange pruning stage
+
+
 def test_pq_adc_candidates_salted_and_vector_free(spark):
     """The ADC candidate subplan must (a) window two-phase — one salted
     window, then the exact one — and (b) never reference a full vector
