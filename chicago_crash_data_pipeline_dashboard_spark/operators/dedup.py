@@ -91,10 +91,22 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one doc (min id) per identical-content group."""
-    fp = df.withColumn("_fp", TX.fingerprint(F.col(text_col)))
-    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return df.join(keep, id_col, "left_semi")
+    """Keep one doc (min id) per identical-content group.
+
+    ONE ``row_number()`` window over (fingerprint ORDER BY id) — a
+    single pass, one shuffle on the fingerprint. The r6 shape
+    (groupBy-min + left_semi self-join) referenced the input subtree
+    TWICE, which forced callers composing stages (the curation
+    pipeline) to checkpoint between them; the window form reads the
+    input once, so it composes without materialization."""
+    if "_rn" in df.columns:  # same reserved-name discipline as cap_per_key
+        raise ValueError("dedup_exact reserves the column name '_rn'")
+    w = Window.partitionBy(TX.fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -103,15 +115,18 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index.
 
     |A∩B| from the pair-count of shared shingles, |A∪B| = |A|+|B|−|A∩B|.
-    Shingles shared by more than ``max_bucket`` docs are dropped
-    (stop-shingle skew guard — at 100 TB one 'the end' shingle would
-    otherwise create a quadratic bucket).
+    ``max_bucket`` is OPT-IN (default: no cap), the family-wide policy —
+    a cap changes which pairs are reported, so callers state it
+    explicitly. When set, shingles shared by more than ``max_bucket``
+    docs are dropped (stop-shingle skew guard — at 100 TB one 'the end'
+    shingle would otherwise create a quadratic bucket; the driver gates
+    pass max_bucket=1000, mirrored in their oracles).
 
     Shingles are hashed to int64 BEFORE the shuffle — an 8-byte key
     instead of an n-word string. ``xxhash64`` is the fast JVM path;
@@ -155,7 +170,7 @@ def ngram_jaccard_pairs(
     buckets = (
         inv.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("doc", "n_sh"))).alias("docs"))
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+        .filter(_bucket_size_filter(max_bucket))
     )
     pairs = (
         _explode_pairs(buckets)
@@ -645,7 +660,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     threshold: float = 0.95,
     seed: int = 42,
-    max_cluster: int = 512,
+    max_cluster: int | None = None,
     train_sample: int = 65536,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -661,15 +676,18 @@ def semantic_dedup(
     i<j pairing gives doc_a < doc_b for free), pairs explode in-array,
     and one left_anti join removes the drops. The quadratic in-cluster
     compare is the algorithm's cost model BY DESIGN (SemDeDup's whole
-    point is that k-means makes each quadratic small); clusters larger
-    than ``max_cluster`` are SKIPPED — kept undeduped, never joined —
-    so a degenerate cluster (zero vectors, one dominant mode) bounds
-    work instead of exploding it. The default cap is 512 because each
-    pair carries BOTH full vectors: even with the two-level pair
-    generate keeping per-row values O(cluster), the pair ROW COUNT per
-    cluster is n²/2, and 512²/2 ≈ 131k pairs × 2 wide vectors is the
-    sane per-bucket work unit. At 100 TB, raise n_clusters so
-    N/n_clusters stays under the cap."""
+    point is that k-means makes each quadratic small). ``max_cluster``
+    is OPT-IN (default: no skip), the family-wide cap policy — a
+    skipped cluster is kept UNDEDUPED, a correctness-visible choice the
+    caller must make explicitly. When set, clusters larger than
+    ``max_cluster`` are never joined, so a degenerate cluster (zero
+    vectors, one dominant mode) bounds work instead of exploding it;
+    512 is the recommended production value because each pair carries
+    BOTH full vectors: even with the two-level pair generate keeping
+    per-row values O(cluster), the pair ROW COUNT per cluster is n²/2,
+    and 512²/2 ≈ 131k pairs × 2 wide vectors is the sane per-bucket
+    work unit. At 100 TB, set a cap AND raise n_clusters so
+    N/n_clusters stays under it."""
     from .similarity import ivf_index
 
     assigned, _ = ivf_index(
@@ -683,7 +701,7 @@ def semantic_dedup(
                 F.collect_list(F.struct("neighbor_id", "cvec", "cn"))
             ).alias("docs")
         )
-        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_cluster))
+        .filter(_bucket_size_filter(max_cluster))
     )
     drops = (
         _explode_pairs(buckets)

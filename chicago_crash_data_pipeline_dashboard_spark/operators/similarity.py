@@ -244,7 +244,10 @@ def assign_clusters_batched(
 ) -> DataFrame:
     """Nearest-centroid assignment as an Arrow-batched numpy matmul —
     the LARGE-k alternative to the constant-folded HOF assignment
-    (``_nearest_centroid``) used by ``ivf_index``.
+    (``_nearest_centroid``) used by ``ivf_index``; select it there via
+    ``assignment="batched"`` (driver-gated as ``emb_ivf_largek``).
+    Rows with NULL vectors are rejected with an explicit error — same
+    contract as the HOF path, where a NULL has no nearest centroid.
 
     Why two paths: the HOF form embeds the k×d centroid matrix as one
     plan literal, which is ideal for small k (pure JVM, no Python) but
@@ -275,6 +278,13 @@ def assign_clusters_batched(
 
     def assign(batches):
         for pdf in batches:
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"assign_clusters_batched: NULL {vec_col!r} rows are not "
+                    "assignable — filter them out first (the HOF path "
+                    "rejects them the same way: a NULL vector has no "
+                    "nearest centroid)"
+                )
             vecs = np.stack(pdf[vec_col].map(np.asarray, na_action=None).values).astype(
                 np.float64
             )
@@ -300,20 +310,34 @@ def ivf_index(
     n_clusters: int = 16,
     seed: int = 42,
     train_sample: int = 65536,
+    assignment: str = "hof",
 ):
     """IVF coarse quantizer: seeded k-means centroids fit on a bounded
     driver-side sample, then ONE narrow assignment map over the corpus
     (no iterative distributed jobs). Returns the cluster-assigned
     corpus and the centroid list.
 
+    ``assignment`` selects the nearest-centroid map: ``"hof"`` (the
+    default) folds the centroid matrix into a pure-JVM higher-order
+    expression — ideal at small k, but whole-stage codegen COMPILE time
+    grows with k (minutes of Janino at k=64; see COVERAGE.md scale
+    probes). ``"batched"`` routes through
+    :func:`assign_clusters_batched` (Arrow-batched numpy matmul, no
+    generated-code growth in k) — the documented production path for
+    k ≈ √N cluster counts.
+
     At 100 TB: the sample cap keeps quantizer training O(sample);
     assignment stays a narrow map; ``write_ivf_index`` persists the
     assigned corpus PARTITIONED by cluster id so each probe reads only
     its clusters' files (partition pruning = the inverted file —
     ``ivf_topk_indexed`` is that probe path)."""
+    if assignment not in ("hof", "batched"):
+        raise ValueError(f"assignment must be 'hof' or 'batched', got {assignment!r}")
     sample = _driver_sample(corpus, vec_col, train_sample, seed)
     centroids = _fit_quantizer(sample, n_clusters, seed)
 
+    if assignment == "batched":
+        return assign_clusters_batched(corpus, centroids, id_col, vec_col), centroids
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -332,12 +356,17 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    assignment: str = "hof",
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest centroids
     per query, exact cosine rerank within the probed clusters. Recall
     tunes with n_probe/n_clusters; the corpus-side work is one k-means
-    assignment plus a bucket join (no all-pairs scan)."""
-    assigned, centroids = ivf_index(corpus, id_col, vec_col, n_clusters, seed)
+    assignment plus a bucket join (no all-pairs scan). ``assignment``
+    picks the corpus-assignment map (see :func:`ivf_index` — use
+    ``"batched"`` at large k)."""
+    assigned, centroids = ivf_index(
+        corpus, id_col, vec_col, n_clusters, seed, assignment=assignment
+    )
     q = _probed_queries(queries, centroids, id_col, vec_col, n_probe)
     return _score_probed(assigned, q, k)
 
@@ -430,12 +459,17 @@ def ivf_topk_indexed(
     exact-cosine rerank as the in-memory path — same inputs, same
     results."""
     centroids = read_ivf_centroids(spark, path)
-    # persist the probed-query frame: it is consumed twice (probe-id
-    # collect, then scoring) and each evaluation re-derives the
-    # per-query centroid-distance fold — cache the tiny frame instead
-    # of computing it twice
-    q = _probed_queries(queries, centroids, id_col, vec_col, n_probe).persist()
-    probed = sorted(r[0] for r in q.select("_cluster").distinct().collect())
+    # The probed-query frame is consumed twice (probe-id collect, then
+    # scoring) and each evaluation re-derives the per-query centroid-
+    # distance fold. It is bounded by construction — queries are top-k
+    # REQUESTS (n_queries × n_probe rows), the same driver-side budget
+    # as the probe-id collect below — so collect it ONCE and rebuild a
+    # local relation: one computation, no persist to leak across a
+    # long-lived session (r6 persisted here and never unpersisted).
+    q_plan = _probed_queries(queries, centroids, id_col, vec_col, n_probe)
+    q_rows = q_plan.collect()
+    q = spark.createDataFrame(q_rows, q_plan.schema)
+    probed = sorted({r["_cluster"] for r in q_rows})
     assigned = spark.read.parquet(path).filter(F.col("_cluster").isin(probed))
     return _score_probed(assigned, q, k)
 

@@ -299,16 +299,19 @@ def test_simhash_hamming_plan_is_join_free_and_jvm_side(spark, sf_oracle):
         assert node not in plan, f"unexpected {node} in the simhash-hamming plan"
 
 
-def test_curation_pipeline_broadcasts_small_sides(spark, sf_oracle):
-    """The composite strip→dedup→cap chain must keep its small sides
-    broadcast (boilerplate set, exact-dedup keep-set) — a SortMergeJoin
-    against either would shuffle the full corpus for a per-group-tiny
-    lookup — and stay Python-free."""
+def test_curation_pipeline_is_join_free_downstream_and_jvm_side(spark, sf_oracle):
+    """The composite strip→dedup→cap→pack chain downstream of the
+    stage-boundary checkpoint must be JOIN-FREE: since the r7
+    single-window dedup_exact rewrite, dedup is one row_number pass
+    (no keep-set semi-join), cap is windowed, and packing is a running
+    window — any join node here means a stage regressed to a
+    shuffle-both-sides shape. Python-free throughout. (The strip
+    stage's own broadcast anti-join sits behind the checkpoint and is
+    asserted in test_curation.py.)"""
     plan = plan_of(QUERIES["doc_curation_pipeline"].fn(spark, sf_oracle), "simple")
     assert "EvalPython" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan, "a small side fell off the broadcast path"
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node} in the curation composite plan"
 
 
 def test_pq_index_at_rest_scans_codes_only_and_pushes_id_filter(spark, sf_oracle, tmp_path):
