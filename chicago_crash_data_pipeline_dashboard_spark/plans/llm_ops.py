@@ -900,22 +900,55 @@ _ANN_GATE_ORACLE = f"""
     FROM embeddings WHERE vec_id < {_NQ}
     """
 
+# Clone-hardened variant (r7): the gate plants one exact-duplicate of
+# every query vector in the corpus; all must be found, so
+# n_planted_found == n_queries is part of the compared row.
+_ANN_CLONE_GATE_ORACLE = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 * count(*) AS BIGINT) AS n_results,
+           CAST(count(*) AS BIGINT) AS n_planted_found,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_NQ}
+    """
 
-def _ann_recall_gate(approx: DataFrame, exact: DataFrame) -> DataFrame:
+_IVF_CLONE_OFFSET = 2_000_000
+
+
+def _ann_recall_gate(
+    approx: DataFrame, exact: DataFrame, clone_offset: int | None = None
+) -> DataFrame:
     """Cardinality + recall@5 gate row for an approximate top-k result
-    vs its exact twin (both keyed (query_id, neighbor_id))."""
+    vs its exact twin (both keyed (query_id, neighbor_id)).
+
+    With ``clone_offset`` set, the gate ALSO counts planted-clone hits:
+    the caller cloned every query vector into the corpus under id
+    ``query_id + clone_offset`` — an exact duplicate has cosine 1.0, is
+    assigned/bucketed exactly where its query probes first, and so MUST
+    appear in the approximate result for every query. n_planted_found
+    (Spark-counted) is compared against the oracle's literal query
+    count — a probe-selection bug that invariants-only recall could
+    miss fails this column outright."""
     hits = approx.select("query_id", "neighbor_id").join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
     )
-    return (
-        approx.agg(
-            F.count_distinct("query_id").alias("n_queries"),
-            F.count(F.lit(1)).alias("n_results"),
+    aggs = [
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_results"),
+    ]
+    if clone_offset is not None:
+        aggs.append(
+            F.sum(
+                (F.col("neighbor_id") == F.col("query_id") + clone_offset).cast("long")
+            ).alias("n_planted_found")
         )
+    cols = ["n_queries", "n_results"]
+    if clone_offset is not None:
+        cols.append("n_planted_found")
+    return (
+        approx.agg(*aggs)
         .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
         .select(
-            "n_queries",
-            "n_results",
+            *cols,
             (
                 F.col("n_hits").cast("double") / F.col("n_results") >= F.lit(0.5)
             ).alias("recall_ok"),
@@ -1115,23 +1148,64 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_ivf_topk",
-    oracle=_ANN_GATE_ORACLE,
+    oracle=_ANN_CLONE_GATE_ORACLE,
     doc="IVF approximate top-k (operators/similarity.py ivf_topk): "
     "k-means coarse quantizer (16 clusters, seeded), 4-probe nearest-"
     "centroid search, exact in-cluster cosine rerank. Iterative k-means "
-    "is not SQL-expressible, so the gate row checks result cardinality "
-    "(cross-engine) and recall@5 ≥ 0.5 against the in-Spark brute-force "
-    "twin — whose own results are fully hash-gated as emb_knn_brute. "
-    "Raw IVF neighbor lists are pinned in tests/test_llm_ops.py.",
+    "is not SQL-expressible, so the gate PLANTS its own ground truth "
+    "(r7): every query vector is cloned into the corpus under an "
+    "offset id — an exact duplicate lands in the cluster the query "
+    "probes FIRST with cosine 1.0, so all clones MUST surface "
+    "(n_planted_found == n_queries fails outright if probe selection "
+    "breaks, which an invariants-only recall bound could miss). "
+    "Cardinality is cross-engine and recall@5 ≥ 0.5 is checked against "
+    "the in-Spark brute-force twin — whose own results are fully "
+    "hash-gated as emb_knn_brute. Raw IVF neighbor lists are pinned in "
+    "tests/test_llm_ops.py.",
 )
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") < _NQ)
-    approx = SIM.ivf_topk(
-        e, q, id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, n_probe=4, seed=42,
+    clones = q.select(
+        (F.col("vec_id") + F.lit(_IVF_CLONE_OFFSET)).alias("vec_id"), "embedding"
     )
-    exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
-    return _ann_recall_gate(approx, exact)
+    aug = e.unionByName(clones)
+    approx = SIM.ivf_topk(
+        aug, q, id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, n_probe=4, seed=42,
+    )
+    exact = SIM.brute_force_topk(aug, q, id_col="vec_id", vec_col="embedding", k=5)
+    return _ann_recall_gate(approx, exact, clone_offset=_IVF_CLONE_OFFSET)
+
+
+@register(
+    "emb_ivf_largek",
+    oracle=_ANN_CLONE_GATE_ORACLE,
+    doc="IVF approximate top-k at LARGE k via the Arrow-batched "
+    "assignment path (operators/similarity.py ivf_topk with "
+    "assignment='batched' -> assign_clusters_batched): 64 clusters, "
+    "16-probe search. The constant-folded HOF assignment pays "
+    "whole-stage-codegen COMPILE time growing with k (minutes of "
+    "Janino at k=64 — COVERAGE.md scale probes), so production IVF at "
+    "k ≈ √N routes assignment through one numpy matmul per Arrow "
+    "batch against a broadcast centroid matrix — no generated-code "
+    "growth in k. Same planted-clone + cardinality + recall@5 gate as "
+    "emb_ivf_topk, so the documented large-k path is driver-verified, "
+    "not just agreement-tested (tests/test_llm_ops.py pins "
+    "batched ≡ HOF assignment on separated data).",
+)
+def emb_ivf_largek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < _NQ)
+    clones = q.select(
+        (F.col("vec_id") + F.lit(_IVF_CLONE_OFFSET)).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(clones)
+    approx = SIM.ivf_topk(
+        aug, q, id_col="vec_id", vec_col="embedding", k=5,
+        n_clusters=64, n_probe=16, seed=42, assignment="batched",
+    )
+    exact = SIM.brute_force_topk(aug, q, id_col="vec_id", vec_col="embedding", k=5)
+    return _ann_recall_gate(approx, exact, clone_offset=_IVF_CLONE_OFFSET)
 
 
 @register(
@@ -1784,9 +1858,11 @@ def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rebuilt AS (
       SELECT d.doc_id, d.source,
-             COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+             CASE WHEN d.text IS NULL THEN NULL
+                  ELSE COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+             END AS text
       FROM documents d LEFT JOIN keptl k ON k.doc_id = d.doc_id
-      GROUP BY d.doc_id, d.source
+      GROUP BY d.doc_id, d.source, d.text
     ),
     uniq AS (
       SELECT doc_id, source, text FROM (
@@ -1799,37 +1875,59 @@ def doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY source
                  ORDER BY length(text) DESC, doc_id ASC) AS rn
         FROM uniq) WHERE rn <= 10
+    ),
+    toks AS (
+      SELECT source, doc_id, length(text) AS chars,
+             CAST({_TOKCNT} AS BIGINT) AS n_tokens
+      FROM capped
+    ),
+    packedc AS (
+      SELECT source, doc_id, chars, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM toks
     )
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(length(text)) AS BIGINT) AS chars_total,
-           CAST(sum(doc_id) AS BIGINT) AS sum_ids
-    FROM capped GROUP BY source
+           CAST(sum(chars) AS BIGINT) AS chars_total,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT start_off // {_PACK_BIN}) AS BIGINT) AS n_windows
+    FROM packedc GROUP BY source
     """,
     doc="END-TO-END curation chain under ONE oracle — strip boilerplate "
     "(strip_boilerplate_lines) -> exact dedup on the STRIPPED text "
     "(dedup_exact keep-min-id; stripping first is what makes docs that "
     "differed only in nav chrome collapse) -> per-source cap of 10 "
     "under the (stripped length desc, doc_id asc) priority "
-    "(cap_per_key, two-phase salted) -> per-source survivor stats. "
-    "Each stage is individually gated (doc_strip_boilerplate, "
-    "doc_dedup_exact_by_source, doc_cap_per_source); this gate proves "
-    "the COMPOSITION: sum_ids pins the exact survivor id-set per "
-    "source, so a drift in any stage interaction (e.g. dedup seeing "
-    "unstripped text) flips the row hash. The oracle rebuilds stripped "
-    "texts via position-ordered string_agg and chains the same three "
-    "stages in SQL.",
+    "(cap_per_key, two-phase salted) -> sequence packing of the "
+    f"survivors into {_PACK_BIN}-token context windows (running token "
+    "sum, the doc_pack_bins operator as the pipeline's LAST stage — "
+    "reference-scale pipelines ship packed sequences, not capped docs) "
+    "-> per-source survivor + packing stats. Each stage is "
+    "individually gated (doc_strip_boilerplate, "
+    "doc_dedup_exact_by_source, doc_cap_per_source, doc_pack_bins); "
+    "this gate proves the COMPOSITION: sum_ids pins the exact survivor "
+    "id-set per source and n_windows/total_tokens pin the packed "
+    "layout over them, so a drift in any stage interaction (e.g. dedup "
+    "seeing unstripped text, packing seeing pre-cap docs) flips the "
+    "row hash. The oracle rebuilds stripped texts via position-ordered "
+    "string_agg (preserving NULL input texts as NULL — mirroring "
+    "strip_boilerplate_lines' r6 NULL semantics, so a NULL-text "
+    "fixture row would exercise, not mask, that path) and chains the "
+    "same four stages in SQL.",
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     stripped = CU.strip_boilerplate_lines(
         d, "doc_id", "text", "source", min_docs=3, frac=0.5
     )
-    # Stage boundary: dedup_exact references its input twice (keep-set
-    # + semi-join side) and the cap/stats branch a third time — without
-    # materializing, every branch re-runs the whole strip subtree
-    # (measured: 18 scans of `documents` in one plan). A production
-    # pipeline persists between curation stages; localCheckpoint also
-    # truncates the lineage so the downstream plan stays flat.
+    # Stage boundary: dedup_exact is now a single window pass (one
+    # input reference), but cap_per_key's two-phase salted form and the
+    # stats branch still reference the upstream subtree more than once
+    # — without materializing, each branch re-runs the whole strip
+    # subtree. A production pipeline persists between curation stages;
+    # localCheckpoint also truncates the lineage so the downstream plan
+    # stays flat.
     stripped = stripped.localCheckpoint(eager=True)
     deduped = DD.dedup_exact(stripped, "doc_id", "text")
     capped = CU.cap_per_key(
@@ -1837,10 +1935,33 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.desc(F.length("text")), F.asc("doc_id")],
         salts=8,
     )
-    return capped.groupBy("source").agg(
+    # Final stage: pack the survivors into _PACK_BIN-token context
+    # windows (doc_pack_bins' running-sum shape). Survivors are capped
+    # at 10/source, so a per-source running sum is exact AND bounded
+    # here; the production-scale sharded variant is gated separately
+    # as doc_pack_bins.
+    from pyspark.sql import Window
+
+    toks = capped.select(
+        "source",
+        "doc_id",
+        F.length("text").alias("chars"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn("bin_id", F.expr(f"start_off DIV {_PACK_BIN}"))
+    return packed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text")).alias("chars_total"),
+        F.sum("chars").alias("chars_total"),
         F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("bin_id").alias("n_windows"),
     )
 
 
