@@ -36,13 +36,73 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first (r6): the 39 queries benched in r5 rotate back in so
-# their green rows don't go stale (COVERAGE.md rotation plan), plus
-# every query whose code/oracle/fixture changed this round, plus the
-# two new registrations. Benched (rotated out): the r5-verified set —
-# green r5, unchanged in r6.
+# Sampled first (r7): the 41 queries benched in r6 rotate back in so
+# their green rows don't go stale (COVERAGE.md rotation plan) — except
+# time_features, deferred one round (green r5 = exactly two rounds old
+# at r7's close, the staleness bound; its date functions are untouched
+# since r2) to make room for the r7-changed set. Plus the 5 late-r6
+# registrations (never driver-verified — the r6 VERDICT's top item),
+# every query whose code/oracle changed in r7, and the one new
+# registration. Benched (rotated out): the r6-verified set — green r6,
+# unchanged in r7.
 _VERIFY_FIRST = [
-    # --- benched r5, rotating back in (green r4 and earlier) ---
+    # --- benched r6, rotating back in (last green r5) ---
+    "eda_day_labels",
+    "run_history",
+    "value_counts_topk",
+    "unpivot_daily_events",
+    "hash_sample_stats",
+    "dedup_keep_first",
+    "price_bins",
+    "order_key_setops",
+    "semi_join_discounted",
+    "null_profile",
+    "corr_stats",
+    "crash_hit_run_rate_by_weather",
+    "doc_lang_confusion",
+    "doc_text_stats",
+    "doc_min_shingle_fp",
+    "doc_exact_dup_stats",
+    "doc_dedup_exact_by_source",  # also exercises the r7 dedup_exact window rewrite
+    "doc_simhash",
+    "emb_knn_brute",
+    "pivot_hour_dow",
+    "rate_by_priority",
+    "running_customer_revenue",
+    "sliding_event_counts",
+    "event_error_click_window",
+    "event_asof_last_click",
+    "event_sessions",
+    "event_zorder_keys",
+    "anti_join_new_keys",
+    "topk_orders_by_revenue",
+    "quantiles",
+    "revenue_rollup",
+    "approx_sketch_stats",
+    "customer_orders_wide",
+    "doc_repetition_stats",
+    "media_frame_plan",
+    "binary_file_ingest",
+    "emb_ivf_topk",  # also changed r7: planted-clone gate + ivf_index assignment param
+    "media_feature_stats",
+    "pipeline_e2e",
+    # --- never driver-verified (registered late in r6; r6 VERDICT item 1) ---
+    "value_counts_approx_topk",
+    "emb_pq_pruned",
+    "event_sessions_native",
+    "event_props_variant",
+    "event_sessions_native_stream",
+    # --- changed in r7: must (re-)earn a green row this round ---
+    "doc_curation_pipeline",  # r7: + packing stage; oracle NULL-text semantics fix
+    "doc_jaccard_pairs",  # r7: ngram_jaccard_pairs max_bucket now opt-in (gate passes 1000)
+    "doc_dup_clusters",  # r7: same operator-signature change on its pair path
+    "emb_semantic_dedup",  # r7: max_cluster now opt-in (gate passes explicit cap)
+    "emb_ivf_pruned",  # r7: ivf_topk_indexed collect-once rewrite (cache-leak fix)
+    # --- new in r7 ---
+    "emb_ivf_largek",  # Arrow-batched large-k IVF assignment under the clone gate
+]
+_ROTATION_BENCHED = [
+    # --- r6-verified (green r6, unchanged in r7) ---
     "crash_model_eval",
     "event_windowed_counts_stream",
     "jobspec_extract",
@@ -72,80 +132,28 @@ _VERIFY_FIRST = [
     "doc_quality_regression",
     "crash_rule_eval",
     "doc_training_pipeline",
-    "pricing_summary",  # also smoke-checked every round via entry()
+    "pricing_summary",  # still smoke-checked every round via entry()
     "order_profile",
     "revenue_by_nation",
-    "doc_tfidf_cosine_pairs",  # also changed r6 (two-level pair explode)
+    "doc_tfidf_cosine_pairs",
     "emb_near_dup_pairs",
     "emb_lsh_topk",
     "streaming_ingest_e2e",
     "event_sessions_stream",
     "event_first_seen_stream",
     "crash_clean_chain",
-    # --- changed in r6 or new: must (re-)earn a green row this round ---
-    "emb_pq_topk",  # r6: two-phase salted ADC top-k, vector-free candidate pass
-    "emb_semantic_dedup",  # r6: planted-clone gate + two-level pair explode
-    "doc_minhash_near_dups",  # r6: two-level pair explode, opt-in max_bucket
-    "doc_jaccard_pairs",  # r6: two-level pair explode
-    "doc_dup_clusters",  # r6: stats_out plumbing (+ jaccard pair path)
-    "doc_cap_per_source",  # r6: reserved-column guard in cap_per_key
-    "doc_strip_boilerplate",  # r6: NULL-text preservation + reserved-name guard
-    "emb_ivf_pruned",  # r6: probed-query frame persisted (single computation)
-    "sql_adhoc_query",  # r6: FROM/JOIN-anchored view rewrite (ADVICE)
-    "doc_simhash_hamming",  # NEW in r6: pigeonhole Hamming<=3 pairs, full oracle
-    "doc_curation_pipeline",  # NEW in r6: strip->dedup->cap composite oracle
-]
-_ROTATION_BENCHED = [
-    # --- r5-verified (green r5, unchanged in r6) ---
-    "eda_day_labels",
-    "run_history",
-    "value_counts_topk",
-    "whitelist_recode",
-    "unpivot_daily_events",
-    "hash_sample_stats",
-    "dedup_keep_first",
-    "price_bins",
-    "order_key_setops",
-    "semi_join_discounted",
+    "emb_pq_topk",
+    "doc_minhash_near_dups",
+    "doc_cap_per_source",
+    "doc_strip_boilerplate",
+    "sql_adhoc_query",
+    "doc_simhash_hamming",
+    # --- deferred ONE round to fit the r7-changed set (green r5 =
+    # exactly two rounds old at r7's close — the staleness bound;
+    # MUST sample in r8; both are pure-function gates whose operators
+    # are untouched since r2) ---
     "time_features",
-    "null_profile",
-    "corr_stats",
-    "crash_hit_run_rate_by_weather",
-    "doc_lang_confusion",
-    "doc_text_stats",
-    "doc_min_shingle_fp",
-    "doc_exact_dup_stats",
-    "doc_dedup_exact_by_source",
-    "doc_simhash",
-    "emb_knn_brute",
-    "pivot_hour_dow",
-    "rate_by_priority",
-    "running_customer_revenue",
-    "sliding_event_counts",
-    "event_error_click_window",
-    "event_asof_last_click",
-    "event_sessions",
-    "event_zorder_keys",
-    "anti_join_new_keys",
-    "topk_orders_by_revenue",
-    "quantiles",
-    "revenue_rollup",
-    "approx_sketch_stats",
-    "customer_orders_wide",
-    "doc_repetition_stats",
-    "media_frame_plan",
-    "binary_file_ingest",
-    "emb_ivf_topk",
-    "media_feature_stats",
-    "pipeline_e2e",
-    # --- registered late in r6 (after the 50-slot sample was fixed by
-    # the rotation): verified green by the local oracle harness at
-    # sf0.01; scheduled to sample in r7 with the other rotate-ins ---
-    "value_counts_approx_topk",
-    "emb_pq_pruned",
-    "event_sessions_native",
-    "event_props_variant",
-    "event_sessions_native_stream",
+    "whitelist_recode",
 ]
 
 

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Spark-only timings for the streaming gates the latency bench skips
+(micro-batch Structured Streaming machinery: watermarked windows,
+session windows, stream-stream interval joins, streaming dedup, the
+checkpointed ingest e2e). These are correctness-gated every round but
+their wall-clock was never recorded anywhere — this artifact completes
+the classification VERDICT r6 item 8 asked for: every registered query
+is latency-benched (bench.py), IO-benched (bench_io.py), or
+stream-benched here.
+
+What the number MEANS: end-to-end wall-clock of a bounded
+``availableNow``/memory-sink micro-batch run at the gate's SF —
+dominated by per-batch fixed costs (trigger scheduling, state-store
+init, checkpoint IO), not by data volume. It is a REGRESSION TRIPWIRE
+for the streaming machinery (a state-store misconfiguration or an
+accidental extra batch shows up as a step change), not a throughput
+claim; streaming throughput at scale is governed by the same shuffle/
+state plans the batch twins measure.
+
+No oracle comparison and no DuckDB twin (DuckDB has no streaming
+runtime): Spark wall-clock only, not part of the 2x gate vs
+BASELINE_BENCH.json.
+
+Prints ONE JSON line: {"metric": "stream_total_median_query_seconds",
+"value": N, "unit": "sec", "queries": {...}, "sf": ..., "runs": N}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from chicago_crash_data_pipeline_dashboard_spark.plans import (  # noqa: F401
+    QUERIES,
+    analytics,
+    crash_ops,
+    jobspec_ops,
+    llm_ops,
+    ml_ops,
+)
+from chicago_crash_data_pipeline_dashboard_spark.session import get_spark
+
+# Every streaming member of bench.py's SKIP set.
+STREAM_QUERIES = [
+    "event_windowed_counts_stream",
+    "event_sessions_stream",
+    "event_sessions_native_stream",
+    "event_first_seen_stream",
+    "event_dedup_watermark_stream",
+    "event_error_click_window_stream",
+    "streaming_ingest_e2e",
+]
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="ccpd_bench_stream")
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in STREAM_QUERIES:
+        samples = []
+        try:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df = QUERIES[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
+    out = {
+        "metric": "stream_total_median_query_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": RUNS,
+        "n_queries": len(timings),
+        "complete": not errors,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
