@@ -1921,14 +1921,16 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped = CU.strip_boilerplate_lines(
         d, "doc_id", "text", "source", min_docs=3, frac=0.5
     )
-    # Stage boundary: dedup_exact is now a single window pass (one
-    # input reference), but cap_per_key's two-phase salted form and the
-    # stats branch still reference the upstream subtree more than once
-    # — without materializing, each branch re-runs the whole strip
-    # subtree. A production pipeline persists between curation stages;
-    # localCheckpoint also truncates the lineage so the downstream plan
-    # stays flat.
-    stripped = stripped.localCheckpoint(eager=True)
+    # NO stage-boundary materialization since r7: dedup_exact is one
+    # row_number window (single input reference) and cap_per_key /
+    # packing are sequential windows, so the whole chain downstream of
+    # strip is LINEAR — the strip subtree appears exactly once in the
+    # final plan (asserted in test_plans) and Catalyst prunes/pushes
+    # through the entire composite. The r6 shape needed
+    # localCheckpoint(eager=True) because the keep-set semi-join
+    # re-ran the strip subtree per branch; dropping it also stops
+    # checkpoint blocks from occupying storage memory for the rest of
+    # a long-lived session.
     deduped = DD.dedup_exact(stripped, "doc_id", "text")
     capped = CU.cap_per_key(
         deduped, "source", 10,

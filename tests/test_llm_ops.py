@@ -721,6 +721,42 @@ def test_assign_clusters_batched_agrees_with_hof(spark, sf_oracle):
     assert a == b
 
 
+def test_ivf_topk_batched_assignment_matches_hof_results(spark, sf_oracle):
+    """ivf_topk(assignment='batched') — the r7 wiring of the large-k
+    path into the public API — must return the same (query, neighbor,
+    cos) rows as the default HOF assignment: same centroids (shared
+    quantizer), agreeing assignments (test above), identical scoring."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    kw = dict(id_col="vec_id", vec_col="embedding", k=3, n_clusters=8, n_probe=3, seed=42)
+    hof = SIM.ivf_topk(emb, q, **kw)
+    batched = SIM.ivf_topk(emb, q, assignment="batched", **kw)
+    assert sorted(map(tuple, hof.collect())) == sorted(map(tuple, batched.collect()))
+
+
+def test_assign_clusters_batched_rejects_null_embeddings(spark):
+    """NULL vectors fail with the explicit contract error, not an
+    opaque numpy stack error (ADVICE r6)."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None)], "vec_id long, embedding array<double>"
+    )
+    out = SIM.assign_clusters_batched(df, [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(Exception, match="not .*assignable|assignable"):
+        out.collect()
+
+
+def test_ivf_index_rejects_unknown_assignment(spark):
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="assignment"):
+        SIM.ivf_index(df, assignment="nope")
+
+
+def test_dedup_exact_reserved_column_raises(spark):
+    df = spark.createDataFrame([(1, "a", 0)], "doc_id long, text string, _rn int")
+    with pytest.raises(ValueError, match="_rn"):
+        DD.dedup_exact(df, "doc_id", "text")
+
+
 def test_pq_index_roundtrip_codebook(spark, sf_oracle, tmp_path):
     """write_pq_index persists the codebook bit-exactly (JSON round-
     trips doubles via repr → correctly-rounded parse)."""

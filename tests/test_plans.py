@@ -299,19 +299,25 @@ def test_simhash_hamming_plan_is_join_free_and_jvm_side(spark, sf_oracle):
         assert node not in plan, f"unexpected {node} in the simhash-hamming plan"
 
 
-def test_curation_pipeline_is_join_free_downstream_and_jvm_side(spark, sf_oracle):
-    """The composite strip→dedup→cap→pack chain downstream of the
-    stage-boundary checkpoint must be JOIN-FREE: since the r7
-    single-window dedup_exact rewrite, dedup is one row_number pass
-    (no keep-set semi-join), cap is windowed, and packing is a running
-    window — any join node here means a stage regressed to a
-    shuffle-both-sides shape. Python-free throughout. (The strip
-    stage's own broadcast anti-join sits behind the checkpoint and is
-    asserted in test_curation.py.)"""
+def test_curation_pipeline_single_linear_plan(spark, sf_oracle):
+    """The composite strip→dedup→cap→pack chain is ONE declarative
+    plan since r7 (no stage-boundary checkpoint): dedup is a single
+    row_number pass (no keep-set semi-join), cap and packing are
+    sequential windows, so the expensive strip subtree appears exactly
+    once. The only joins allowed are the strip stage's broadcast
+    lookups (boilerplate set, group sizes) — a SortMergeJoin anywhere
+    means a small side fell off the broadcast path, and a second
+    Generate-over-split means the strip subtree got duplicated.
+    Python-free throughout."""
     plan = plan_of(QUERIES["doc_curation_pipeline"].fn(spark, sf_oracle), "simple")
     assert "EvalPython" not in plan
-    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
-        assert node not in plan, f"unexpected {node} in the curation composite plan"
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "a small side fell off the broadcast path"
+    assert "BroadcastHashJoin" in plan  # strip's boilerplate anti-join
+    # the strip subtree (the only posexplode in the chain) must appear
+    # exactly once — a second occurrence means a downstream stage
+    # re-references it and the composite recomputes the strip
+    assert plan.count("posexplode") <= 1, "strip subtree duplicated in the plan"
 
 
 def test_pq_index_at_rest_scans_codes_only_and_pushes_id_filter(spark, sf_oracle, tmp_path):
