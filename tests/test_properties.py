@@ -544,3 +544,38 @@ def test_simhash_hamming_pigeonhole_complete(spark, docs, d):
         .collect()
     }
     assert got == brute
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab x\t"),  # tiny alphabet → real dup groups
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_dedup_exact_matches_min_id_model(spark, docs):
+    """The r7 single-window dedup_exact must keep EXACTLY the min id
+    per normalized-content group — the same contract the r6
+    groupBy-min + semi-join shape had, pinned against a pure-Python
+    model of the fingerprint normalization (lower → trim spaces →
+    collapse \\s+), including all-whitespace and empty texts."""
+    import re
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in DD.dedup_exact(df, "doc_id", "text").collect())
+
+    groups: dict[str, int] = {}
+    for i, t in enumerate(docs):
+        norm = re.sub(r"\s+", " ", t.lower().strip(" "))
+        groups.setdefault(norm, i)  # first occurrence = min id (enumerate order)
+    assert kept == sorted(groups.values())
+    # row contents survive untouched (no helper columns leak)
+    cols = DD.dedup_exact(df, "doc_id", "text").columns
+    assert cols == ["doc_id", "text"]
