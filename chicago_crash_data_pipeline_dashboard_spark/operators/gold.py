@@ -68,6 +68,25 @@ class GoldTable:
             return self.spark.createDataFrame([], self._schema())
         return self.spark.read.schema(self._schema()).parquet(self.path)
 
+    def _existing_keys(self, batch: DataFrame) -> DataFrame:
+        """Existing-side PK set for the anti-join, partition-pruned to
+        the batch's years when the table is year-partitioned: at 100 TB
+        the incremental path then file-lists only the touched year=YYYY/
+        directories instead of the whole table (PartitionFilters —
+        asserted in tests/test_plans). Sound under the same invariant
+        the year layout itself needs — a PK's crash_date year is stable
+        across batches (verify_integrity's global dup-PK check is the
+        backstop if a source ever violates it)."""
+        existing = self.read()
+        if self.partition_on_year:
+            batch_years = [r["year"] for r in batch.select("year").distinct().collect()]
+            years = [y for y in batch_years if y is not None]
+            cond = F.col("year").isin(years) if years else F.lit(False)
+            if None in batch_years:  # NULL-crash_date rows land in the
+                cond = cond | F.col("year").isNull()  # default partition
+            existing = existing.filter(cond)
+        return existing.select(PK)
+
     # -- M2 + M3: upsert -------------------------------------------------
     def upsert(self, df: DataFrame, corr_id: str) -> dict[str, int]:
         """Insert-if-absent; returns before/after/inserted/skipped stats
@@ -95,8 +114,7 @@ class GoldTable:
         before = self.read().count() if self.exists() else 0
 
         if self.exists():
-            existing_keys = self.read().select(PK)
-            new_rows = batch.join(existing_keys, PK, "left_anti")
+            new_rows = batch.join(self._existing_keys(batch), PK, "left_anti")
         else:
             new_rows = batch
 

@@ -7,15 +7,26 @@ exponential-backoff retries (extractor/main.go:291-336). This module
 re-expresses BOTH Spark-first:
 
 - **pagination becomes the partition plan** — one bounded COUNT probe
-  (``$select=count(1)``, same ``$where``) at planning time sizes the
-  result, and each page becomes an ``InputPartition``; on a
+  (``$select=count(*) AS n``, same ``$where``) at planning time sizes
+  the result, and each page becomes an ``InputPartition``; on a
   1000-executor cluster the pages fetch CONCURRENTLY instead of the
   reference's serial driver loop, and a failed page retries as a task
   (plus the in-task backoff below) without refetching the others;
 - **retry/backoff lives in the partition reader** — each HTTP GET
   retries on 429/5xx/connection errors with exponential backoff,
   honoring ``Retry-After`` when the server sends one, so transient
-  throttling never fails the scan.
+  throttling never fails the scan;
+- **the LAST partition pages until a short page** — the reference's
+  serial loop stops on the first short page, so it reads everything
+  present at scan time; a frozen COUNT-probe plan alone would drop
+  rows appended between the probe and the page fetches. The tail
+  partition keeps requesting subsequent offsets until a short page
+  arrives, restoring the reference's read-to-end semantics (the extra
+  pages are bounded by rows appended DURING the scan, so the serial
+  tail stays negligible). Rows deleted mid-scan can still shift page
+  boundaries — that is inherent to offset paging and true of the
+  reference too; ``total_rows`` overrides the probe for callers that
+  want a fixed-size snapshot plan.
 
 Deterministic paging requires a total ``$order`` (the same invariant
 the reference's ensureSelect enforces for ``$select``): without one,
@@ -38,6 +49,22 @@ as strings); values coerce to the declared column types, with
 unparseable cells -> NULL (PERMISSIVE, matching the bronze reader's
 posture). ``app_token`` forwards as ``X-App-Token``.
 
+**Filter pushdown** (``option("filter_pushdown", "true")``): the
+reader implements ``DataSourceReader.pushFilters``, so a DataFrame
+``.filter()`` over declared columns compiles into the SoQL ``$where``
+(AND-combined with any ``where`` option) — the server prunes rows
+before they cross the wire, and the COUNT probe sees the pushed
+filter so the partition plan shrinks too. Unsupported predicates are
+returned to Spark and evaluated post-scan, so results never change.
+Spark requires ``spark.sql.python.filterPushdown.enabled=true`` when
+the hook is implemented, hence the opt-in option (parity:
+extractor/main.go:202-222 builds $where server-side the same way).
+
+**Column pruning**: the Python DataSource API has no prune hook (only
+``pushFilters``), so ``$select`` stays an option-level contract —
+pass ``option("select", ...)`` with exactly the columns you need, as
+the jobspec layer does (extractor/main.go:409-429 ensureSelect).
+
 At 100 TB scale the fan-out is bounded by ``page_size`` x partition
 count; the COUNT probe is one tiny request, and no page is ever held
 whole in driver memory — partitions stream rows via the Arrow batch
@@ -52,7 +79,22 @@ import urllib.error
 import urllib.parse
 import urllib.request
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringStartsWith,
+)
 from pyspark.sql.types import (
     BooleanType,
     DateType,
@@ -92,8 +134,11 @@ def _http_get_json(
             retry_after = exc.headers.get("Retry-After") if exc.headers else None
             if retry_after is not None:
                 try:
-                    delay = min(float(retry_after), 30.0)
-                except ValueError:
+                    # clamp to [0, 30]: a negative header must not reach
+                    # time.sleep (ValueError would turn a retryable 429
+                    # into a hard task failure)
+                    delay = min(max(float(retry_after), 0.0), 30.0)
+                except ValueError:  # HTTP-date form -> plain backoff
                     delay = backoff_s * (2**attempt)
             else:
                 delay = backoff_s * (2**attempt)
@@ -171,21 +216,33 @@ class _PageReader(DataSourceReader):
     def _url(self, params: dict[str, str]) -> str:
         return f"{self.endpoint}?{urllib.parse.urlencode(params)}"
 
+    def _where_clause(self) -> str | None:
+        """The effective $where: the option AND any pushed-down
+        predicates (each already parenthesized)."""
+        clauses = []
+        if self.where:
+            clauses.append(f"({self.where})")
+        clauses.extend(getattr(self, "pushed_where", []))
+        return " AND ".join(clauses) if clauses else None
+
     def _base_params(self) -> dict[str, str]:
         p: dict[str, str] = {}
         if self.select:
             p["$select"] = self.select
-        if self.where:
-            p["$where"] = self.where
+        where = self._where_clause()
+        if where:
+            p["$where"] = where
         return p
 
     # -- planning: COUNT probe -> page partitions ------------------------
     def _count(self) -> int:
         if self.total_rows is not None:
             return int(self.total_rows)
-        params = {"$select": "count(1) AS n"}
-        if self.where:  # the probe must see the same filter as the scan
-            params["$where"] = self.where
+        # canonical SoQL aggregate: count(*) (count(1) is not SoQL)
+        params = {"$select": "count(*) AS n"}
+        where = self._where_clause()
+        if where:  # the probe must see the same filter as the scan
+            params["$where"] = where
         rows = _http_get_json(
             self._url(params),
             self.headers,
@@ -199,28 +256,117 @@ class _PageReader(DataSourceReader):
 
     def partitions(self):
         total = self._count()
-        offsets = range(0, max(total, 1), self.page_size) if total else []
-        return [InputPartition((off, self.page_size)) for off in offsets] or [
-            InputPartition((0, self.page_size))  # empty probe: one confirming page
+        offsets = list(range(0, max(total, 1), self.page_size)) if total else [0]
+        # the LAST partition pages until a short page so rows appended
+        # after the COUNT probe still arrive (reference reads to end —
+        # extractor/main.go:716-779); earlier partitions are fixed pages
+        return [
+            InputPartition((off, self.page_size, off == offsets[-1]))
+            for off in offsets
         ]
 
     # -- execution: one page per partition, retried ----------------------
-    def read(self, partition):
-        offset, limit = partition.value
+    def _fetch_page(self, offset: int, limit: int):
         params = self._base_params()
         params["$order"] = self.order
         params["$limit"] = str(limit)
         params["$offset"] = str(offset)
-        rows = _http_get_json(
+        return _http_get_json(
             self._url(params),
             self.headers,
             self.timeout_s,
             self.max_retries,
             self.backoff_s,
         )
+
+    def read(self, partition):
+        offset, limit, is_tail = partition.value
         fields = [(f.name, f.dataType) for f in self.schema.fields]
-        for row in rows:
-            yield tuple(_coerce(row.get(name), dtype) for name, dtype in fields)
+        while True:
+            rows = self._fetch_page(offset, limit)
+            for row in rows:
+                yield tuple(_coerce(row.get(name), dtype) for name, dtype in fields)
+            if not is_tail or len(rows) < limit:
+                return
+            offset += limit
+
+
+def _soql_literal(value) -> str | None:
+    """Python literal -> SoQL literal, or None if unrepresentable."""
+    import datetime as dt
+
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'"
+    if isinstance(value, dt.datetime):
+        return "'" + value.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "'"
+    if isinstance(value, dt.date):
+        return "'" + value.isoformat() + "'"
+    return None
+
+
+def _filter_to_soql(f: Filter, columns: set[str]) -> str | None:
+    """One pushed Filter -> a parenthesized SoQL fragment, or None if
+    this filter can't be expressed (Spark then evaluates it post-scan).
+    Only flat references to declared columns are pushed."""
+
+    def col(attr) -> str | None:
+        return attr[0] if len(attr) == 1 and attr[0] in columns else None
+
+    binary = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for cls, op in binary.items():
+        if isinstance(f, cls):
+            c, lit = col(f.attribute), _soql_literal(f.value)
+            return f"({c} {op} {lit})" if c and lit else None
+    if isinstance(f, In):
+        c = col(f.attribute)
+        lits = [_soql_literal(v) for v in f.value]
+        if c and lits and all(l is not None for l in lits):
+            return f"({c} IN ({', '.join(lits)}))"
+        return None
+    if isinstance(f, IsNull):
+        c = col(f.attribute)
+        return f"({c} IS NULL)" if c else None
+    if isinstance(f, IsNotNull):
+        c = col(f.attribute)
+        return f"({c} IS NOT NULL)" if c else None
+    if isinstance(f, StringStartsWith):
+        c = col(f.attribute)
+        lit = _soql_literal(str(f.value) + "%")
+        return f"({c} like {lit})" if c and lit else None
+    if isinstance(f, Not) and isinstance(f.child, EqualTo):
+        c, lit = col(f.child.attribute), _soql_literal(f.child.value)
+        # SODA `!=` is null-rejecting like SQL's <>, matching Spark's
+        # post-filter semantics for Not(EqualTo)
+        return f"({c} != {lit})" if c and lit else None
+    return None
+
+
+class _PushdownPageReader(_PageReader):
+    """_PageReader + DataSourceReader.pushFilters: supported predicates
+    compile into $where so the server prunes rows AND the COUNT probe
+    plans fewer pages. Selected via option("filter_pushdown", "true");
+    requires spark.sql.python.filterPushdown.enabled=true (Spark fails
+    loudly otherwise rather than silently skipping the hook)."""
+
+    def pushFilters(self, filters):
+        self.pushed_where: list[str] = []
+        columns = {f.name for f in self.schema.fields}
+        for f in filters:
+            frag = _filter_to_soql(f, columns)
+            if frag is None:
+                yield f  # unsupported -> Spark evaluates post-scan
+            else:
+                self.pushed_where.append(frag)
 
 
 class SocrataDataSource(DataSource):
@@ -242,4 +388,10 @@ class SocrataDataSource(DataSource):
         return ddl
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _PageReader(schema, self.options)
+        pushdown = str(self.options.get("filter_pushdown", "")).lower() in (
+            "true",
+            "1",
+            "yes",
+        )
+        cls = _PushdownPageReader if pushdown else _PageReader
+        return cls(schema, self.options)

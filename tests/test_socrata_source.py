@@ -35,9 +35,47 @@ def _dataset():
     ]
 
 
+def _match_where(row: dict, where: str) -> bool:
+    """Evaluate the fixture's $where grammar: AND-joined, optionally
+    parenthesized comparison clauses (`id > 19`, `name = 'rec3'`,
+    `name != 'x'`) — the shapes the connector's option + pushdown emit."""
+    import re
+
+    for clause in re.split(r"\s+AND\s+", where):
+        clause = clause.strip()
+        while clause.startswith("(") and clause.endswith(")"):
+            clause = clause[1:-1].strip()
+        m = re.match(r"^(\w+)\s+IS\s+(NOT\s+)?NULL$", clause, re.IGNORECASE)
+        if m:  # fixture rows are dense: IS NOT NULL true, IS NULL false
+            if not m.group(2):
+                return False
+            continue
+        m = re.match(r"^(\w+)\s*(>=|<=|!=|=|>|<)\s*(.+)$", clause)
+        if not m:
+            raise ValueError(f"mock SODA can't parse clause: {clause!r}")
+        colname, op, lit = m.group(1), m.group(2), m.group(3).strip()
+        if lit.startswith("'"):
+            val, cell = lit[1:-1].replace("''", "'"), str(row[colname])
+        else:
+            val, cell = float(lit), float(row[colname])
+        ok = {
+            ">": cell > val,
+            ">=": cell >= val,
+            "<": cell < val,
+            "<=": cell <= val,
+            "=": cell == val,
+            "!=": cell != val,
+        }[op]
+        if not ok:
+            return False
+    return True
+
+
 class _MockSoda(http.server.BaseHTTPRequestHandler):
-    """Minimal SODA endpoint: $select=count(1), $where ('id > N' only),
-    $order (by int id), $limit/$offset paging, and scripted failures."""
+    """Minimal SODA endpoint: $select=count(*), $where (AND-joined
+    comparisons), $order (by int id), $limit/$offset paging, scripted
+    failures, and a scriptable count (to test the tail partition's
+    page-until-short against a stale COUNT probe)."""
 
     server_version = "MockSoda/1.0"
 
@@ -55,18 +93,19 @@ class _MockSoda(http.server.BaseHTTPRequestHandler):
                     state["fail_next"] = (status, n_left - 1)
                     self.send_response(status)
                     if status == 429:
-                        self.send_header("Retry-After", "0")
+                        retry_after = state.get("retry_after", "0")
+                        self.send_header("Retry-After", retry_after)
                     self.end_headers()
                     return
         q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
-        rows = _dataset()
+        rows = state.get("rows") or _dataset()
         where = q.get("$where", [None])[0]
-        if where:  # fixture grammar: 'id > N'
-            bound = int(where.split(">")[1])
-            rows = [r for r in rows if int(r["id"]) > bound]
+        if where:
+            rows = [r for r in rows if _match_where(r, where)]
         select = q.get("$select", [None])[0]
-        if select and select.startswith("count(1)"):
-            body = [{"n": str(len(rows))}]
+        if select and select.startswith("count("):
+            n = state.get("count_override")
+            body = [{"n": str(len(rows) if n is None else n)}]
         else:
             if q.get("$order"):
                 rows = sorted(rows, key=lambda r: int(r["id"]))
@@ -135,7 +174,7 @@ def test_where_pushes_to_server_and_count_probe(spark, soda_server):
     assert sorted(r.id for r in df.collect()) == [20, 21, 22, 23, 24]
     # the COUNT probe carried the same $where — only ONE page planned
     assert df.rdd.getNumPartitions() == 1
-    count_hits = [h for h in srv.state["hits"] if "count%281%29" in h]
+    count_hits = [h for h in srv.state["hits"] if "count%28%2A%29" in h]
     assert count_hits and all("id+%3E+19" in h or "id%20%3E%2019" in h for h in count_hits)
 
 
@@ -190,6 +229,135 @@ def test_missing_order_or_schema_rejected(spark, soda_server):
         )
     with pytest.raises(Exception, match="schema"):
         spark.read.format("socrata").option("endpoint", endpoint).load().collect()
+
+
+def test_tail_partition_pages_until_short_past_stale_count(spark, soda_server):
+    """Rows appended between the COUNT probe and the page fetches must
+    still arrive: the probe is scripted to report only 10 of the 25
+    rows, so a frozen plan would read 10 — the tail partition pages
+    until a short page and reads all 25 (reference reads-to-end,
+    extractor/main.go:716-779)."""
+    srv, endpoint = soda_server
+    srv.state["count_override"] = 10
+    df = _read(spark, endpoint, page_size=5)
+    assert df.rdd.getNumPartitions() == 2  # planned from the stale count
+    assert sorted(r.id for r in df.collect()) == list(range(N_ROWS))
+
+
+def test_empty_count_probe_still_reads_appended_rows(spark, soda_server):
+    srv, endpoint = soda_server
+    srv.state["count_override"] = 0
+    df = _read(spark, endpoint, page_size=50)
+    assert len(df.collect()) == N_ROWS  # the single tail page found them
+
+
+def test_filter_pushdown_compiles_to_where(spark, soda_server):
+    """A DataFrame .filter() over declared columns must reach the mock
+    server as $where (VERDICT r7 item 4): the COUNT probe sees it (one
+    page planned instead of three) and the page request carries it."""
+    srv, endpoint = soda_server
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = _read(spark, endpoint, page_size=10, filter_pushdown="true").filter(
+            "id > 19 AND name != 'rec21'"
+        )
+        assert sorted(r.id for r in df.collect()) == [20, 22, 23, 24]
+        assert df.rdd.getNumPartitions() == 1  # probe saw the pushed filter
+        where_hits = [
+            urllib.parse.unquote_plus(h) for h in srv.state["hits"] if "%24where" in h
+        ]
+        assert where_hits and all("(id > 19)" in h for h in where_hits)
+        assert any("(name != 'rec21')" in h for h in where_hits)
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_filter_pushdown_unsupported_predicate_stays_in_spark(spark, soda_server):
+    """A predicate SoQL can't express (id % 2 = 0) is returned to Spark
+    and evaluated post-scan — results unchanged, server never sees it."""
+    srv, endpoint = soda_server
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = _read(spark, endpoint, page_size=50, filter_pushdown="true").filter(
+            "id > 19 AND id % 2 = 0"
+        )
+        assert sorted(r.id for r in df.collect()) == [20, 22, 24]
+        where_hits = [
+            urllib.parse.unquote_plus(h) for h in srv.state["hits"] if "%24where" in h
+        ]
+        assert where_hits and all("%" not in h.split("$where=")[1] for h in where_hits)
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_pushdown_combines_with_where_option(spark, soda_server):
+    srv, endpoint = soda_server
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = _read(
+            spark, endpoint, page_size=50, filter_pushdown="true", where="id > 10"
+        ).filter("id < 14")
+        assert sorted(r.id for r in df.collect()) == [11, 12, 13]
+        where_hits = [
+            urllib.parse.unquote_plus(h) for h in srv.state["hits"] if "%24where" in h
+        ]
+        # option clause leads; pushed clauses AND-append after it
+        # (Spark interleaves an IS NOT NULL guard between them)
+        assert where_hits and all(
+            "$where=(id > 10) AND " in h and "(id < 14)" in h for h in where_hits
+        )
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_soql_filter_rendering():
+    import datetime as dt
+
+    from chicago_crash_data_pipeline_dashboard_spark.sources.socrata_source import (
+        _filter_to_soql,
+    )
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        IsNull,
+        Not,
+        StringStartsWith,
+    )
+
+    cols = {"a", "b"}
+    assert _filter_to_soql(EqualTo(("a",), "o'brien"), cols) == "(a = 'o''brien')"
+    assert _filter_to_soql(GreaterThan(("b",), 1.5), cols) == "(b > 1.5)"
+    assert _filter_to_soql(In(("a",), (1, 2)), cols) == "(a IN (1, 2))"
+    assert _filter_to_soql(IsNull(("a",)), cols) == "(a IS NULL)"
+    assert _filter_to_soql(Not(EqualTo(("a",), 3)), cols) == "(a != 3)"
+    assert _filter_to_soql(StringStartsWith(("a",), "rec"), cols) == "(a like 'rec%')"
+    assert (
+        _filter_to_soql(EqualTo(("a",), dt.date(2024, 1, 2)), cols) == "(a = '2024-01-02')"
+    )
+    # not pushable: undeclared column, nested path, opaque value
+    assert _filter_to_soql(EqualTo(("zz",), 1), cols) is None
+    assert _filter_to_soql(EqualTo(("a", "b"), 1), cols) is None
+    assert _filter_to_soql(EqualTo(("a",), bytearray(b"x")), cols) is None
+
+
+def test_negative_retry_after_clamped_to_zero(soda_server):
+    """A negative Retry-After header must clamp to 0, not raise inside
+    time.sleep (ADVICE r7): the retry still succeeds."""
+    srv, endpoint = soda_server
+    srv.state["fail_next"] = (429, 1)
+    srv.state["retry_after"] = "-5"
+    slept = []
+    rows = _http_get_json(
+        endpoint + "?%24select=count(%2A)+AS+n",
+        {},
+        timeout_s=5,
+        max_retries=2,
+        backoff_s=0.01,
+        sleep=slept.append,
+    )
+    assert rows == [{"n": str(N_ROWS)}]
+    assert slept == [0.0]
 
 
 def test_coerce_permissive_nulls():
