@@ -54,10 +54,17 @@ reader implements ``DataSourceReader.pushFilters``, so a DataFrame
 ``.filter()`` over declared columns compiles into the SoQL ``$where``
 (AND-combined with any ``where`` option) — the server prunes rows
 before they cross the wire, and the COUNT probe sees the pushed
-filter so the partition plan shrinks too. Unsupported predicates are
-returned to Spark and evaluated post-scan, so results never change.
-Spark requires ``spark.sql.python.filterPushdown.enabled=true`` when
-the hook is implemented, hence the opt-in option (parity:
+filter so the partition plan shrinks too. Pushdown here is a PURE
+OPTIMIZATION: every filter — supported or not — is yielded back to
+Spark, which re-evaluates it on the coerced values post-scan. That
+matters because the scan is schema-on-read with lossy coercion (the
+server's native SODA column types can disagree with the declared
+schema — Socrata columns are frequently text), so a server-evaluated
+predicate may match a different row set than Spark's post-coercion
+one; re-applying guarantees the declared-type semantics win and
+results never change when pushdown is toggled. Spark requires
+``spark.sql.python.filterPushdown.enabled=true`` when the hook is
+implemented, hence the opt-in option (parity:
 extractor/main.go:202-222 builds $where server-side the same way).
 
 **Column pruning**: the Python DataSource API has no prune hook (only
@@ -256,14 +263,24 @@ class _PageReader(DataSourceReader):
 
     def partitions(self):
         total = self._count()
+        fixed = self.total_rows is not None  # caller asked for a snapshot plan
+        if fixed and total <= 0:
+            return [InputPartition((0, 0, False))]  # empty snapshot: fetch nothing
         offsets = list(range(0, max(total, 1), self.page_size)) if total else [0]
         # the LAST partition pages until a short page so rows appended
         # after the COUNT probe still arrive (reference reads to end —
-        # extractor/main.go:716-779); earlier partitions are fixed pages
-        return [
-            InputPartition((off, self.page_size, off == offsets[-1]))
-            for off in offsets
-        ]
+        # extractor/main.go:716-779); earlier partitions are fixed pages.
+        # With total_rows the caller wants a FIXED-SIZE snapshot, so tail
+        # paging is disabled and the last page's $limit clamps to the
+        # remainder — the override actually bounds the scan.
+        parts = []
+        for off in offsets:
+            is_last = off == offsets[-1]
+            limit = self.page_size
+            if fixed and is_last:
+                limit = min(self.page_size, total - off)
+            parts.append(InputPartition((off, limit, is_last and not fixed)))
+        return parts
 
     # -- execution: one page per partition, retried ----------------------
     def _fetch_page(self, offset: int, limit: int):
@@ -281,6 +298,8 @@ class _PageReader(DataSourceReader):
 
     def read(self, partition):
         offset, limit, is_tail = partition.value
+        if limit <= 0:  # empty snapshot plan — nothing to fetch
+            return
         fields = [(f.name, f.dataType) for f in self.schema.fields]
         while True:
             rows = self._fetch_page(offset, limit)
@@ -294,10 +313,15 @@ class _PageReader(DataSourceReader):
 def _soql_literal(value) -> str | None:
     """Python literal -> SoQL literal, or None if unrepresentable."""
     import datetime as dt
+    import math
 
     if isinstance(value, bool):
         return "true" if value else "false"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        # repr(nan/inf) is not valid SoQL — the server would 400
+        # (non-retryable) and hard-fail the scan; leave it to Spark
+        return repr(value) if math.isfinite(value) else None
+    if isinstance(value, int):
         return repr(value)
     if isinstance(value, str):
         return "'" + value.replace("'", "''") + "'"
@@ -341,7 +365,13 @@ def _filter_to_soql(f: Filter, columns: set[str]) -> str | None:
         return f"({c} IS NOT NULL)" if c else None
     if isinstance(f, StringStartsWith):
         c = col(f.attribute)
-        lit = _soql_literal(str(f.value) + "%")
+        prefix = str(f.value)
+        # LIKE wildcards inside the prefix would match a SUPERSET of
+        # rows server-side; SoQL has no portable escape syntax, so
+        # don't push — Spark evaluates the predicate post-scan
+        if "%" in prefix or "_" in prefix:
+            return None
+        lit = _soql_literal(prefix + "%")
         return f"({c} like {lit})" if c and lit else None
     if isinstance(f, Not) and isinstance(f.child, EqualTo):
         c, lit = col(f.child.attribute), _soql_literal(f.child.value)
@@ -354,19 +384,24 @@ def _filter_to_soql(f: Filter, columns: set[str]) -> str | None:
 class _PushdownPageReader(_PageReader):
     """_PageReader + DataSourceReader.pushFilters: supported predicates
     compile into $where so the server prunes rows AND the COUNT probe
-    plans fewer pages. Selected via option("filter_pushdown", "true");
-    requires spark.sql.python.filterPushdown.enabled=true (Spark fails
-    loudly otherwise rather than silently skipping the hook)."""
+    plans fewer pages. EVERY filter is yielded back to Spark (pushdown
+    is a pure optimization): the scan coerces SODA's schemaless JSON to
+    the declared types, and a predicate the server evaluated against
+    its own native column types can match a different row set than the
+    same predicate over the coerced values — Spark re-applying them
+    guarantees declared-type semantics. Selected via
+    option("filter_pushdown", "true"); requires
+    spark.sql.python.filterPushdown.enabled=true (Spark fails loudly
+    otherwise rather than silently skipping the hook)."""
 
     def pushFilters(self, filters):
         self.pushed_where: list[str] = []
         columns = {f.name for f in self.schema.fields}
         for f in filters:
             frag = _filter_to_soql(f, columns)
-            if frag is None:
-                yield f  # unsupported -> Spark evaluates post-scan
-            else:
-                self.pushed_where.append(frag)
+            if frag is not None:
+                self.pushed_where.append(frag)  # server-side pruning only
+            yield f  # ALWAYS re-checked by Spark on the coerced values
 
 
 class SocrataDataSource(DataSource):

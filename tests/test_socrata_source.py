@@ -310,6 +310,85 @@ def test_pushdown_combines_with_where_option(spark, soda_server):
         spark.conf.unset("spark.sql.python.filterPushdown.enabled")
 
 
+def test_total_rows_snapshot_bounds_the_scan(spark, soda_server):
+    """total_rows is documented as a fixed-size snapshot plan (ADVICE
+    r8): tail paging must be disabled and the last page's $limit
+    clamped, so exactly total_rows rows are read even though the
+    server holds more."""
+    srv, endpoint = soda_server
+    df = _read(spark, endpoint, page_size=4, total_rows=10)
+    assert df.rdd.getNumPartitions() == 3  # ceil(10/4) fixed pages, no tail
+    assert sorted(r.id for r in df.collect()) == list(range(10))
+    page_hits = [
+        urllib.parse.unquote_plus(h) for h in srv.state["hits"] if "$offset" in urllib.parse.unquote(h)
+    ]
+    assert len(page_hits) == 3  # no page-until-short tail requests
+    assert any("$limit=2" in h and "$offset=8" in h for h in page_hits)
+
+
+def test_total_rows_zero_reads_nothing(spark, soda_server):
+    srv, endpoint = soda_server
+    df = _read(spark, endpoint, page_size=5, total_rows=0)
+    assert df.collect() == []
+    # neither a COUNT probe nor any page request was needed
+    assert srv.state["hits"] == []
+
+
+def test_pushdown_yields_every_filter_back_to_spark():
+    """Pushdown must be a pure optimization (ADVICE r8): supported
+    predicates compile into $where for server-side pruning, but ALL
+    filters — supported or not — return to Spark for re-evaluation on
+    the coerced values."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+    from pyspark.sql.types import StructType
+
+    from chicago_crash_data_pipeline_dashboard_spark.sources.socrata_source import (
+        _PushdownPageReader,
+    )
+
+    schema = StructType.fromDDL(SCHEMA)
+    reader = _PushdownPageReader(
+        schema, {"endpoint": "http://127.0.0.1:9/x.json", "order": "id"}
+    )
+    pushable = GreaterThan(("id",), 19)
+    unsupported = EqualTo(("zz",), 1)  # undeclared column
+    returned = list(reader.pushFilters([pushable, unsupported]))
+    assert returned == [pushable, unsupported]
+    assert reader.pushed_where == ["(id > 19)"]
+
+
+def test_startswith_wildcard_prefix_not_pushed():
+    """A LIKE wildcard inside the startswith prefix would match a
+    superset server-side (ADVICE r8) — the filter must stay in Spark."""
+    from pyspark.sql.datasource import StringStartsWith
+
+    from chicago_crash_data_pipeline_dashboard_spark.sources.socrata_source import (
+        _filter_to_soql,
+    )
+
+    cols = {"a"}
+    assert _filter_to_soql(StringStartsWith(("a",), "100%"), cols) is None
+    assert _filter_to_soql(StringStartsWith(("a",), "a_b"), cols) is None
+    assert _filter_to_soql(StringStartsWith(("a",), "plain"), cols) == "(a like 'plain%')"
+
+
+def test_nonfinite_float_literal_not_pushed():
+    """repr(nan/inf) is invalid SoQL → non-retryable 400 (ADVICE r8);
+    the literal must render as None so the predicate stays in Spark."""
+    from pyspark.sql.datasource import GreaterThan
+
+    from chicago_crash_data_pipeline_dashboard_spark.sources.socrata_source import (
+        _filter_to_soql,
+        _soql_literal,
+    )
+
+    assert _soql_literal(float("nan")) is None
+    assert _soql_literal(float("inf")) is None
+    assert _soql_literal(float("-inf")) is None
+    assert _soql_literal(1.5) == "1.5"
+    assert _filter_to_soql(GreaterThan(("a",), float("nan")), {"a"}) is None
+
+
 def test_soql_filter_rendering():
     import datetime as dt
 
