@@ -581,6 +581,92 @@ def json_malformed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "socrata_paged_scan",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_acctbal > 0 AND s_suppkey > 10
+    """,
+    doc="End-to-end gate for the Socrata DataSource (S1/S2) over real "
+    "HTTP: a loopback SODA server (sources/soda_fixture.py) serves the "
+    "supplier table in SODA's stringly JSON, and the scan goes through "
+    "spark.read.format('socrata') with (a) a page size forcing several "
+    "partitions — the COUNT probe plans one InputPartition per page, "
+    "asserted in-gate against the closed-form page count, (b) one "
+    "scripted 429+Retry-After the in-task backoff must absorb, (c) the "
+    "'where' option (s_acctbal > 0) AND a DataFrame .filter pushed via "
+    "pushFilters (s_suppkey > 10), both of which the probe and every "
+    "page request carry as $where, and (d) schema-driven coercion of "
+    "the stringly cells back to long/string/double. The oracle is "
+    "plain SQL over the same parquet the fixture rows came from, so "
+    "paging, pushdown, retry and coercion must all compose losslessly. "
+    "Reference parity: extractor/main.go:716-779 (serial paged scan -> "
+    "partition-parallel pages), 291-336 (retry/backoff), 202-222 "
+    "($where build). At 100 TB the pages fetch concurrently across "
+    "executors; no page ever materializes on the driver.",
+)
+def socrata_paged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.soda_fixture import LoopbackSoda
+    from ..sources.socrata_source import SocrataDataSource
+
+    sup = load(spark, sf_dir, "supplier")
+    fixture_rows = [
+        {
+            "s_suppkey": r.s_suppkey,
+            "s_name": r.s_name,
+            "s_acctbal": r.s_acctbal,
+        }
+        # bounded fixture: supplier is the small TPC-H dim (1e4 rows/SF);
+        # the collect builds the SERVER, not the scan result
+        for r in sup.select("s_suppkey", "s_name", "s_acctbal").collect()
+    ]
+    expected = [
+        r for r in fixture_rows if r["s_acctbal"] > 0 and r["s_suppkey"] > 10
+    ]
+    page_size = max(7, -(-len(fixture_rows) // 8))  # ~8 pages at any SF
+    n_pages = max(-(-len(expected) // page_size), 1)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.dataSource.register(SocrataDataSource)
+    soda = LoopbackSoda(fixture_rows, fail_first=1, fail_status=429)
+    with soda as endpoint:
+        try:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+            df = (
+                spark.read.format("socrata")
+                .option("endpoint", endpoint)
+                .option("schema", "s_suppkey long, s_name string, s_acctbal double")
+                .option("order", "s_suppkey")
+                .option("select", "s_suppkey, s_name, s_acctbal")
+                .option("where", "s_acctbal > 0")
+                .option("page_size", page_size)
+                .option("backoff_s", 0.01)
+                .option("filter_pushdown", "true")
+                .load()
+                .filter(F.col("s_suppkey") > 10)
+            )
+            got_parts = df.rdd.getNumPartitions()
+            if got_parts != n_pages:  # the probe must have seen BOTH filters
+                raise AssertionError(
+                    f"expected {n_pages} page partitions, planned {got_parts}"
+                )
+            out = _materialize(spark, df)
+            # the scan must have issued the scripted-429 request, its
+            # retry, at least one COUNT probe, and one GET per page —
+            # fewer hits means the retry/paging path was bypassed
+            if len(soda.hits) < n_pages + 2:
+                raise AssertionError(
+                    f"expected >= {n_pages + 2} SODA requests "
+                    f"(429 + retried probe + {n_pages} pages), saw {len(soda.hits)}"
+                )
+            return out
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+            else:
+                spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+@register(
     "partition_overwrite_dynamic",
     oracle="""
     SELECT event_type,

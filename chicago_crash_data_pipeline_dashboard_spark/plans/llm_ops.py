@@ -914,6 +914,26 @@ _ANN_CLONE_GATE_ORACLE = f"""
 _IVF_CLONE_OFFSET = 2_000_000
 
 
+def _clone_queries(corpus: DataFrame, queries: DataFrame, offset: int) -> DataFrame:
+    """One exact duplicate of every query vector under id
+    ``query_id + offset`` — the planted ground truth of the ANN gates.
+
+    Guards that the offset actually clears the corpus id space (ADVICE
+    r7): on a larger fixture a clone id colliding with a real vec_id
+    would SILENTLY corrupt the recall gates (a "planted hit" could be a
+    real corpus vector). The max-id probe is one tiny agg job; failing
+    loudly here beats a quietly meaningless green row."""
+    max_id = corpus.agg(F.max("vec_id").alias("m")).first()["m"]
+    if max_id is not None and max_id >= offset:
+        raise AssertionError(
+            f"planted-clone offset {offset} collides with the corpus "
+            f"vec_id space (max vec_id = {max_id}); raise the offset"
+        )
+    return queries.select(
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"), "embedding"
+    )
+
+
 def _ann_recall_gate(
     approx: DataFrame, exact: DataFrame, clone_offset: int | None = None
 ) -> DataFrame:
@@ -988,7 +1008,13 @@ def _lsh_topk_oracle(k: int, n_planes: int) -> str:
     sig = _lsh_sig_sql("embedding", n_planes, _DIM)
     probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)])
     return f"""
-    WITH sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL  -- the planted clones, exactly as the Spark gate unions them
+      SELECT vec_id + {_IVF_CLONE_OFFSET}, embedding
+      FROM embeddings WHERE vec_id < {_NQ}
+    ),
+    sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM corpus),
     q AS (SELECT vec_id AS query_id, embedding AS qvec,
                  unnest([{probes}]) AS bucket2
           FROM sig WHERE vec_id < {_NQ}),
@@ -1015,12 +1041,22 @@ def _lsh_topk_oracle(k: int, n_planes: int) -> str:
     "bucketing (4 hyperplanes → 16 buckets) with Hamming-1 multi-probe, "
     "exact in-bucket cosine rerank. Corpus bucketed in one narrow map; "
     "queries broadcast — the IVF-style 100 TB scale path. The oracle "
-    "inlines the same hyperplane literals.",
+    "inlines the same hyperplane literals. Clone-hardened (r9, queued "
+    "since r7): every query vector is planted into the corpus under an "
+    "offset id — an exact duplicate signs into the query's OWN bucket "
+    "(Hamming-0 probe) with cosine 1.0, so it must surface at rank 1 "
+    "for every query under the bit-exact hash oracle, which unions the "
+    "identical clones; a multi-probe or bucketing bug that drops the "
+    "query's own bucket now fails the hash, not just recall.",
 )
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ)
+    aug = e.select("vec_id", "embedding").unionByName(
+        _clone_queries(e, q, _IVF_CLONE_OFFSET)
+    )
     return SIM.lsh_topk(
-        e, e.filter(F.col("vec_id") < _NQ),
+        aug, q,
         id_col="vec_id", vec_col="embedding", k=5, n_planes=4, dim=_DIM, seed=42,
     )
 
@@ -1166,10 +1202,7 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") < _NQ)
-    clones = q.select(
-        (F.col("vec_id") + F.lit(_IVF_CLONE_OFFSET)).alias("vec_id"), "embedding"
-    )
-    aug = e.unionByName(clones)
+    aug = e.unionByName(_clone_queries(e, q, _IVF_CLONE_OFFSET))
     approx = SIM.ivf_topk(
         aug, q, id_col="vec_id", vec_col="embedding", k=5, n_clusters=16, n_probe=4, seed=42,
     )
@@ -1196,10 +1229,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_ivf_largek(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") < _NQ)
-    clones = q.select(
-        (F.col("vec_id") + F.lit(_IVF_CLONE_OFFSET)).alias("vec_id"), "embedding"
-    )
-    aug = e.unionByName(clones)
+    aug = e.unionByName(_clone_queries(e, q, _IVF_CLONE_OFFSET))
     approx = SIM.ivf_topk(
         aug, q, id_col="vec_id", vec_col="embedding", k=5,
         n_clusters=64, n_probe=16, seed=42, assignment="batched",

@@ -922,3 +922,28 @@ def test_quantizer_ops_reject_empty_corpus(spark):
         DD.semantic_dedup(empty, "vec_id", "embedding")
     with pytest.raises(ValueError, match="empty corpus"):
         SIM.pq_topk(empty, empty, k=3, dim=8, m=4)
+
+
+def test_clone_offset_guard_rejects_colliding_corpus(spark):
+    """The planted-clone gates must fail LOUDLY when the corpus id
+    space reaches the clone offset (ADVICE r7): a collision would let
+    a real corpus vector masquerade as a planted hit and silently
+    corrupt the recall gate."""
+    from chicago_crash_data_pipeline_dashboard_spark.plans.llm_ops import (
+        _IVF_CLONE_OFFSET,
+        _clone_queries,
+    )
+
+    clean = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (7, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    q = clean.filter("vec_id = 0")
+    clones = _clone_queries(clean, q, _IVF_CLONE_OFFSET)
+    assert [r.vec_id for r in clones.collect()] == [_IVF_CLONE_OFFSET]
+
+    colliding = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (_IVF_CLONE_OFFSET + 5, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(AssertionError, match="collides"):
+        _clone_queries(colliding, colliding.filter("vec_id = 0"), _IVF_CLONE_OFFSET)
