@@ -36,73 +36,27 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first (r7): the 41 queries benched in r6 rotate back in so
-# their green rows don't go stale (COVERAGE.md rotation plan) — except
-# time_features, deferred one round (green r5 = exactly two rounds old
-# at r7's close, the staleness bound; its date functions are untouched
-# since r2) to make room for the r7-changed set. Plus the 5 late-r6
-# registrations (never driver-verified — the r6 VERDICT's top item),
-# every query whose code/oracle changed in r7, and the one new
-# registration. Benched (rotated out): the r6-verified set — green r6,
-# unchanged in r7.
+# Sampled first (r10, executing the r8/r9-overdue rotation —
+# COVERAGE.md §"Driver-sample rotation"): the one never-verified r9
+# registration (socrata_paged_scan), the two four-rounds-stale
+# deferrals (time_features / whitelist_recode, last green r5), the
+# three queries whose code/oracle changed in r9 (emb_lsh_topk clone
+# gate, emb_ivf_topk / emb_ivf_largek clone-offset guard), and the 44
+# remaining r6-green benched queries rotating back in. Benched
+# (rotated out): the r8-verified set — green r8, unchanged since —
+# which hits the two-round staleness bound at r10's close and MUST
+# rotate back in in r11.
 _VERIFY_FIRST = [
-    # --- benched r6, rotating back in (last green r5) ---
-    "eda_day_labels",
-    "run_history",
-    "value_counts_topk",
-    "unpivot_daily_events",
-    "hash_sample_stats",
-    "dedup_keep_first",
-    "price_bins",
-    "order_key_setops",
-    "semi_join_discounted",
-    "null_profile",
-    "corr_stats",
-    "crash_hit_run_rate_by_weather",
-    "doc_lang_confusion",
-    "doc_text_stats",
-    "doc_min_shingle_fp",
-    "doc_exact_dup_stats",
-    "doc_dedup_exact_by_source",  # also exercises the r7 dedup_exact window rewrite
-    "doc_simhash",
-    "emb_knn_brute",
-    "pivot_hour_dow",
-    "rate_by_priority",
-    "running_customer_revenue",
-    "sliding_event_counts",
-    "event_error_click_window",
-    "event_asof_last_click",
-    "event_sessions",
-    "event_zorder_keys",
-    "anti_join_new_keys",
-    "topk_orders_by_revenue",
-    "quantiles",
-    "revenue_rollup",
-    "approx_sketch_stats",
-    "customer_orders_wide",
-    "doc_repetition_stats",
-    "media_frame_plan",
-    "binary_file_ingest",
-    "emb_ivf_topk",  # also changed r7: planted-clone gate + ivf_index assignment param
-    "media_feature_stats",
-    "pipeline_e2e",
-    # --- never driver-verified (registered late in r6; r6 VERDICT item 1) ---
-    "value_counts_approx_topk",
-    "emb_pq_pruned",
-    "event_sessions_native",
-    "event_props_variant",
-    "event_sessions_native_stream",
-    # --- changed in r7: must (re-)earn a green row this round ---
-    "doc_curation_pipeline",  # r7: + packing stage; oracle NULL-text semantics fix
-    "doc_jaccard_pairs",  # r7: ngram_jaccard_pairs max_bucket now opt-in (gate passes 1000)
-    "doc_dup_clusters",  # r7: same operator-signature change on its pair path
-    "emb_semantic_dedup",  # r7: max_cluster now opt-in (gate passes explicit cap)
-    "emb_ivf_pruned",  # r7: ivf_topk_indexed collect-once rewrite (cache-leak fix)
-    # --- new in r7 ---
-    "emb_ivf_largek",  # Arrow-batched large-k IVF assignment under the clone gate
-]
-_ROTATION_BENCHED = [
-    # --- r6-verified (green r6, unchanged in r7) ---
+    # --- new in r9, never driver-verified (the r9 VERDICT's top item) ---
+    "socrata_paged_scan",
+    # --- deferred since r7, last green r5 — four rounds stale ---
+    "time_features",
+    "whitelist_recode",
+    # --- changed in r9: must (re-)earn a green row this round ---
+    "emb_lsh_topk",  # r9: planted-clone recall hardening (llm_ops.py)
+    "emb_ivf_topk",  # r9: _clone_queries max-id collision guard
+    "emb_ivf_largek",  # r9: same guard on the Arrow-batched path
+    # --- benched since r7, last green r6 — rotating back in ---
     "crash_model_eval",
     "event_windowed_counts_stream",
     "jobspec_extract",
@@ -132,12 +86,11 @@ _ROTATION_BENCHED = [
     "doc_quality_regression",
     "crash_rule_eval",
     "doc_training_pipeline",
-    "pricing_summary",  # still smoke-checked every round via entry()
+    "pricing_summary",
     "order_profile",
     "revenue_by_nation",
     "doc_tfidf_cosine_pairs",
     "emb_near_dup_pairs",
-    "emb_lsh_topk",
     "streaming_ingest_e2e",
     "event_sessions_stream",
     "event_first_seen_stream",
@@ -148,12 +101,59 @@ _ROTATION_BENCHED = [
     "doc_strip_boilerplate",
     "sql_adhoc_query",
     "doc_simhash_hamming",
-    # --- deferred ONE round to fit the r7-changed set (green r5 =
-    # exactly two rounds old at r7's close — the staleness bound;
-    # MUST sample in r8; both are pure-function gates whose operators
-    # are untouched since r2) ---
-    "time_features",
-    "whitelist_recode",
+]
+_ROTATION_BENCHED = [
+    # --- r8-verified (green r8, unchanged in r9/r10); exactly two
+    # rounds back at r10's close — the staleness bound; MUST rotate
+    # back into the sample in r11 ---
+    "eda_day_labels",
+    "run_history",
+    "value_counts_topk",
+    "unpivot_daily_events",
+    "hash_sample_stats",
+    "dedup_keep_first",
+    "price_bins",
+    "order_key_setops",
+    "semi_join_discounted",
+    "null_profile",
+    "corr_stats",
+    "crash_hit_run_rate_by_weather",
+    "doc_lang_confusion",
+    "doc_text_stats",
+    "doc_min_shingle_fp",
+    "doc_exact_dup_stats",
+    "doc_dedup_exact_by_source",
+    "doc_simhash",
+    "emb_knn_brute",
+    "pivot_hour_dow",
+    "rate_by_priority",
+    "running_customer_revenue",
+    "sliding_event_counts",
+    "event_error_click_window",
+    "event_asof_last_click",
+    "event_sessions",
+    "event_zorder_keys",
+    "anti_join_new_keys",
+    "topk_orders_by_revenue",
+    "quantiles",
+    "revenue_rollup",
+    "approx_sketch_stats",
+    "customer_orders_wide",
+    "doc_repetition_stats",
+    "media_frame_plan",
+    "binary_file_ingest",
+    "media_feature_stats",
+    "pipeline_e2e",
+    "value_counts_approx_topk",
+    "emb_pq_pruned",
+    "event_sessions_native",
+    "event_props_variant",
+    "event_sessions_native_stream",
+    "doc_curation_pipeline",
+    "doc_jaccard_pairs",
+    "doc_dup_clusters",
+    "emb_semantic_dedup",
+    "emb_ivf_pruned",
 ]
 
 

@@ -60,6 +60,7 @@ except ImportError:
 SKIP = {
     "pipeline_e2e",
     "compact_small_files",
+    "socrata_paged_scan",  # loopback-HTTP fixture round-trip — an ingest/IO gate, not query latency (VERDICT r9 item 3)
     "emb_ivf_pruned",
     "emb_pq_pruned",
     "orc_roundtrip_stats",
@@ -148,7 +149,11 @@ def main() -> None:
                 # contended-host suspicion: one more pass, best median wins
                 retry = _time_query(spec)
                 retried[name] = [round(med, 4), round(statistics.median(retry), 4)]
-                med = min(med, statistics.median(retry))
+                if statistics.median(retry) < med:
+                    # keep `samples` consistent with the PUBLISHED median
+                    # so per-query notes (doc_decontaminate) never show
+                    # samples from a pass whose median was discarded
+                    med, samples = statistics.median(retry), retry
             timings[name] = round(med, 4)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]

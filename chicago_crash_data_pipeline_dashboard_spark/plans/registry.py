@@ -52,7 +52,12 @@ _REBALANCE_TABLES = {"documents"}
 # (parquet path, mtime_ns, size, target parallelism) -> needs-repartition
 # verdict. mtime/size key the cache to the FILE CONTENT, so a path
 # rewritten mid-session (tests, compaction) re-probes instead of keeping
-# a stale verdict.
+# a stale verdict. FIFO-bounded: a long-lived driver session touching
+# many temp paths (tests rewrite fixtures constantly) must not grow the
+# dict without limit — dead keys for deleted files would otherwise
+# accumulate forever. Re-probing an evicted live key costs only the
+# ~0.1 s planning probe.
+_REBALANCE_DECISION_MAX = 256
 _REBALANCE_DECISION: dict[tuple[str, int, int, int], bool] = {}
 
 
@@ -128,6 +133,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             mtime_ns, size = 0, 0
         key = (path, mtime_ns, size, target)
         if key not in _REBALANCE_DECISION:
+            while len(_REBALANCE_DECISION) >= _REBALANCE_DECISION_MAX:
+                _REBALANCE_DECISION.pop(next(iter(_REBALANCE_DECISION)))
             _REBALANCE_DECISION[key] = df.rdd.getNumPartitions() < target
         if _REBALANCE_DECISION[key]:
             df = df.repartition(target)

@@ -54,15 +54,22 @@ reader implements ``DataSourceReader.pushFilters``, so a DataFrame
 ``.filter()`` over declared columns compiles into the SoQL ``$where``
 (AND-combined with any ``where`` option) — the server prunes rows
 before they cross the wire, and the COUNT probe sees the pushed
-filter so the partition plan shrinks too. Pushdown here is a PURE
-OPTIMIZATION: every filter — supported or not — is yielded back to
-Spark, which re-evaluates it on the coerced values post-scan. That
-matters because the scan is schema-on-read with lossy coercion (the
-server's native SODA column types can disagree with the declared
-schema — Socrata columns are frequently text), so a server-evaluated
-predicate may match a different row set than Spark's post-coercion
-one; re-applying guarantees the declared-type semantics win and
-results never change when pushdown is toggled. Spark requires
+filter so the partition plan shrinks too. Every filter — supported or
+not — is yielded back to Spark, which re-evaluates it on the coerced
+values post-scan. That matters because the scan is schema-on-read
+with lossy coercion (the server's native SODA column types can
+disagree with the declared schema — Socrata columns are frequently
+text), so a server-evaluated predicate may match a different row set
+than Spark's post-coercion one. Re-applying guarantees pushdown can
+only WIDEN, never narrow, what Spark re-filters — when server and
+declared types agree, toggling pushdown never changes results. When
+they disagree, a server-evaluated ``$where`` can still PRUNE rows the
+coerced predicate would have kept (e.g. native-numeric 7.4 under a
+declared int column coerces to 7 and passes Spark's ``col = 7``, but
+the pushed ``(col = 7)`` excludes the row server-side — Spark cannot
+resurrect rows that never crossed the wire), or the server can reject
+the typed comparison with a loud 400. Declare schemas that match the
+dataset's native SODA types when enabling pushdown. Spark requires
 ``spark.sql.python.filterPushdown.enabled=true`` when the hook is
 implemented, hence the opt-in option (parity:
 extractor/main.go:202-222 builds $where server-side the same way).
@@ -384,12 +391,16 @@ def _filter_to_soql(f: Filter, columns: set[str]) -> str | None:
 class _PushdownPageReader(_PageReader):
     """_PageReader + DataSourceReader.pushFilters: supported predicates
     compile into $where so the server prunes rows AND the COUNT probe
-    plans fewer pages. EVERY filter is yielded back to Spark (pushdown
-    is a pure optimization): the scan coerces SODA's schemaless JSON to
-    the declared types, and a predicate the server evaluated against
-    its own native column types can match a different row set than the
-    same predicate over the coerced values — Spark re-applying them
-    guarantees declared-type semantics. Selected via
+    plans fewer pages. EVERY filter is yielded back to Spark: the scan
+    coerces SODA's schemaless JSON to the declared types, and a
+    predicate the server evaluated against its own native column types
+    can match a different row set than the same predicate over the
+    coerced values — re-applying guarantees pushdown only ever WIDENS
+    what Spark re-filters. NOTE this fixes only the superset direction:
+    under a server/declared type disagreement the pushed $where can
+    prune rows the coerced predicate would keep (rows that never cross
+    the wire cannot be resurrected), so declared schemas should match
+    the dataset's native types when pushdown is on. Selected via
     option("filter_pushdown", "true"); requires
     spark.sql.python.filterPushdown.enabled=true (Spark fails loudly
     otherwise rather than silently skipping the hook)."""

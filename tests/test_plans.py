@@ -395,3 +395,27 @@ def test_ivf_index_at_rest_prunes_partitions(spark, sf_oracle, tmp_path):
 
     in_memory = SIM.ivf_topk(emb, q, k=5, n_clusters=16, n_probe=4, seed=42)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, in_memory.collect()))
+
+
+def test_rebalance_decision_cache_is_bounded(spark, sf_oracle):
+    """_REBALANCE_DECISION memoizes one bool per (path, mtime, size,
+    parallelism); tests and compaction rewrite fixture paths constantly,
+    so without a bound the dict accumulates dead keys for the life of
+    the driver. Filling it past the cap and loading a fresh key must
+    evict (FIFO) rather than grow (VERDICT r7 item 9)."""
+    from chicago_crash_data_pipeline_dashboard_spark.plans import registry
+
+    saved = dict(registry._REBALANCE_DECISION)
+    try:
+        registry._REBALANCE_DECISION.clear()
+        for i in range(registry._REBALANCE_DECISION_MAX):
+            registry._REBALANCE_DECISION[(f"/fake/path{i}", 0, 0, 8)] = False
+        oldest = next(iter(registry._REBALANCE_DECISION))
+        registry.load(spark, sf_oracle, "documents")  # inserts a real key
+        assert len(registry._REBALANCE_DECISION) <= registry._REBALANCE_DECISION_MAX
+        assert oldest not in registry._REBALANCE_DECISION  # FIFO evicted
+        real_key = [k for k in registry._REBALANCE_DECISION if "documents" in k[0]]
+        assert real_key, "the fresh probe verdict must be cached"
+    finally:
+        registry._REBALANCE_DECISION.clear()
+        registry._REBALANCE_DECISION.update(saved)
