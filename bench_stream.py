@@ -79,11 +79,26 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Decompose the ingest gate's number into per-drain fixed cost vs
+    # rows/s so the artifact explains itself (VERDICT r7 item 7: the
+    # ~16 s streaming_ingest_e2e reading is dominated by three
+    # stream start/stops + checkpoint IO, not by data volume)
+    notes: dict[str, dict] = {}
+    try:
+        from chicago_crash_data_pipeline_dashboard_spark.plans.crash_ops import (
+            streaming_ingest_throughput_probe,
+        )
+
+        notes["ingest_throughput"] = streaming_ingest_throughput_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — harness boundary
+        notes["ingest_throughput"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     out = {
         "metric": "stream_total_median_query_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "notes": notes,
         "sf": sf,
         "runs": RUNS,
         "n_queries": len(timings),

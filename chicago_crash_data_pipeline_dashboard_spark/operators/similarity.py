@@ -413,6 +413,7 @@ def write_ivf_index(
     n_clusters: int = 16,
     seed: int = 42,
     train_sample: int = 65536,
+    assignment: str = "auto",
 ) -> list[list[float]]:
     """Materialize the IVF inverted file AT REST: the cluster-assigned
     corpus written as parquet ``partitionBy("_cluster")``, plus the
@@ -420,10 +421,21 @@ def write_ivf_index(
     parquet discovery skips it like ``_SUCCESS``). Partition pruning IS
     the inverted file — a probe reads only its clusters' directories,
     so at 100 TB an n_probe/n_clusters probe touches that fraction of
-    the corpus bytes instead of all of them."""
+    the corpus bytes instead of all of them.
+
+    ``assignment`` picks the nearest-centroid map (see ``ivf_index``):
+    ``"auto"`` (default) routes through the Arrow-batched numpy path
+    above 32 clusters — a production index sizes n_clusters ≈ √N,
+    where the HOF plan-literal form hits minutes of codegen compile
+    (the 1M × 1000-cluster probe, COVERAGE.md) — and keeps the
+    pure-JVM HOF below it."""
     import json
 
-    assigned, centroids = ivf_index(corpus, id_col, vec_col, n_clusters, seed, train_sample)
+    if assignment == "auto":
+        assignment = "batched" if n_clusters > 32 else "hof"
+    assigned, centroids = ivf_index(
+        corpus, id_col, vec_col, n_clusters, seed, train_sample, assignment=assignment
+    )
     assigned.write.partitionBy("_cluster").mode("overwrite").parquet(path)
     cents = [[float(x) for x in c] for c in centroids]
     corpus.sparkSession.createDataFrame(

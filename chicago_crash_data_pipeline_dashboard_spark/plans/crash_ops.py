@@ -524,3 +524,85 @@ def streaming_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame([row], out_schema)
+
+
+def streaming_ingest_throughput_probe(spark: SparkSession, sf_dir: str) -> dict:
+    """Decompose the ingest gate's wall-clock into per-drain fixed cost
+    vs data-proportional cost (VERDICT r7 item 7: ``streaming_ingest_e2e``'s
+    ~16 s was unexplained as fixed-cost vs rows/s).
+
+    Three measured points over the SAME machinery the gate exercises
+    (``stream_bronze_to_gold``, availableNow):
+
+    - ``drain_rows_sec``: drain #1 over freshly-written bronze — one
+      micro-batch carrying every row (fixed + variable).
+    - ``drain_zero_sec``: drain #2 with no new files — ZERO batches, so
+      this is the pure per-drain fixed cost (stream start/stop, file-
+      source listing, checkpoint read/commit).
+    - ``rows_per_sec`` = rows / (drain_rows_sec - drain_zero_sec): the
+      data-proportional ingest rate through clean -> PK upsert ->
+      watermark advance.
+
+    Not a registered query (no DataFrame result, no oracle): it is a
+    bench instrument, published under BENCH_STREAM_r{N} notes. The
+    rate scales with partition parallelism on a real cluster — the
+    foreachBatch body is the same distributed clean/upsert plan the
+    batch twins measure — while the fixed cost is per-trigger and
+    amortizes to zero as batches grow."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from ..sources.bronze import write_bronze
+    from ..streaming.ingest import stream_bronze_to_gold
+
+    bronze_src = synth_bronze_spark(spark, sf_dir)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in bronze_src.columns]
+    )
+    tmp = tempfile.mkdtemp(prefix="ccpd_ingest_probe_")
+    try:
+        # unmeasured warm-up: the FIRST stream start in a session pays
+        # a multi-second one-time cost (streaming engine + foreachBatch
+        # Python plumbing) that belongs to neither bucket — absorb it
+        # on a 1-row throwaway pipeline so the measured drains see only
+        # steady-state costs
+        warm = dict(
+            spark=spark, bronze_dir=f"{tmp}/warm_bronze", alias="crashes",
+            schema=schema, gold_path=f"{tmp}/warm_gold",
+            checkpoint_dir=f"{tmp}/warm_ckpt", watermark_path=f"{tmp}/warm_wm.json",
+        )
+        write_bronze(bronze_src.limit(1), f"{tmp}/warm_bronze", "crashes",
+                     corr="warm", year_col="crash_date", fmt="json")
+        stream_bronze_to_gold(mode="streaming", **warm)
+
+        args = dict(
+            spark=spark, bronze_dir=f"{tmp}/bronze", alias="crashes",
+            schema=schema, gold_path=f"{tmp}/gold",
+            checkpoint_dir=f"{tmp}/ckpt", watermark_path=f"{tmp}/wm.json",
+        )
+        write_bronze(bronze_src, f"{tmp}/bronze", "crashes", corr="probe",
+                     year_col="crash_date", fmt="json")
+        t0 = _time.perf_counter()
+        stats = stream_bronze_to_gold(mode="streaming", **args)
+        drain_rows_sec = _time.perf_counter() - t0
+        rows = sum(s["inserted"] for s in stats)
+
+        t0 = _time.perf_counter()
+        stats_zero = stream_bronze_to_gold(mode="streaming", **args)
+        drain_zero_sec = _time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    variable_sec = max(drain_rows_sec - drain_zero_sec, 1e-9)
+    return {
+        "rows": int(rows),
+        "n_batches": len(stats),
+        "drain_rows_sec": round(drain_rows_sec, 4),
+        "drain_zero_sec": round(drain_zero_sec, 4),
+        "zero_batch_drains": len(stats_zero) == 0,
+        "variable_sec": round(variable_sec, 4),
+        "rows_per_sec": round(rows / variable_sec, 1),
+    }

@@ -223,3 +223,20 @@ def test_native_session_window_stream_emits_at_exact_watermark(spark, tmp_path):
         "ccpd_t_sess_past",
     )
     assert past == [("a", 1)]
+
+
+def test_ingest_throughput_probe_decomposes(spark, sf_smoke):
+    """The bench instrument (BENCH_STREAM notes) must measure what it
+    claims: a rows-carrying drain, a genuinely zero-batch second drain,
+    and a positive data-proportional rate derived from their gap."""
+    from chicago_crash_data_pipeline_dashboard_spark.plans.crash_ops import (
+        streaming_ingest_throughput_probe,
+    )
+
+    p = streaming_ingest_throughput_probe(spark, sf_smoke)
+    assert p["rows"] > 0 and p["n_batches"] >= 1
+    assert p["zero_batch_drains"] is True
+    assert p["drain_rows_sec"] > 0 and p["drain_zero_sec"] > 0
+    assert p["rows_per_sec"] > 0
+    # 1e-4 = the artifact's 4-decimal rounding granularity
+    assert abs(p["variable_sec"] - max(p["drain_rows_sec"] - p["drain_zero_sec"], 1e-9)) < 2e-4
