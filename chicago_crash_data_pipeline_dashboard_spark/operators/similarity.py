@@ -144,6 +144,14 @@ def lsh_topk(
     return _topk_by_cos(scored, k)
 
 
+# Above this cluster count, Lloyd assignment routes through the chunked
+# float32 sgemm (see _fit_quantizer); at or below it, the per-center
+# float64 fill that is bit-identical to the naive reference. All gate
+# quantizers (k <= 64) stay on the exact-legacy path.
+_LLOYD_MATMUL_MIN_K = 65
+_LLOYD_CHUNK = 8192
+
+
 def _fit_quantizer(sample, n_clusters: int, seed: int, max_iter: int = 20):
     """Seeded Lloyd k-means on a driver-side numpy sample (k-means++
     init). The coarse quantizer of an IVF index is ALWAYS trained on a
@@ -160,7 +168,20 @@ def _fit_quantizer(sample, n_clusters: int, seed: int, max_iter: int = 20):
     compute the identical per-center expression ``((x − c)²).sum(-1)``,
     so every float — and therefore every seeded pick and final centroid
     — is BIT-IDENTICAL to the naive form (pinned by a regression test
-    against the reference implementation)."""
+    against the reference implementation).
+
+    Above ``_LLOYD_MATMUL_MIN_K`` clusters (production IVF sizes
+    k ≈ √N — the gates never exceed 64) the per-center Lloyd fill is
+    O(k·n·d) of strided numpy with no BLAS, which the r10 1M-vector
+    probe measured at ~50 s PER ITERATION at k=1000/n=65536 (444 s to
+    train). There assignment switches to a chunked float32 sgemm over
+    the rank-equal form ``argmin_j ‖c_j‖² − 2·x·c_j`` (~0.3 s per
+    iteration, ~170× — this host's OpenBLAS runs one big dgemm at
+    ~1 GFLOP/s but chunked sgemm at ~28 GFLOP/s, hence chunk + f32;
+    FAISS likewise trains its coarse quantizer in float32). Mean
+    updates and the convergence test stay float64; only the argmin is
+    f32, which on clustered data selects the same centers — the two
+    paths are agreement-tested on separated data, not bit-for-bit."""
     import numpy as np
 
     x = np.asarray(sample, dtype=np.float64)
@@ -179,11 +200,23 @@ def _fit_quantizer(sample, n_clusters: int, seed: int, max_iter: int = 20):
         centers.append(x[rng.choice(len(x), p=probs)])
         d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(-1))
     c = np.asarray(centers)
-    dists = np.empty((len(x), n_clusters))
+    use_matmul = n_clusters >= _LLOYD_MATMUL_MIN_K
+    x32 = x.astype(np.float32) if use_matmul else None
+    dists = None if use_matmul else np.empty((len(x), n_clusters))
     for _ in range(max_iter):
-        for j in range(n_clusters):
-            dists[:, j] = ((x - c[j]) ** 2).sum(-1)
-        assign = dists.argmin(axis=1)
+        if use_matmul:
+            c32 = c.astype(np.float32)
+            c_sq = (c32 * c32).sum(axis=1)
+            assign = np.empty(len(x), dtype=np.int64)
+            for i in range(0, len(x), _LLOYD_CHUNK):
+                blk = x32[i : i + _LLOYD_CHUNK]
+                assign[i : i + _LLOYD_CHUNK] = (
+                    c_sq[None, :] - 2.0 * (blk @ c32.T)
+                ).argmin(axis=1)
+        else:
+            for j in range(n_clusters):
+                dists[:, j] = ((x - c[j]) ** 2).sum(-1)
+            assign = dists.argmin(axis=1)
         new_c = np.array(
             [x[assign == j].mean(axis=0) if (assign == j).any() else c[j] for j in range(n_clusters)]
         )
@@ -414,6 +447,7 @@ def write_ivf_index(
     seed: int = 42,
     train_sample: int = 65536,
     assignment: str = "auto",
+    files_per_cluster: int = 1,
 ) -> list[list[float]]:
     """Materialize the IVF inverted file AT REST: the cluster-assigned
     corpus written as parquet ``partitionBy("_cluster")``, plus the
@@ -425,10 +459,22 @@ def write_ivf_index(
 
     ``assignment`` picks the nearest-centroid map (see ``ivf_index``):
     ``"auto"`` (default) routes through the Arrow-batched numpy path
-    above 32 clusters — a production index sizes n_clusters ≈ √N,
-    where the HOF plan-literal form hits minutes of codegen compile
-    (the 1M × 1000-cluster probe, COVERAGE.md) — and keeps the
-    pure-JVM HOF below it."""
+    above 32 clusters — a production IVF sizes n_clusters ≈ √N, where
+    the HOF plan-literal form hits minutes of codegen compile (the
+    1M × 1000-cluster probe, COVERAGE.md) — and keeps the pure-JVM HOF
+    below it.
+
+    The write is cluster-aligned: rows repartition on ``_cluster`` (+ a
+    row-hash salt when ``files_per_cluster`` > 1) BEFORE
+    ``partitionBy``, so each cluster directory holds AT MOST
+    ``files_per_cluster`` files (hash collisions and AQE small-
+    partition coalescing can merge salt groups, never split them).
+    Without this, every write task emits a file into every cluster
+    directory it sees — tasks × clusters files (the r10 1M probe
+    measured 30,549 files for a 1000-cluster index, and every later
+    probe pays that listing). ``files_per_cluster`` > 1 is the skew
+    valve at scale: a hot cluster spreads across up to that many
+    writers/files."""
     import json
 
     if assignment == "auto":
@@ -436,6 +482,11 @@ def write_ivf_index(
     assigned, centroids = ivf_index(
         corpus, id_col, vec_col, n_clusters, seed, train_sample, assignment=assignment
     )
+    if files_per_cluster > 1:
+        salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(files_per_cluster))
+        assigned = assigned.repartition(F.col("_cluster"), salt)
+    else:
+        assigned = assigned.repartition(F.col("_cluster"))
     assigned.write.partitionBy("_cluster").mode("overwrite").parquet(path)
     cents = [[float(x) for x in c] for c in centroids]
     corpus.sparkSession.createDataFrame(

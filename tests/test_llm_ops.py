@@ -947,3 +947,32 @@ def test_clone_offset_guard_rejects_colliding_corpus(spark):
     )
     with pytest.raises(AssertionError, match="collides"):
         _clone_queries(colliding, colliding.filter("vec_id = 0"), _IVF_CLONE_OFFSET)
+
+
+def test_fit_quantizer_matmul_lloyd_agrees_with_percenter(monkeypatch):
+    """Above _LLOYD_MATMUL_MIN_K the Lloyd assignment runs as chunked
+    float32 sgemm (the r10 1M-probe fix: 444 s -> seconds to train at
+    k=1000). On separated data the f32 argmin picks the same centers
+    every iteration, so the final centroids — float64 means of
+    identical member sets — must match the per-center path exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    k, d = 80, 16
+    true_centers = rng.standard_normal((k, d)) * 10.0
+    sample = (
+        true_centers[np.repeat(np.arange(k), 12)]
+        + 0.05 * rng.standard_normal((k * 12, d))
+    ).tolist()
+
+    assert k >= SIM._LLOYD_MATMUL_MIN_K
+    got_matmul = SIM._fit_quantizer(sample, k, seed=42)
+    with monkeypatch.context() as m:
+        m.setattr(SIM, "_LLOYD_MATMUL_MIN_K", 10**9)
+        got_percenter = SIM._fit_quantizer(sample, k, seed=42)
+    assert np.array_equal(got_matmul, got_percenter)
+    # and small odd chunk sizes don't change the result either
+    with monkeypatch.context() as m:
+        m.setattr(SIM, "_LLOYD_CHUNK", 37)
+        got_chunked = SIM._fit_quantizer(sample, k, seed=42)
+    assert np.array_equal(got_matmul, got_chunked)

@@ -419,3 +419,26 @@ def test_rebalance_decision_cache_is_bounded(spark, sf_oracle):
     finally:
         registry._REBALANCE_DECISION.clear()
         registry._REBALANCE_DECISION.update(saved)
+
+
+def test_ivf_index_write_is_cluster_aligned(spark, sf_oracle, tmp_path):
+    """The at-rest write repartitions on _cluster first, so each cluster
+    directory holds at most files_per_cluster parquet files (AQE /
+    hash collisions may merge salt groups, never split them) — without
+    the alignment every write task emits a file per cluster it touches
+    (the r10 1M probe measured tasks x clusters = 30,549 files)."""
+    import glob
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    path = str(tmp_path / "ivf_aligned")
+    SIM.write_ivf_index(emb, path, n_clusters=8, seed=42)
+    for d in glob.glob(f"{path}/_cluster=*"):
+        n = len(glob.glob(f"{d}/*.parquet"))
+        assert n == 1, f"{d}: {n} files (want 1)"
+
+    path2 = str(tmp_path / "ivf_salted")
+    SIM.write_ivf_index(emb, path2, n_clusters=8, seed=42, files_per_cluster=2)
+    per_dir = [len(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{path2}/_cluster=*")]
+    assert per_dir and all(1 <= n <= 2 for n in per_dir), per_dir
