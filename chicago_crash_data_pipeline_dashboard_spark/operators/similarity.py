@@ -520,19 +520,58 @@ def ivf_topk_indexed(
     parquet scan shows ``PartitionFilters`` on ``_cluster`` and never
     lists the unprobed clusters' files. Scoring is the same broadcast
     exact-cosine rerank as the in-memory path — same inputs, same
-    results."""
+    results.
+
+    Above ``_LLOYD_MATMUL_MIN_K`` centroids the probe ids are computed
+    DRIVER-SIDE in numpy over the already-collected query rows: the
+    HOF form embeds the full centroid matrix as a plan constant and
+    array-sorts k structs per row, which the r10 1M probe measured at
+    1.9–5.2 s for 16 queries at k=1000 — pure query-side plan
+    overhead on a frame that is driver-bounded by contract anyway.
+    Same tie policy ((distance, cluster-id) ascending); agreement with
+    the HOF path is pinned on integer-valued vectors where both
+    compute bit-exact distances."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
     centroids = read_ivf_centroids(spark, path)
-    # The probed-query frame is consumed twice (probe-id collect, then
-    # scoring) and each evaluation re-derives the per-query centroid-
-    # distance fold. It is bounded by construction — queries are top-k
-    # REQUESTS (n_queries × n_probe rows), the same driver-side budget
-    # as the probe-id collect below — so collect it ONCE and rebuild a
-    # local relation: one computation, no persist to leak across a
-    # long-lived session (r6 persisted here and never unpersisted).
-    q_plan = _probed_queries(queries, centroids, id_col, vec_col, n_probe)
-    q_rows = q_plan.collect()
-    q = spark.createDataFrame(q_rows, q_plan.schema)
-    probed = sorted({r["_cluster"] for r in q_rows})
+    if len(centroids) >= _LLOYD_MATMUL_MIN_K:
+        # production-k path: numpy probe over the collected queries
+        c = np.asarray(centroids, dtype=np.float64)
+        rows = []
+        for r in queries.select(id_col, vec_col).collect():
+            v = r[vec_col]
+            if v is None:  # HOF explode drops NULL-vector queries too
+                continue
+            v64 = np.asarray(v, dtype=np.float64)
+            d2 = ((c - v64) ** 2).sum(-1)
+            order = np.lexsort((np.arange(len(c)), d2))[:n_probe]
+            qn = float(np.sqrt((v64 * v64).sum()))
+            rows.extend((r[id_col], v, qn, int(cl)) for cl in order)
+        q_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType, True),
+                T.StructField("qvec", queries.schema[vec_col].dataType, True),
+                T.StructField("qn", T.DoubleType(), True),
+                T.StructField("_cluster", T.IntegerType(), True),
+            ]
+        )
+        q = spark.createDataFrame(rows, q_schema)
+        probed = sorted({r[3] for r in rows})
+    else:
+        # The probed-query frame is consumed twice (probe-id collect,
+        # then scoring) and each evaluation re-derives the per-query
+        # centroid-distance fold. It is bounded by construction —
+        # queries are top-k REQUESTS (n_queries × n_probe rows), the
+        # same driver-side budget as the probe-id collect below — so
+        # collect it ONCE and rebuild a local relation: one
+        # computation, no persist to leak across a long-lived session
+        # (r6 persisted here and never unpersisted).
+        q_plan = _probed_queries(queries, centroids, id_col, vec_col, n_probe)
+        q_rows = q_plan.collect()
+        q = spark.createDataFrame(q_rows, q_plan.schema)
+        probed = sorted({r["_cluster"] for r in q_rows})
     assigned = spark.read.parquet(path).filter(F.col("_cluster").isin(probed))
     return _score_probed(assigned, q, k)
 

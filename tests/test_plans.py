@@ -442,3 +442,32 @@ def test_ivf_index_write_is_cluster_aligned(spark, sf_oracle, tmp_path):
     SIM.write_ivf_index(emb, path2, n_clusters=8, seed=42, files_per_cluster=2)
     per_dir = [len(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{path2}/_cluster=*")]
     assert per_dir and all(1 <= n <= 2 for n in per_dir), per_dir
+
+
+def test_ivf_indexed_driver_probe_agrees_with_hof(spark, tmp_path, monkeypatch):
+    """Above _LLOYD_MATMUL_MIN_K centroids the indexed probe computes
+    probe ids driver-side in numpy (the r10 1M probe measured the HOF
+    query-side plan at 1.9-5.2 s for 16 queries at k=1000). On
+    integer-valued vectors both paths compute bit-exact distances, so
+    results must match row-for-row."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randint(-8, 9, size=(240, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_bigk")
+    k_clusters = SIM._LLOYD_MATMUL_MIN_K  # smallest count on the numpy path
+    SIM.write_ivf_index(df, path, n_clusters=k_clusters, seed=42)
+    q = df.filter(F.col("vec_id") < 6)
+
+    fast = SIM.ivf_topk_indexed(spark, path, q, k=4, n_probe=8).collect()
+    with monkeypatch.context() as m:
+        m.setattr(SIM, "_LLOYD_MATMUL_MIN_K", 10**9)
+        slow = SIM.ivf_topk_indexed(spark, path, q, k=4, n_probe=8).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) == 6 * 4
