@@ -750,11 +750,74 @@ def _pq_adc_candidates(
     )
 
 
+def pq_codes_batched(
+    corpus: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode as an Arrow-batched numpy matmul — the LARGE-ks
+    alternative to the pure-HOF ``_pq_codes`` map, exactly mirroring
+    ``assign_clusters_batched``'s rationale for IVF: at the
+    FAISS-standard ks=256 the HOF encode (m × ks × sub work through
+    generated code per row, plus the compile of an m·ks·sub-constant
+    expression) measured 235 s over 1M × 64-d vectors in the r10 PQ
+    probe, where this path is dominated by the parquet write. Per
+    subspace: ``argmin_j ‖c_j‖² − 2·sv·c_j`` over the (ks × sub)
+    sub-codebook via one chunk-friendly f32 sgemm per Arrow batch,
+    lowest index on ties — same policy as ``array_position(array_min)``.
+    Vectors L2-normalize first (f64 norms, matching ``_unit``); NULL
+    vectors are rejected loudly like the HOF path's no-nearest-centroid
+    contract. Returns the same (neighbor_id, cvec, cn, codes) frame
+    shape as ``_pq_corpus_frames``."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebook, dtype=np.float32)  # m × ks × sub
+    m, ks, sub = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)  # m × ks
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    "pq_codes_batched: NULL vectors are not encodable — "
+                    "filter them out first (the HOF path rejects them "
+                    "the same way)"
+                )
+            vecs = np.stack(pdf[vec_col].map(np.asarray, na_action=None).values).astype(
+                np.float64
+            )
+            norms = np.sqrt((vecs * vecs).sum(axis=1))
+            unit = (vecs / np.where(norms == 0, 1.0, norms)[:, None]).astype(np.float32)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for mi in range(m):
+                sv = unit[:, mi * sub : (mi + 1) * sub]
+                codes[:, mi] = (cb_sq[mi][None, :] - 2.0 * (sv @ cb[mi].T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].values,
+                    "cvec": pdf[vec_col].values,
+                    "cn": norms,
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "neighbor_id long, cvec array<float>, cn double, codes array<int>"
+    )
+
+
 def _pq_corpus_frames(
     corpus: DataFrame, id_col: str, vec_col: str, codebook
 ) -> DataFrame:
     """(neighbor_id, cvec, cn, codes) — the encoded corpus frame shared
-    by the in-memory and at-rest PQ paths."""
+    by the in-memory and at-rest PQ paths. Routes through the
+    Arrow-batched encode at production sub-codebook sizes (same
+    threshold as the IVF Lloyd/probe split); gate-scale codebooks
+    (ks ≤ 64) keep the pure-JVM HOF encode."""
+    if len(codebook[0]) >= _LLOYD_MATMUL_MIN_K:
+        return pq_codes_batched(corpus, codebook, id_col, vec_col)
     return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -769,6 +832,50 @@ def _pq_query_frame(queries: DataFrame, id_col: str, vec_col: str, codebook) -> 
         F.col(vec_col).alias("qvec"),
         VX.norm(F.col(vec_col)).alias("qn"),
     ).withColumn("lut", _pq_lut(F.col("qvec"), codebook, norm_col=F.col("qn")))
+
+
+def _pq_query_frame_driver(
+    spark, queries: DataFrame, id_col: str, vec_col: str, codebook
+) -> DataFrame:
+    """Driver-side twin of ``_pq_query_frame`` for production codebook
+    sizes: the HOF LUT embeds the m × ks × sub codebook as a plan
+    constant whose generated code compiles once per session — at
+    ks=256 that compile dominated the r10 PQ probe's first run (62.5 s
+    vs 15.8 s warm). Queries are top-k REQUESTS, driver-bounded by the
+    same contract as the candidate collect, so compute the LUT in
+    numpy over the collected rows (exact f64 squared L2, same values
+    as the HOF fold up to summation order; NULL-vector queries drop,
+    matching the HOF explode)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cb = np.asarray(codebook, dtype=np.float64)  # m × ks × sub
+    m, ks, sub = cb.shape
+    rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        v = r[vec_col]
+        if v is None:
+            continue
+        v64 = np.asarray(v, dtype=np.float64)
+        qn = float(np.sqrt((v64 * v64).sum()))
+        unit = v64 / (qn if qn != 0 else 1.0)
+        lut = [
+            ((cb[mi] - unit[mi * sub : (mi + 1) * sub]) ** 2).sum(-1).tolist()
+            for mi in range(m)
+        ]
+        rows.append((r[id_col], v, qn, lut))
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField("qvec", queries.schema[vec_col].dataType, True),
+            T.StructField("qn", T.DoubleType(), True),
+            T.StructField(
+                "lut", T.ArrayType(T.ArrayType(T.DoubleType(), True), True), True
+            ),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _pq_train_validated(
@@ -859,7 +966,10 @@ def pq_topk_indexed(
     Same codebook + seed as ``pq_topk`` ⇒ identical results, tested."""
     codebook = read_pq_codebook(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
-    q = _pq_query_frame(queries, id_col, vec_col, codebook)
+    if len(codebook[0]) >= _LLOYD_MATMUL_MIN_K:
+        q = _pq_query_frame_driver(spark, queries, id_col, vec_col, codebook)
+    else:
+        q = _pq_query_frame(queries, id_col, vec_col, codebook)
     n_cand = k * refine
     cand_rows = _pq_adc_candidates(codes, q, n_cand=n_cand, salts=salts).collect()
     cand = spark.createDataFrame(cand_rows, "query_id long, neighbor_id long")
