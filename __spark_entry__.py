@@ -52,6 +52,8 @@ _VERIFY_FIRST = [
     # --- deferred since r7, last green r5 — four rounds stale ---
     "time_features",
     "whitelist_recode",
+    # --- NEW in r10: the IVF-PQ at-rest index gate ---
+    "emb_ivfpq_pruned",
     # --- changed in r9: must (re-)earn a green row this round ---
     "emb_lsh_topk",  # r9: planted-clone recall hardening (llm_ops.py)
     "emb_ivf_topk",  # r9: _clone_queries max-id collision guard
@@ -86,11 +88,15 @@ _VERIFY_FIRST = [
     "doc_quality_regression",
     "crash_rule_eval",
     "doc_training_pipeline",
-    "pricing_summary",
     "order_profile",
     "revenue_by_nation",
     "doc_tfidf_cosine_pairs",
     "emb_near_dup_pairs",
+    # pricing_summary moved to the bench to make room for the r10
+    # registration (emb_ivfpq_pruned): it is the ONE sample member with
+    # an independent every-round signal — entry() smoke-runs it each
+    # driver tick — and its code is untouched since r2; it MUST sample
+    # in r11 with the rest of the rotation.
     "streaming_ingest_e2e",
     "event_sessions_stream",
     "event_first_seen_stream",
@@ -103,6 +109,10 @@ _VERIFY_FIRST = [
     "doc_simhash_hamming",
 ]
 _ROTATION_BENCHED = [
+    # --- deferred ONE round to fit the r10 registration
+    # (emb_ivfpq_pruned): last green r6, but smoke-run by entry()
+    # EVERY round; MUST sample in r11 ---
+    "pricing_summary",
     # --- r8-verified (green r8, unchanged in r9/r10); exactly two
     # rounds back at r10's close — the staleness bound; MUST rotate
     # back into the sample in r11 ---

@@ -61,6 +61,7 @@ SKIP = {
     "pipeline_e2e",
     "compact_small_files",
     "socrata_paged_scan",  # loopback-HTTP fixture round-trip — an ingest/IO gate, not query latency (VERDICT r9 item 3)
+    "emb_ivfpq_pruned",  # index-at-rest round-trip, same bin as emb_ivf_pruned/emb_pq_pruned
     "emb_ivf_pruned",
     "emb_pq_pruned",
     "orc_roundtrip_stats",

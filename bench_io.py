@@ -48,6 +48,7 @@ IO_QUERIES = [
     "silver_catalog_validate",
     "emb_ivf_pruned",
     "emb_pq_pruned",
+    "emb_ivfpq_pruned",  # r10: the composed IVF-PQ at-rest index
     # loopback-HTTP Socrata fixture round-trip (r9): the cost is the
     # scripted-server plumbing + paged fetch, an ingest path like the
     # rest of this set — not query latency (VERDICT r9 item 3)

@@ -703,7 +703,8 @@ def _adc(codes_col, lut_col):
 
 
 def _pq_adc_candidates(
-    c: DataFrame, q: DataFrame, n_cand: int, salts: int | None
+    c: DataFrame, q: DataFrame, n_cand: int, salts: int | None,
+    join_on: str | None = None,
 ) -> DataFrame:
     """ADC candidate selection: the top ``n_cand`` corpus rows per
     query by asymmetric distance. Returns ONLY (query_id, neighbor_id)
@@ -720,11 +721,22 @@ def _pq_adc_candidates(
     nothing is lost — and stage 2's exact window then ranks at most
     n_cand·salts rows per query instead of the FULL corpus. Without
     the salt, every corpus row for a query lands in ONE window task: a
-    single-reducer-per-query bottleneck at 100 TB scale."""
+    single-reducer-per-query bottleneck at 100 TB scale.
+
+    ``join_on`` (IVF-PQ): instead of the all-pairs cross join, join the
+    corpus side to the query side on that column (e.g. ``_cluster`` —
+    one query row per probed cluster), so each query scores ONLY the
+    codes inside its probed clusters."""
+    if join_on is not None:
+        pairs = c.select("neighbor_id", "codes", join_on).join(
+            F.broadcast(q.select("query_id", "lut", join_on)), join_on
+        )
+    else:
+        pairs = c.select("neighbor_id", "codes").crossJoin(
+            F.broadcast(q.select("query_id", "lut"))
+        )
     pairs = (
-        c.select("neighbor_id", "codes")
-        .crossJoin(F.broadcast(q.select("query_id", "lut")))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        pairs.filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("adc", _adc(F.col("codes"), F.col("lut")))
         .select("query_id", "neighbor_id", "adc")
     )
@@ -972,6 +984,17 @@ def pq_topk_indexed(
         q = _pq_query_frame(queries, id_col, vec_col, codebook)
     n_cand = k * refine
     cand_rows = _pq_adc_candidates(codes, q, n_cand=n_cand, salts=salts).collect()
+    return _indexed_rerank(spark, path, cand_rows, q, k)
+
+
+def _indexed_rerank(spark, path: str, cand_rows, q: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rerank against an at-rest ``{path}/vectors`` table:
+    the collected (query_id, neighbor_id) candidates (bounded:
+    k·refine·n_queries) push an ``IN`` filter into the id-sorted
+    vectors scan, so row-group min/max statistics skip everything but
+    the candidate rows. ``q`` may carry multiple rows per query (the
+    IVF-PQ probe frame has one per probed cluster) — the rerank side
+    dedupes to one (query_id, qvec, qn) row."""
     cand = spark.createDataFrame(cand_rows, "query_id long, neighbor_id long")
     ids = sorted({r.neighbor_id for r in cand_rows})
     vectors = spark.read.parquet(f"{path}/vectors").filter(
@@ -979,7 +1002,12 @@ def pq_topk_indexed(
     )
     rerank = (
         vectors.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q.select("query_id", "qvec", "qn")), "query_id")
+        .join(
+            F.broadcast(
+                q.select("query_id", "qvec", "qn").dropDuplicates(["query_id"])
+            ),
+            "query_id",
+        )
         .withColumn(
             "cos",
             F.round(
@@ -1048,3 +1076,242 @@ def pq_topk(
         )
     )
     return _topk_by_cos(rerank, k)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ — coarse partition pruning + compressed in-cluster ranking
+# --------------------------------------------------------------------------
+
+
+def assign_and_encode_batched(
+    corpus: DataFrame,
+    centroids,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Arrow-batched pass computing BOTH the IVF cluster assignment
+    and the PQ codes — the production encode for ``write_ivfpq_index``
+    (running ``assign_clusters_batched`` and ``pq_codes_batched``
+    separately would read and materialize the corpus twice). Cluster
+    argmin follows ``assign_clusters_batched`` exactly (f64 matmul on
+    the RAW vector, lowest index on ties); codes follow
+    ``pq_codes_batched`` exactly (f32 sgemm per subspace on the
+    L2-NORMALIZED vector). Returns
+    (neighbor_id, cvec, cn, _cluster, codes)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)  # k × d
+    c_sq = (c * c).sum(axis=1)
+    cb = np.asarray(codebook, dtype=np.float32)  # m × ks × sub
+    m, ks, sub = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)
+
+    def body(batches):
+        for pdf in batches:
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    "assign_and_encode_batched: NULL vectors are not "
+                    "assignable/encodable — filter them out first"
+                )
+            vecs = np.stack(pdf[vec_col].map(np.asarray, na_action=None).values).astype(
+                np.float64
+            )
+            dists = c_sq[None, :] - 2.0 * (vecs @ c.T)
+            norms = np.sqrt((vecs * vecs).sum(axis=1))
+            unit = (vecs / np.where(norms == 0, 1.0, norms)[:, None]).astype(np.float32)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for mi in range(m):
+                sv = unit[:, mi * sub : (mi + 1) * sub]
+                codes[:, mi] = (cb_sq[mi][None, :] - 2.0 * (sv @ cb[mi].T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].values,
+                    "cvec": pdf[vec_col].values,
+                    "cn": norms,
+                    "_cluster": dists.argmin(axis=1).astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        body,
+        "neighbor_id long, cvec array<float>, cn double, _cluster int, codes array<int>",
+    )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    train_sample: int = 65536,
+    assignment: str = "auto",
+    files_per_cluster: int = 1,
+):
+    """FAISS-style IVF-PQ index AT REST — the composition the two
+    standalone indexes each lack half of (the r10 1M probes: IVF prunes
+    BETWEEN clusters but stores full vectors in the lists; PQ-alone
+    compresses but must ADC-scan the WHOLE corpus per query):
+
+    - ``{path}/codes``: (neighbor_id, codes) parquet
+      ``partitionBy(_cluster)``, cluster-aligned like
+      ``write_ivf_index`` (at most ``files_per_cluster`` files per
+      cluster directory). A probe reads n_probe/n_clusters of the
+      corpus AND only m small ints per row of it.
+    - ``{path}/vectors``: (neighbor_id, cvec, cn) sorted by id within
+      partitions for the pushed-IN rerank fetch (same as
+      ``write_pq_index``).
+    - ``{path}/_centroids`` / ``{path}/_codebook``: the two quantizers,
+      readable by ``read_ivf_centroids`` / ``read_pq_codebook``.
+
+    Both quantizers train on ONE bounded driver sample. Codes encode
+    the L2-normalized vector directly (not the FAISS residual — cosine
+    ranking needs unit vectors, and the exact rerank absorbs the
+    precision difference; documented trade, parity with the PQ-alone
+    semantics). ``assignment="auto"`` routes the corpus pass through
+    :func:`assign_and_encode_batched` above 32 clusters or at
+    production sub-codebook sizes; gate-scale indexes keep the
+    pure-JVM HOF maps.
+
+    Parity: the reference has no ANN surface — this extends the
+    LLM-pipeline operator family (brief: similarity search at 100 TB).
+    Returns (centroids, codebook)."""
+    import json
+
+    sample = _driver_sample(corpus, vec_col, train_sample, seed)
+    if not sample:
+        raise ValueError(
+            "cannot train a quantizer on an empty corpus sample — "
+            "the input frame has no vectors"
+        )
+    dim = len(sample[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} sub-quantizers")
+    centroids = _fit_quantizer(sample, n_clusters, seed)
+    codebook = pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
+
+    if assignment == "auto":
+        assignment = (
+            "batched"
+            if n_clusters > 32 or ks >= _LLOYD_MATMUL_MIN_K
+            else "hof"
+        )
+    if assignment == "batched":
+        enc = assign_and_encode_batched(corpus, centroids, codebook, id_col, vec_col)
+    else:
+        enc = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            VX.norm(F.col(vec_col)).alias("cn"),
+            _nearest_centroid(F.col(vec_col), centroids).alias("_cluster"),
+        ).withColumn("codes", _pq_codes(F.col("cvec"), codebook, norm_col=F.col("cn")))
+
+    codes = enc.select("neighbor_id", "codes", "_cluster")
+    if files_per_cluster > 1:
+        salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(files_per_cluster))
+        codes = codes.repartition(F.col("_cluster"), salt)
+    else:
+        codes = codes.repartition(F.col("_cluster"))
+    codes.write.partitionBy("_cluster").mode("overwrite").parquet(f"{path}/codes")
+    # vectors need no assignment/encode — build straight from the corpus
+    # (re-using `enc` here would run the whole batched pass a second
+    # time: mapInPandas is opaque to column pruning)
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            VX.norm(F.col(vec_col)).alias("cn"),
+        )
+        .sortWithinPartitions("neighbor_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    spark = corpus.sparkSession
+    cents = [[float(x) for x in c] for c in centroids]
+    spark.createDataFrame([(json.dumps(cents),)], "centroids_json string").coalesce(
+        1
+    ).write.mode("overwrite").json(f"{path}/_centroids")
+    spark.createDataFrame(
+        [(json.dumps([[[float(x) for x in cc] for cc in cs] for cs in codebook]),)],
+        "codebook_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_codebook")
+    return cents, codebook
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 4,
+    salts: int | None = 8,
+) -> DataFrame:
+    """Top-k against an IVF-PQ index written by ``write_ivfpq_index``:
+    per query, probe the ``n_probe`` nearest coarse centroids (the
+    codes scan carries ``PartitionFilters`` on ``_cluster`` and each
+    query joins ONLY its probed clusters' codes), rank by ADC through
+    the salted two-phase top-k, then exact-cosine rerank of the
+    surviving ``k·refine`` ids from the vectors table — the scan/rank/
+    rerank shape FAISS calls IVFADC + refine. Above the 65-centroid
+    threshold the probe ids and LUT compute driver-side in numpy (same
+    split + arguments as ``ivf_topk_indexed`` / ``pq_topk_indexed``)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    centroids = read_ivf_centroids(spark, path)
+    codebook = read_pq_codebook(spark, path)
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, ks, sub = cb.shape
+    large = len(centroids) >= _LLOYD_MATMUL_MIN_K or ks >= _LLOYD_MATMUL_MIN_K
+    if large:
+        c = np.asarray(centroids, dtype=np.float64)
+        rows = []
+        for r in queries.select(id_col, vec_col).collect():
+            v = r[vec_col]
+            if v is None:
+                continue
+            v64 = np.asarray(v, dtype=np.float64)
+            d2 = ((c - v64) ** 2).sum(-1)
+            order = np.lexsort((np.arange(len(c)), d2))[:n_probe]
+            qn = float(np.sqrt((v64 * v64).sum()))
+            unit = v64 / (qn if qn != 0 else 1.0)
+            lut = [
+                ((cb[mi] - unit[mi * sub : (mi + 1) * sub]) ** 2).sum(-1).tolist()
+                for mi in range(m)
+            ]
+            rows.extend((r[id_col], v, qn, int(cl), lut) for cl in order)
+        schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[id_col].dataType, True),
+                T.StructField("qvec", queries.schema[vec_col].dataType, True),
+                T.StructField("qn", T.DoubleType(), True),
+                T.StructField("_cluster", T.IntegerType(), True),
+                T.StructField(
+                    "lut", T.ArrayType(T.ArrayType(T.DoubleType(), True), True), True
+                ),
+            ]
+        )
+        q = spark.createDataFrame(rows, schema)
+        probed = sorted({r[3] for r in rows})
+    else:
+        q_plan = _probed_queries(queries, centroids, id_col, vec_col, n_probe).withColumn(
+            "lut", _pq_lut(F.col("qvec"), codebook, norm_col=F.col("qn"))
+        )
+        q_rows = q_plan.collect()
+        q = spark.createDataFrame(q_rows, q_plan.schema)
+        probed = sorted({r["_cluster"] for r in q_rows})
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("_cluster").isin(probed))
+    cand_rows = _pq_adc_candidates(
+        codes, q, n_cand=k * refine, salts=salts, join_on="_cluster"
+    ).collect()
+    return _indexed_rerank(spark, path, cand_rows, q, k)

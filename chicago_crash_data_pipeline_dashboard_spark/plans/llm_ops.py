@@ -1311,6 +1311,47 @@ def emb_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ivfpq_pruned",
+    oracle=_ANN_GATE_ORACLE,
+    doc="IVF-PQ index AT REST (operators/similarity.py write_ivfpq_index "
+    "/ ivfpq_topk_indexed) — the FAISS IVFADC+refine composition the two "
+    "standalone indexes each lack half of: the codes table is parquet "
+    "partitionBy(_cluster) holding only (id, codes), so a probe reads "
+    "n_probe/n_clusters of the corpus AND only m small ints per row of "
+    "it; each query joins ONLY its probed clusters' codes (per-query "
+    "_cluster join, not a cross join), ranks by ADC through the salted "
+    "two-phase top-k, and exact-reranks the k*refine survivors from the "
+    "id-sorted vectors table. Same cardinality + recall@5 gate as the "
+    "other ANN rows; the brute-force twin is fully hash-gated as "
+    "emb_knn_brute. PartitionFilters + codes-only ReadSchema asserted "
+    "in tests/test_plans.py.",
+)
+def emb_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ)
+    tmp = tempfile.mkdtemp(prefix="ccpd_ivfpq_")
+    try:
+        path = f"{tmp}/ivfpq_index"
+        SIM.write_ivfpq_index(
+            e, path, id_col="vec_id", vec_col="embedding",
+            n_clusters=16, m=16, ks=16, seed=42,
+        )
+        approx = SIM.ivfpq_topk_indexed(
+            spark, path, q, id_col="vec_id", vec_col="embedding",
+            k=5, n_probe=4, refine=8,
+        )
+        exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+        gate = _ann_recall_gate(approx, exact)
+        # the index files vanish with the scratch dir — return data, not a plan
+        return spark.createDataFrame(gate.collect(), gate.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "doc_training_pipeline",
     oracle=f"""
     WITH scored AS (

@@ -516,3 +516,62 @@ def test_pq_batched_encode_and_driver_lut_agree_with_hof(spark, tmp_path, monkey
         slow = SIM.pq_topk_indexed(spark, path, q, k=3, refine=4, salts=None).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
     assert len(fast) == 5 * 3
+
+
+def test_ivfpq_index_prunes_partitions_and_scans_codes_only(spark, sf_oracle, tmp_path, monkeypatch):
+    """write_ivfpq_index's promise: the candidate pass reads ONLY the
+    probed clusters (PartitionFilters IN-list on _cluster) and ONLY the
+    codes column (no embedding in that scan's ReadSchema); the numpy
+    large-k path must agree with the HOF path end-to-end."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_index")
+    SIM.write_ivfpq_index(emb, path, n_clusters=16, m=16, ks=16, seed=42)
+    q = emb.filter(F.col("vec_id") < 8)
+
+    # the CANDIDATE subplan (it runs inside ivfpq_topk_indexed's bounded
+    # collect, so build it explicitly the way the operator does): probed
+    # clusters prune the partitioned codes scan, which reads no vectors
+    centroids = SIM.read_ivf_centroids(spark, path)
+    codebook = SIM.read_pq_codebook(spark, path)
+    q_plan = SIM._probed_queries(q, centroids, "vec_id", "embedding", 4).withColumn(
+        "lut", SIM._pq_lut(F.col("qvec"), codebook, norm_col=F.col("qn"))
+    )
+    q_rows = q_plan.collect()
+    q_local = spark.createDataFrame(q_rows, q_plan.schema)
+    probed = sorted({r["_cluster"] for r in q_rows})
+    assert len(probed) < 16, "probes must not touch every cluster"
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("_cluster").isin(probed))
+    cand_plan = SIM._pq_adc_candidates(codes, q_local, n_cand=40, salts=8, join_on="_cluster")
+    plan = plan_of(cand_plan)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any(
+        "_cluster" in l and "IN" in l.upper() and "[]" not in l.replace(" ", "")
+        for l in pf_lines
+    ), f"no _cluster IN partition filter in: {pf_lines}"
+    codes_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert codes_schemas and all(
+        "cvec" not in l and "embedding" not in l for l in codes_schemas
+    ), "the ADC candidate scan must not read vectors"
+
+    out = SIM.ivfpq_topk_indexed(spark, path, q, k=5, n_probe=4, refine=8)
+    # the returned (rerank) plan pushes the candidate-id IN filter into
+    # the vectors scan, same as the PQ-alone index
+    rplan = plan_of(out)
+    assert any(
+        "PushedFilters" in l and "In(neighbor_id" in l for l in rplan.splitlines()
+    ), rplan
+
+    rows = out.collect()
+    assert len(rows) == 8 * 5
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(sorted(x.rank for x in v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+    # numpy large-k path (threshold forced down) agrees with the HOF path
+    with monkeypatch.context() as m:
+        m.setattr(SIM, "_LLOYD_MATMUL_MIN_K", 1)
+        fast = SIM.ivfpq_topk_indexed(spark, path, q, k=5, n_probe=4, refine=8).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, rows))
