@@ -151,6 +151,12 @@ def lsh_topk(
 _LLOYD_MATMUL_MIN_K = 65
 _LLOYD_CHUNK = 8192
 
+# Rerank-fetch IN-literal cap (see _indexed_rerank): below this many
+# candidate ids the pushed IN prunes row groups and is cheap to
+# evaluate; above it, only the min/max range filter pushes and the
+# broadcast candidate join selects.
+_RERANK_IN_MAX = 2048
+
 
 def _fit_quantizer(sample, n_clusters: int, seed: int, max_iter: int = 20):
     """Seeded Lloyd k-means on a driver-side numpy sample (k-means++
@@ -984,22 +990,38 @@ def pq_topk_indexed(
         q = _pq_query_frame(queries, id_col, vec_col, codebook)
     n_cand = k * refine
     cand_rows = _pq_adc_candidates(codes, q, n_cand=n_cand, salts=salts).collect()
-    return _indexed_rerank(spark, path, cand_rows, q, k)
+    return _indexed_rerank(
+        spark, spark.read.parquet(f"{path}/vectors"), cand_rows, q, k
+    )
 
 
-def _indexed_rerank(spark, path: str, cand_rows, q: DataFrame, k: int) -> DataFrame:
-    """Exact-cosine rerank against an at-rest ``{path}/vectors`` table:
-    the collected (query_id, neighbor_id) candidates (bounded:
-    k·refine·n_queries) push an ``IN`` filter into the id-sorted
-    vectors scan, so row-group min/max statistics skip everything but
-    the candidate rows. ``q`` may carry multiple rows per query (the
-    IVF-PQ probe frame has one per probed cluster) — the rerank side
-    dedupes to one (query_id, qvec, qn) row."""
+def _indexed_rerank(spark, vectors: DataFrame, cand_rows, q: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rerank against an at-rest vectors frame (id-sorted
+    within files): the collected (query_id, neighbor_id) candidates
+    (bounded: k·refine·n_queries) push an ``IN`` filter into the scan,
+    so row-group min/max statistics skip everything but the candidate
+    rows. ``q`` may carry multiple rows per query (the IVF-PQ probe
+    frame has one per probed cluster) — the rerank side dedupes to one
+    (query_id, qvec, qn) row.
+
+    The IN-literal is capped: past ``_RERANK_IN_MAX`` ids the literal
+    stops pruning (candidates spread across every row group, so the
+    scan reads them all anyway) while its per-row evaluation and plan
+    size keep growing — the r10 1M IVF-PQ probe spent most of a 20 s
+    warm probe evaluating a 25,600-term IN. Above the cap only the
+    min/max range pushes (one comparison, still skips row groups when
+    candidates are localized) and the broadcast candidate join — which
+    runs in BOTH regimes and alone guarantees exactness — does the
+    selection."""
     cand = spark.createDataFrame(cand_rows, "query_id long, neighbor_id long")
     ids = sorted({r.neighbor_id for r in cand_rows})
-    vectors = spark.read.parquet(f"{path}/vectors").filter(
-        F.col("neighbor_id").isin(ids)
-    )
+    if ids:
+        if len(ids) <= _RERANK_IN_MAX:
+            vectors = vectors.filter(F.col("neighbor_id").isin(ids))
+        else:
+            vectors = vectors.filter(
+                F.col("neighbor_id").between(ids[0], ids[-1])
+            )
     rerank = (
         vectors.join(F.broadcast(cand), "neighbor_id")
         .join(
@@ -1159,14 +1181,18 @@ def write_ivfpq_index(
     BETWEEN clusters but stores full vectors in the lists; PQ-alone
     compresses but must ADC-scan the WHOLE corpus per query):
 
-    - ``{path}/codes``: (neighbor_id, codes) parquet
+    - ``{path}/data``: ONE parquet table (neighbor_id, cvec, cn, codes)
       ``partitionBy(_cluster)``, cluster-aligned like
       ``write_ivf_index`` (at most ``files_per_cluster`` files per
-      cluster directory). A probe reads n_probe/n_clusters of the
-      corpus AND only m small ints per row of it.
-    - ``{path}/vectors``: (neighbor_id, cvec, cn) sorted by id within
-      partitions for the pushed-IN rerank fetch (same as
-      ``write_pq_index``).
+      cluster directory), id-sorted within files. Parquet is columnar,
+      so the single table serves both probe phases with no redundancy:
+      the ADC candidate scan prunes COLUMNS to (neighbor_id, codes) —
+      m small ints per row, no vector bytes — while the exact rerank
+      prunes PARTITIONS to the probed clusters and row-groups to the
+      candidate ids. (The PQ-alone index needs two tables because it
+      has no partition column; here a split layout would leave the
+      rerank scanning every cluster — the r10 1M probe measured that
+      full vector scan as the dominant probe cost.)
     - ``{path}/_centroids`` / ``{path}/_codebook``: the two quantizers,
       readable by ``read_ivf_centroids`` / ``read_pq_codebook``.
 
@@ -1212,25 +1238,16 @@ def write_ivfpq_index(
             _nearest_centroid(F.col(vec_col), centroids).alias("_cluster"),
         ).withColumn("codes", _pq_codes(F.col("cvec"), codebook, norm_col=F.col("cn")))
 
-    codes = enc.select("neighbor_id", "codes", "_cluster")
     if files_per_cluster > 1:
         salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(files_per_cluster))
-        codes = codes.repartition(F.col("_cluster"), salt)
+        enc = enc.repartition(F.col("_cluster"), salt)
     else:
-        codes = codes.repartition(F.col("_cluster"))
-    codes.write.partitionBy("_cluster").mode("overwrite").parquet(f"{path}/codes")
-    # vectors need no assignment/encode — build straight from the corpus
-    # (re-using `enc` here would run the whole batched pass a second
-    # time: mapInPandas is opaque to column pruning)
+        enc = enc.repartition(F.col("_cluster"))
     (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cvec"),
-            VX.norm(F.col(vec_col)).alias("cn"),
-        )
-        .sortWithinPartitions("neighbor_id")
-        .write.mode("overwrite")
-        .parquet(f"{path}/vectors")
+        enc.sortWithinPartitions("_cluster", "neighbor_id")
+        .write.partitionBy("_cluster")
+        .mode("overwrite")
+        .parquet(f"{path}/data")
     )
     spark = corpus.sparkSession
     cents = [[float(x) for x in c] for c in centroids]
@@ -1256,11 +1273,13 @@ def ivfpq_topk_indexed(
     salts: int | None = 8,
 ) -> DataFrame:
     """Top-k against an IVF-PQ index written by ``write_ivfpq_index``:
-    per query, probe the ``n_probe`` nearest coarse centroids (the
-    codes scan carries ``PartitionFilters`` on ``_cluster`` and each
-    query joins ONLY its probed clusters' codes), rank by ADC through
-    the salted two-phase top-k, then exact-cosine rerank of the
-    surviving ``k·refine`` ids from the vectors table — the scan/rank/
+    per query, probe the ``n_probe`` nearest coarse centroids (BOTH
+    probe phases scan only the probed clusters — ``PartitionFilters``
+    on ``_cluster`` — and each query joins ONLY its probed clusters'
+    codes), rank by ADC through the salted two-phase top-k over a
+    column-pruned (neighbor_id, codes) scan, then exact-cosine rerank
+    of the surviving ``k·refine`` ids fetched from the SAME table with
+    the vector columns and partition+row-group pruning — the scan/rank/
     rerank shape FAISS calls IVFADC + refine. Above the 65-centroid
     threshold the probe ids and LUT compute driver-side in numpy (same
     split + arguments as ``ivf_topk_indexed`` / ``pq_topk_indexed``)."""
@@ -1310,8 +1329,9 @@ def ivfpq_topk_indexed(
         q_rows = q_plan.collect()
         q = spark.createDataFrame(q_rows, q_plan.schema)
         probed = sorted({r["_cluster"] for r in q_rows})
-    codes = spark.read.parquet(f"{path}/codes").filter(F.col("_cluster").isin(probed))
+    data = spark.read.parquet(f"{path}/data").filter(F.col("_cluster").isin(probed))
     cand_rows = _pq_adc_candidates(
-        codes, q, n_cand=k * refine, salts=salts, join_on="_cluster"
+        data, q, n_cand=k * refine, salts=salts, join_on="_cluster"
     ).collect()
-    return _indexed_rerank(spark, path, cand_rows, q, k)
+    vectors = data.select("neighbor_id", "cvec", "cn")
+    return _indexed_rerank(spark, vectors, cand_rows, q, k)

@@ -1315,16 +1315,16 @@ def emb_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ANN_GATE_ORACLE,
     doc="IVF-PQ index AT REST (operators/similarity.py write_ivfpq_index "
     "/ ivfpq_topk_indexed) — the FAISS IVFADC+refine composition the two "
-    "standalone indexes each lack half of: the codes table is parquet "
-    "partitionBy(_cluster) holding only (id, codes), so a probe reads "
-    "n_probe/n_clusters of the corpus AND only m small ints per row of "
-    "it; each query joins ONLY its probed clusters' codes (per-query "
-    "_cluster join, not a cross join), ranks by ADC through the salted "
-    "two-phase top-k, and exact-reranks the k*refine survivors from the "
-    "id-sorted vectors table. Same cardinality + recall@5 gate as the "
-    "other ANN rows; the brute-force twin is fully hash-gated as "
-    "emb_knn_brute. PartitionFilters + codes-only ReadSchema asserted "
-    "in tests/test_plans.py.",
+    "standalone indexes each lack half of: ONE parquet table "
+    "partitionBy(_cluster), so the ADC candidate pass prunes COLUMNS to "
+    "(id, codes) — m small ints per row, no vector bytes — while the "
+    "exact rerank prunes PARTITIONS to the probed clusters; each query "
+    "joins ONLY its probed clusters' codes (per-query _cluster join, "
+    "not a cross join) and ranks by ADC through the salted two-phase "
+    "top-k. Same cardinality + recall@5 gate as the other ANN rows; the "
+    "brute-force twin is fully hash-gated as emb_knn_brute. "
+    "PartitionFilters + codes-only ReadSchema asserted in "
+    "tests/test_plans.py.",
 )
 def emb_ivfpq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

@@ -542,7 +542,7 @@ def test_ivfpq_index_prunes_partitions_and_scans_codes_only(spark, sf_oracle, tm
     q_local = spark.createDataFrame(q_rows, q_plan.schema)
     probed = sorted({r["_cluster"] for r in q_rows})
     assert len(probed) < 16, "probes must not touch every cluster"
-    codes = spark.read.parquet(f"{path}/codes").filter(F.col("_cluster").isin(probed))
+    codes = spark.read.parquet(f"{path}/data").filter(F.col("_cluster").isin(probed))
     cand_plan = SIM._pq_adc_candidates(codes, q_local, n_cand=40, salts=8, join_on="_cluster")
     plan = plan_of(cand_plan)
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
