@@ -575,3 +575,22 @@ def test_ivfpq_index_prunes_partitions_and_scans_codes_only(spark, sf_oracle, tm
         m.setattr(SIM, "_LLOYD_MATMUL_MIN_K", 1)
         fast = SIM.ivfpq_topk_indexed(spark, path, q, k=5, n_probe=4, refine=8).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, rows))
+
+
+def test_rerank_in_cap_regimes_agree(spark, sf_oracle, tmp_path, monkeypatch):
+    """_indexed_rerank's two fetch regimes — pushed IN-literal below
+    _RERANK_IN_MAX, min/max range + broadcast join above — must return
+    identical results (the broadcast candidate join alone guarantees
+    exactness; the filters only prune the scan)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    path = str(tmp_path / "pq_cap")
+    SIM.write_pq_index(emb, path, dim=64, m=16, ks=16, seed=42)
+    q = emb.filter(F.col("vec_id") < 8)
+
+    base = SIM.pq_topk_indexed(spark, path, q, k=5, refine=8).collect()
+    with monkeypatch.context() as m:
+        m.setattr(SIM, "_RERANK_IN_MAX", 1)  # force the range+join regime
+        capped = SIM.pq_topk_indexed(spark, path, q, k=5, refine=8).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
