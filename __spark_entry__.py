@@ -36,86 +36,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first (r10, executing the r8/r9-overdue rotation —
-# COVERAGE.md §"Driver-sample rotation"): the one never-verified r9
-# registration (socrata_paged_scan), the two four-rounds-stale
-# deferrals (time_features / whitelist_recode, last green r5), the
-# three queries whose code/oracle changed in r9 (emb_lsh_topk clone
-# gate, emb_ivf_topk / emb_ivf_largek clone-offset guard), and the 44
-# remaining r6-green benched queries rotating back in. Benched
-# (rotated out): the r8-verified set — green r8, unchanged since —
-# which hits the two-round staleness bound at r10's close and MUST
-# rotate back in in r11.
+# Sampled first (r11, executing the rotation VERDICT r10 item 1
+# mandates — COVERAGE.md §"Driver-sample rotation"): ALL 49 benched
+# queries rotate back in — pricing_summary (deferred one round in r10
+# for the emb_ivfpq_pruned registration; green r6, entry()-smoked
+# every round) plus the 48 r8-verified queries sitting exactly at the
+# two-round staleness bound. The 50th slot is held by
+# socrata_paged_scan (green r10) pending this round's one new
+# registration. Benched (rotated out): the r10-verified set — green
+# r10 — which may stay benched through r12 and MUST rotate back in by
+# r13.
 _VERIFY_FIRST = [
-    # --- new in r9, never driver-verified (the r9 VERDICT's top item) ---
-    "socrata_paged_scan",
-    # --- deferred since r7, last green r5 — four rounds stale ---
-    "time_features",
-    "whitelist_recode",
-    # --- NEW in r10: the IVF-PQ at-rest index gate ---
-    "emb_ivfpq_pruned",
-    # --- changed in r9: must (re-)earn a green row this round ---
-    "emb_lsh_topk",  # r9: planted-clone recall hardening (llm_ops.py)
-    "emb_ivf_topk",  # r9: _clone_queries max-id collision guard
-    "emb_ivf_largek",  # r9: same guard on the Arrow-batched path
-    # --- benched since r7, last green r6 — rotating back in ---
-    "crash_model_eval",
-    "event_windowed_counts_stream",
-    "jobspec_extract",
-    "silver_catalog_validate",
-    "skew_salted_join_agg",
-    "promo_part_star",
-    "compact_small_files",
-    "event_error_click_window_stream",
-    "doc_winnow_fp",
-    "doc_decontaminate",
-    "emb_quantize_error",
-    "doc_stratified_sample",
-    "doc_pack_bins",
-    "doc_quality_buckets",
-    "doc_pii_scrub",
-    "orc_roundtrip_stats",
-    "bucketed_join_agg",
-    "doc_chunk_overlap",
-    "event_props_json",
-    "schema_evolution_merge",
-    "json_malformed_ingest",
-    "partition_overwrite_dynamic",
-    "incremental_agg_merge",
-    "event_funnel_steps",
-    "user_retention_cohorts",
-    "event_dedup_watermark_stream",
-    "doc_quality_regression",
-    "crash_rule_eval",
-    "doc_training_pipeline",
-    "order_profile",
-    "revenue_by_nation",
-    "doc_tfidf_cosine_pairs",
-    "emb_near_dup_pairs",
-    # pricing_summary moved to the bench to make room for the r10
-    # registration (emb_ivfpq_pruned): it is the ONE sample member with
-    # an independent every-round signal — entry() smoke-runs it each
-    # driver tick — and its code is untouched since r2; it MUST sample
-    # in r11 with the rest of the rotation.
-    "streaming_ingest_e2e",
-    "event_sessions_stream",
-    "event_first_seen_stream",
-    "crash_clean_chain",
-    "emb_pq_topk",
-    "doc_minhash_near_dups",
-    "doc_cap_per_source",
-    "doc_strip_boilerplate",
-    "sql_adhoc_query",
-    "doc_simhash_hamming",
-]
-_ROTATION_BENCHED = [
-    # --- deferred ONE round to fit the r10 registration
-    # (emb_ivfpq_pruned): last green r6, but smoke-run by entry()
-    # EVERY round; MUST sample in r11 ---
+    # --- deferred one round in r10; green r6, entry()-smoked every round ---
     "pricing_summary",
-    # --- r8-verified (green r8, unchanged in r9/r10); exactly two
-    # rounds back at r10's close — the staleness bound; MUST rotate
-    # back into the sample in r11 ---
+    # --- r8-verified, at the two-round staleness bound: MUST sample ---
     "eda_day_labels",
     "run_history",
     "value_counts_topk",
@@ -164,6 +98,61 @@ _ROTATION_BENCHED = [
     "doc_dup_clusters",
     "emb_semantic_dedup",
     "emb_ivf_pruned",
+    # --- 50th slot: green r10, held pending the r11 registration ---
+    "socrata_paged_scan",
+]
+_ROTATION_BENCHED = [
+    # --- r10-verified (green r10); may stay benched through r12,
+    # MUST rotate back into the sample by r13 ---
+    "time_features",
+    "whitelist_recode",
+    "emb_ivfpq_pruned",
+    "emb_lsh_topk",
+    "emb_ivf_topk",
+    "emb_ivf_largek",
+    "crash_model_eval",
+    "event_windowed_counts_stream",
+    "jobspec_extract",
+    "silver_catalog_validate",
+    "skew_salted_join_agg",
+    "promo_part_star",
+    "compact_small_files",
+    "event_error_click_window_stream",
+    "doc_winnow_fp",
+    "doc_decontaminate",
+    "emb_quantize_error",
+    "doc_stratified_sample",
+    "doc_pack_bins",
+    "doc_quality_buckets",
+    "doc_pii_scrub",
+    "orc_roundtrip_stats",
+    "bucketed_join_agg",
+    "doc_chunk_overlap",
+    "event_props_json",
+    "schema_evolution_merge",
+    "json_malformed_ingest",
+    "partition_overwrite_dynamic",
+    "incremental_agg_merge",
+    "event_funnel_steps",
+    "user_retention_cohorts",
+    "event_dedup_watermark_stream",
+    "doc_quality_regression",
+    "crash_rule_eval",
+    "doc_training_pipeline",
+    "order_profile",
+    "revenue_by_nation",
+    "doc_tfidf_cosine_pairs",
+    "emb_near_dup_pairs",
+    "streaming_ingest_e2e",
+    "event_sessions_stream",
+    "event_first_seen_stream",
+    "crash_clean_chain",
+    "emb_pq_topk",
+    "doc_minhash_near_dups",
+    "doc_cap_per_source",
+    "doc_strip_boilerplate",
+    "sql_adhoc_query",
+    "doc_simhash_hamming",
 ]
 
 
