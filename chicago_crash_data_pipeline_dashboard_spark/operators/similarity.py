@@ -157,6 +157,34 @@ _LLOYD_CHUNK = 8192
 # broadcast candidate join selects.
 _RERANK_IN_MAX = 2048
 
+# Above this many coarse centroids, BOTH the write-side corpus
+# assignment (write_ivf_index / write_ivfpq_index "auto") and the
+# query-side cluster probe (ivf_topk_indexed / ivfpq_topk_indexed)
+# route through numpy instead of the HOF plan-literal form — ONE
+# shared switch so a corpus is never assigned by one regime while its
+# probes run the other (r10 ADVICE: at 33-64 clusters the two regimes
+# split, and near-tie vectors could assign and probe inconsistently).
+# 32 is where HOF codegen compile cost starts to bite (minutes of
+# Janino at k=64 — see assign_clusters_batched's docstring).
+_BATCHED_ASSIGN_MIN_K = 33
+
+
+def _typed_struct(src_schema, id_col: str, id_alias: str, vec_col: str, extra_fields):
+    """Output StructType for the Arrow-batched corpus passes, with the
+    id and vector fields carrying the SOURCE column types — an
+    array<double> embedding or a string/int id passes through untouched
+    instead of being silently downcast by a hardcoded
+    ``long``/``array<float>`` literal schema (r10 ADVICE item 1)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(id_alias, src_schema[id_col].dataType, True),
+            T.StructField("cvec", src_schema[vec_col].dataType, True),
+            *extra_fields,
+        ]
+    )
+
 
 def _fit_quantizer(sample, n_clusters: int, seed: int, max_iter: int = 20):
     """Seeded Lloyd k-means on a driver-side numpy sample (k-means++
@@ -309,10 +337,19 @@ def assign_clusters_batched(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import types as T
+
     c = np.asarray(centroids, dtype=np.float64)  # k × d
     c_sq = (c * c).sum(axis=1)  # ‖c‖² per centroid
-    out_schema = (
-        f"neighbor_id long, cvec array<float>, cn double, _cluster int"
+    out_schema = _typed_struct(
+        corpus.schema,
+        id_col,
+        "neighbor_id",
+        vec_col,
+        [
+            T.StructField("cn", T.DoubleType(), True),
+            T.StructField("_cluster", T.IntegerType(), True),
+        ],
     )
 
     def assign(batches):
@@ -484,7 +521,7 @@ def write_ivf_index(
     import json
 
     if assignment == "auto":
-        assignment = "batched" if n_clusters > 32 else "hof"
+        assignment = "batched" if n_clusters >= _BATCHED_ASSIGN_MIN_K else "hof"
     assigned, centroids = ivf_index(
         corpus, id_col, vec_col, n_clusters, seed, train_sample, assignment=assignment
     )
@@ -528,7 +565,7 @@ def ivf_topk_indexed(
     exact-cosine rerank as the in-memory path — same inputs, same
     results.
 
-    Above ``_LLOYD_MATMUL_MIN_K`` centroids the probe ids are computed
+    Above ``_BATCHED_ASSIGN_MIN_K`` centroids the probe ids are computed
     DRIVER-SIDE in numpy over the already-collected query rows: the
     HOF form embeds the full centroid matrix as a plan constant and
     array-sorts k structs per row, which the r10 1M probe measured at
@@ -542,8 +579,12 @@ def ivf_topk_indexed(
     from pyspark.sql import types as T
 
     centroids = read_ivf_centroids(spark, path)
-    if len(centroids) >= _LLOYD_MATMUL_MIN_K:
-        # production-k path: numpy probe over the collected queries
+    if len(centroids) >= _BATCHED_ASSIGN_MIN_K:
+        # production-k path: numpy probe over the collected queries —
+        # the SAME threshold as the write-side "auto" assignment
+        # switch, so a batched-assigned corpus is never probed by the
+        # HOF regime (r10 ADVICE: mixed regimes can assign and probe
+        # near-tie vectors inconsistently)
         c = np.asarray(centroids, dtype=np.float64)
         rows = []
         for r in queries.select(id_col, vec_col).collect():
@@ -821,8 +862,20 @@ def pq_codes_batched(
                 }
             )
 
+    from pyspark.sql import types as T
+
     return corpus.select(id_col, vec_col).mapInPandas(
-        encode, "neighbor_id long, cvec array<float>, cn double, codes array<int>"
+        encode,
+        _typed_struct(
+            corpus.schema,
+            id_col,
+            "neighbor_id",
+            vec_col,
+            [
+                T.StructField("cn", T.DoubleType(), True),
+                T.StructField("codes", T.ArrayType(T.IntegerType(), True), True),
+            ],
+        ),
     )
 
 
@@ -1013,7 +1066,23 @@ def _indexed_rerank(spark, vectors: DataFrame, cand_rows, q: DataFrame, k: int) 
     candidates are localized) and the broadcast candidate join — which
     runs in BOTH regimes and alone guarantees exactness — does the
     selection."""
-    cand = spark.createDataFrame(cand_rows, "query_id long, neighbor_id long")
+    from pyspark.sql import types as T
+
+    # carry the id types through from the query/vectors frames — the
+    # API's id_col is type-parameterized end to end, so a string or
+    # int id must not die at a hardcoded `long` literal schema here
+    # (r10 ADVICE item 3)
+    cand = spark.createDataFrame(
+        cand_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", q.schema["query_id"].dataType, True),
+                T.StructField(
+                    "neighbor_id", vectors.schema["neighbor_id"].dataType, True
+                ),
+            ]
+        ),
+    )
     ids = sorted({r.neighbor_id for r in cand_rows})
     if ids:
         if len(ids) <= _RERANK_IN_MAX:
@@ -1157,9 +1226,21 @@ def assign_and_encode_batched(
                 }
             )
 
+    from pyspark.sql import types as T
+
     return corpus.select(id_col, vec_col).mapInPandas(
         body,
-        "neighbor_id long, cvec array<float>, cn double, _cluster int, codes array<int>",
+        _typed_struct(
+            corpus.schema,
+            id_col,
+            "neighbor_id",
+            vec_col,
+            [
+                T.StructField("cn", T.DoubleType(), True),
+                T.StructField("_cluster", T.IntegerType(), True),
+                T.StructField("codes", T.ArrayType(T.IntegerType(), True), True),
+            ],
+        ),
     )
 
 
@@ -1225,7 +1306,7 @@ def write_ivfpq_index(
     if assignment == "auto":
         assignment = (
             "batched"
-            if n_clusters > 32 or ks >= _LLOYD_MATMUL_MIN_K
+            if n_clusters >= _BATCHED_ASSIGN_MIN_K or ks >= _LLOYD_MATMUL_MIN_K
             else "hof"
         )
     if assignment == "batched":
@@ -1280,9 +1361,11 @@ def ivfpq_topk_indexed(
     column-pruned (neighbor_id, codes) scan, then exact-cosine rerank
     of the surviving ``k·refine`` ids fetched from the SAME table with
     the vector columns and partition+row-group pruning — the scan/rank/
-    rerank shape FAISS calls IVFADC + refine. Above the 65-centroid
-    threshold the probe ids and LUT compute driver-side in numpy (same
-    split + arguments as ``ivf_topk_indexed`` / ``pq_topk_indexed``)."""
+    rerank shape FAISS calls IVFADC + refine. Above the
+    ``_BATCHED_ASSIGN_MIN_K`` centroid (or ``_LLOYD_MATMUL_MIN_K``
+    sub-codebook) threshold the probe ids and LUT compute driver-side
+    in numpy (same split + arguments as ``ivf_topk_indexed`` /
+    ``pq_topk_indexed``)."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -1291,7 +1374,9 @@ def ivfpq_topk_indexed(
     codebook = read_pq_codebook(spark, path)
     cb = np.asarray(codebook, dtype=np.float64)
     m, ks, sub = cb.shape
-    large = len(centroids) >= _LLOYD_MATMUL_MIN_K or ks >= _LLOYD_MATMUL_MIN_K
+    # same thresholds as write_ivfpq_index's "auto" switch — a corpus
+    # assigned by the batched regime is always probed by it too
+    large = len(centroids) >= _BATCHED_ASSIGN_MIN_K or ks >= _LLOYD_MATMUL_MIN_K
     if large:
         c = np.asarray(centroids, dtype=np.float64)
         rows = []

@@ -596,13 +596,19 @@ def streaming_ingest_throughput_probe(spark: SparkSession, sf_dir: str) -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    variable_sec = max(drain_rows_sec - drain_zero_sec, 1e-9)
+    # A zero-batch drain measuring SLOWER than the rows drain means
+    # host noise swamped the data-proportional cost — publish null
+    # (flagged noisy) rather than dividing by a 1e-9 floor and
+    # claiming billions of rows/s (r10 ADVICE item 4)
+    variable_sec = drain_rows_sec - drain_zero_sec
+    noisy = variable_sec <= 0
     return {
         "rows": int(rows),
         "n_batches": len(stats),
         "drain_rows_sec": round(drain_rows_sec, 4),
         "drain_zero_sec": round(drain_zero_sec, 4),
         "zero_batch_drains": len(stats_zero) == 0,
-        "variable_sec": round(variable_sec, 4),
-        "rows_per_sec": round(rows / variable_sec, 1),
+        "variable_sec": None if noisy else round(variable_sec, 4),
+        "rows_per_sec": None if noisy else round(rows / variable_sec, 1),
+        "noisy": noisy,
     }

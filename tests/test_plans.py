@@ -467,7 +467,10 @@ def test_ivf_indexed_driver_probe_agrees_with_hof(spark, tmp_path, monkeypatch):
 
     fast = SIM.ivf_topk_indexed(spark, path, q, k=4, n_probe=8).collect()
     with monkeypatch.context() as m:
-        m.setattr(SIM, "_LLOYD_MATMUL_MIN_K", 10**9)
+        # the probe switch shares write_ivf_index's batched-assignment
+        # threshold (r11: _BATCHED_ASSIGN_MIN_K) — raise THAT to force
+        # the HOF probe regime for the agreement check
+        m.setattr(SIM, "_BATCHED_ASSIGN_MIN_K", 10**9)
         slow = SIM.ivf_topk_indexed(spark, path, q, k=4, n_probe=8).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
     assert len(fast) == 6 * 4
@@ -594,3 +597,100 @@ def test_rerank_in_cap_regimes_agree(spark, sf_oracle, tmp_path, monkeypatch):
         m.setattr(SIM, "_RERANK_IN_MAX", 1)  # force the range+join regime
         capped = SIM.pq_topk_indexed(spark, path, q, k=5, refine=8).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
+
+
+def test_ivfpq_mid_band_cluster_count_is_single_regime(spark, tmp_path):
+    """r10 ADVICE item 2: at 33-64 clusters the write-side assignment
+    auto-switched to the batched numpy regime while the probe stayed
+    HOF — two different FP folds deciding cluster membership for the
+    same index. Both switches now share _BATCHED_ASSIGN_MIN_K; pin the
+    mid-band end to end with planted clones (a clone lands in the same
+    cluster its query probes first, whichever regime — but only if
+    BOTH sides run the same one near ties)."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    assert 33 <= 40 < SIM._LLOYD_MATMUL_MIN_K  # the band under test
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((400, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivfpq_midband")
+    SIM.write_ivfpq_index(df, path, n_clusters=40, m=4, ks=16, seed=42)
+    # clones of corpus rows 0..5 as queries: exact duplicates must come
+    # back at rank 1 with cos == 1.0 through assign→probe→ADC→rerank
+    q = df.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    top1 = (
+        SIM.ivfpq_topk_indexed(spark, path, q, k=1, n_probe=4, refine=8)
+        .collect()
+    )
+    assert len(top1) == 6
+    assert all(r.neighbor_id == r.query_id - 10_000 for r in top1), top1
+    assert all(r.cos == 1.0 for r in top1)
+
+
+def test_batched_passes_preserve_source_types(spark):
+    """r10 ADVICE item 1: the Arrow-batched corpus passes used to
+    hardcode `neighbor_id long, cvec array<float>` — an array<double>
+    embedding was silently downcast before feeding the 'exact' rerank,
+    and a string id failed outright. The output schema now derives
+    from the source frame."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((50, 8))
+    df = spark.createDataFrame(
+        [(f"doc-{i}", v.tolist()) for i, v in enumerate(vecs)],
+        "doc_id string, embedding array<double>",
+    )
+    centroids = SIM._fit_quantizer([v.tolist() for v in vecs[:20]], 4, seed=1)
+    assigned = SIM.assign_clusters_batched(df, centroids, id_col="doc_id")
+    assert assigned.schema["neighbor_id"].dataType == T.StringType()
+    assert assigned.schema["cvec"].dataType == T.ArrayType(T.DoubleType(), True)
+    rows = assigned.collect()
+    assert len(rows) == 50 and all(r.neighbor_id.startswith("doc-") for r in rows)
+    # the full double precision survives the pass (no float32 roundtrip)
+    got = {r.neighbor_id: r.cvec for r in rows}
+    assert got["doc-0"] == vecs[0].tolist()
+
+    codebook = SIM.pq_train([v.tolist() for v in vecs[:20]], dim=8, m=2, ks=4, seed=1)
+    encoded = SIM.pq_codes_batched(df, codebook, id_col="doc_id")
+    assert encoded.schema["neighbor_id"].dataType == T.StringType()
+    assert encoded.schema["cvec"].dataType == T.ArrayType(T.DoubleType(), True)
+    both = SIM.assign_and_encode_batched(df, centroids, codebook, id_col="doc_id")
+    assert both.schema["neighbor_id"].dataType == T.StringType()
+    assert both.schema["cvec"].dataType == T.ArrayType(T.DoubleType(), True)
+
+
+def test_indexed_rerank_carries_string_ids(spark, tmp_path):
+    """r10 ADVICE item 3: _indexed_rerank rebuilt its candidate frame
+    with a literal 'query_id long, neighbor_id long' schema, so the
+    id-parameterized API died at createDataFrame for string ids. The
+    types now carry through from the query/vectors frames."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((60, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", v.tolist()) for i, v in enumerate(vecs)],
+        "doc_id string, embedding array<float>",
+    )
+    path = str(tmp_path / "pq_strid")
+    SIM.write_pq_index(df, path, id_col="doc_id", dim=8, m=2, ks=4, seed=42)
+    q = df.filter(F.col("doc_id") < "d005")
+    rows = SIM.pq_topk_indexed(
+        spark, path, q, id_col="doc_id", k=3, refine=4
+    ).collect()
+    assert len(rows) == 5 * 3
+    assert all(isinstance(r.query_id, str) and isinstance(r.neighbor_id, str) for r in rows)
