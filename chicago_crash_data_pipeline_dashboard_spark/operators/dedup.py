@@ -489,6 +489,228 @@ def minhash_near_duplicates(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    hash_mode: str,
+    parts: int,
+) -> DataFrame:
+    """(doc, signature, band, bucket, part) — the banded MinHash frame
+    shared by the at-rest signature write and the incoming-batch probe.
+    ``part`` = pmod(xxhash64(band, bucket), parts): the hive partition
+    key that lets a batch prune the persisted table to only the
+    partitions its own buckets hash into."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature positions would be silently dropped"
+        )
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed, hash_mode
+    )
+    return (
+        sigs.select(
+            "doc", "signature", F.explode(_band_structs(bands, rows_per_band)).alias("bb")
+        )
+        .select("doc", "signature", "bb.band", "bb.bucket")
+        .withColumn(
+            "part", F.pmod(F.xxhash64("band", "bucket"), F.lit(parts)).cast("int")
+        )
+    )
+
+
+def write_minhash_signatures(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "murmur3",
+    parts: int = 64,
+    files_per_part: int = 1,
+) -> None:
+    """Persist the corpus's banded MinHash signatures AT REST — the
+    cross-run half of the dedup family (VERDICT r10 item 2/3): a
+    training-data pipeline dedups each NEW batch against everything
+    already ingested, and re-minhashing a 100 TB corpus per batch is
+    the thing this table exists to avoid.
+
+    Layout (``{path}/banded``, parquet ``partitionBy("part")`` where
+    ``part = pmod(xxhash64(band, bucket), parts)``):
+
+    - an incoming batch computes its own bucket parts and reads ONLY
+      those hive partitions (``PartitionFilters``, plan-asserted) —
+      the batch probe touches ~|batch buckets|/parts of the table's
+      files, not all of them;
+    - each row carries ``bucket_size`` (the bucket's row count at
+      write time), so the hot-bucket cap is a scan-side filter at
+      probe time — no query-time groupBy over the corpus;
+    - ``{path}/_params`` pins (num_hashes, bands, shingle_n, seed,
+      hash_mode, parts) — probes and appends read THEM, so batch and
+      corpus signatures can never be computed under different
+      parameters.
+
+    The write repartitions on ``part`` (+ a doc-hash salt when
+    ``files_per_part`` > 1) before ``partitionBy`` — same file-count
+    discipline as ``write_ivf_index`` (without it, tasks × parts
+    files). One shuffle for the bucket_size window + alignment; the
+    table is written once and probed per batch."""
+    import json
+
+    banded = _banded_signatures(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed, hash_mode, parts
+    )
+    _write_banded(banded, path, files_per_part, mode="overwrite")
+    df.sparkSession.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "num_hashes": num_hashes,
+                        "bands": bands,
+                        "shingle_n": shingle_n,
+                        "seed": seed,
+                        "hash_mode": hash_mode,
+                        "parts": parts,
+                    }
+                ),
+            )
+        ],
+        "params_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_params")
+
+
+def _write_banded(banded: DataFrame, path: str, files_per_part: int, mode: str) -> None:
+    """bucket_size window + part-aligned repartition + partitioned
+    write — shared by the initial write and the per-batch append."""
+    banded = banded.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    )
+    if files_per_part > 1:
+        salt = F.pmod(F.xxhash64("doc"), F.lit(files_per_part))
+        banded = banded.repartition(F.col("part"), salt)
+    else:
+        banded = banded.repartition(F.col("part"))
+    (
+        banded.sortWithinPartitions("part", "band", "bucket")
+        .write.partitionBy("part")
+        .mode(mode)
+        .parquet(f"{path}/banded")
+    )
+
+
+def read_minhash_params(spark, path: str) -> dict:
+    """Signature parameters pinned by ``write_minhash_signatures``
+    (one tiny JSON row — driver-side read by design)."""
+    import json
+
+    return json.loads(spark.read.json(f"{path}/_params").collect()[0].params_json)
+
+
+def append_minhash_signatures(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    files_per_part: int = 1,
+) -> None:
+    """Append a NEW batch's banded signatures to an existing table —
+    the ingest step after ``near_duplicates_against`` has filtered the
+    batch. Parameters come from the table's ``_params`` (never from
+    the caller), so appended signatures are always computed under the
+    corpus's own hashing. ``bucket_size`` is computed WITHIN this
+    batch (per-write-segment, like parquet row-group stats): the
+    probe-side hot-bucket cap therefore bounds each segment's
+    contribution independently — a bucket that only becomes hot
+    ACROSS segments is not dropped (the conservative direction: extra
+    candidates cost time, never recall)."""
+    spark = batch.sparkSession
+    p = read_minhash_params(spark, path)
+    banded = _banded_signatures(
+        batch, id_col, text_col, p["num_hashes"], p["bands"], p["shingle_n"],
+        p["seed"], p["hash_mode"], p["parts"],
+    )
+    _write_banded(banded, path, files_per_part, mode="append")
+
+
+def near_duplicates_against(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    max_bucket: int | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs between an incoming BATCH and the corpus
+    signatures persisted by ``write_minhash_signatures`` — the
+    cross-run generalization of ``minhash_near_duplicates`` (and of
+    the one-off ``doc_decontaminate`` shape): dedup new data against
+    everything already ingested WITHOUT touching the ingested text.
+
+    Returns (corpus_doc, batch_doc, est_jaccard) for signature-
+    estimated Jaccard ≥ ``threshold``. Probe the batch BEFORE
+    appending it (``append_minhash_signatures``), or each batch doc
+    pairs with its own just-appended signature.
+
+    Scale shape: the batch's banded frame computes its bucket parts,
+    and the corpus scan reads ONLY those hive partitions
+    (``PartitionFilters`` on ``part`` — at most ``parts`` literal
+    values, collected from a ≤``parts``-row distinct). The join is
+    broadcast on the batch side by default (a batch is small next to
+    the corpus; pass ``broadcast_batch=False`` for backfill-sized
+    batches, where it degrades gracefully to a shuffle join on
+    (band, bucket)). ``max_bucket`` (opt-in, same policy as the rest
+    of the family) drops corpus buckets whose WRITE-TIME size exceeds
+    the cap — a scan-side filter on the stored ``bucket_size`` column,
+    no query-time aggregation of the corpus."""
+    spark = batch.sparkSession
+    p = read_minhash_params(spark, path)
+    b = _banded_signatures(
+        batch, id_col, text_col, p["num_hashes"], p["bands"], p["shingle_n"],
+        p["seed"], p["hash_mode"], p["parts"],
+    )
+    # bounded collect: at most `parts` distinct values by construction
+    mods = sorted(r.part for r in b.select("part").distinct().collect())
+    corpus = spark.read.parquet(f"{path}/banded").filter(F.col("part").isin(mods))
+    if max_bucket is not None:
+        corpus = corpus.filter(F.col("bucket_size") <= max_bucket)
+    bside = b.select(
+        F.col("band"), F.col("bucket"),
+        F.col("doc").alias("batch_doc"), F.col("signature").alias("batch_sig"),
+    )
+    if broadcast_batch:
+        bside = F.broadcast(bside)
+    cand = corpus.select(
+        "band", "bucket", F.col("doc").alias("corpus_doc"),
+        F.col("signature").alias("corpus_sig"),
+    ).join(bside, ["band", "bucket"])
+    est = cand.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("corpus_sig", "batch_sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(p["num_hashes"]),
+    )
+    return (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select("corpus_doc", "batch_doc", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, hash_mode: str = "murmur3"
 ) -> DataFrame:

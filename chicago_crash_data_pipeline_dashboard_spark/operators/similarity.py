@@ -411,16 +411,38 @@ def ivf_index(
         raise ValueError(f"assignment must be 'hof' or 'batched', got {assignment!r}")
     sample = _driver_sample(corpus, vec_col, train_sample, seed)
     centroids = _fit_quantizer(sample, n_clusters, seed)
+    return _assigned_frame(corpus, centroids, id_col, vec_col, assignment), centroids
 
+
+def _assigned_frame(
+    corpus: DataFrame, centroids, id_col: str, vec_col: str, assignment: str
+) -> DataFrame:
+    """(neighbor_id, cvec, cn, _cluster) under GIVEN centroids — the
+    assignment map shared by index build (freshly trained quantizer)
+    and incremental append (quantizer read back from the index)."""
+    if assignment not in ("hof", "batched"):
+        raise ValueError(f"assignment must be 'hof' or 'batched', got {assignment!r}")
     if assignment == "batched":
-        return assign_clusters_batched(corpus, centroids, id_col, vec_col), centroids
-    assigned = corpus.select(
+        return assign_clusters_batched(corpus, centroids, id_col, vec_col)
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         VX.norm(F.col(vec_col)).alias("cn"),
         _nearest_centroid(F.col(vec_col), centroids).alias("_cluster"),
     )
-    return assigned, centroids
+
+
+def _cluster_aligned(enc: DataFrame, files_per_cluster: int) -> DataFrame:
+    """Repartition on _cluster (+ a row-hash salt when
+    files_per_cluster > 1) BEFORE partitionBy, so each cluster
+    directory receives AT MOST files_per_cluster files from this write
+    — without it every write task emits a file into every cluster it
+    sees (tasks x clusters files; the r10 1M probe measured 30,549
+    files for a 1000-cluster index)."""
+    if files_per_cluster > 1:
+        salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(files_per_cluster))
+        return enc.repartition(F.col("_cluster"), salt)
+    return enc.repartition(F.col("_cluster"))
 
 
 def ivf_topk(
@@ -491,6 +513,7 @@ def write_ivf_index(
     train_sample: int = 65536,
     assignment: str = "auto",
     files_per_cluster: int = 1,
+    centroids=None,
 ) -> list[list[float]]:
     """Materialize the IVF inverted file AT REST: the cluster-assigned
     corpus written as parquet ``partitionBy("_cluster")``, plus the
@@ -517,19 +540,25 @@ def write_ivf_index(
     measured 30,549 files for a 1000-cluster index, and every later
     probe pays that listing). ``files_per_cluster`` > 1 is the skew
     valve at scale: a hot cluster spreads across up to that many
-    writers/files."""
+    writers/files.
+
+    ``centroids``: pass a previously trained quantizer (e.g. from
+    ``read_ivf_centroids``) to REBUILD without retraining —
+    ``n_clusters``/``seed``/``train_sample`` are then ignored. This is
+    the compaction path for an index grown by ``append_to_ivf_index``
+    (same quantizer ⇒ identical assignments ⇒ probe results equal, but
+    every cluster back at ``files_per_cluster`` files)."""
     import json
 
+    if centroids is None:
+        sample = _driver_sample(corpus, vec_col, train_sample, seed)
+        centroids = _fit_quantizer(sample, n_clusters, seed)
+    else:
+        n_clusters = len(centroids)
     if assignment == "auto":
         assignment = "batched" if n_clusters >= _BATCHED_ASSIGN_MIN_K else "hof"
-    assigned, centroids = ivf_index(
-        corpus, id_col, vec_col, n_clusters, seed, train_sample, assignment=assignment
-    )
-    if files_per_cluster > 1:
-        salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(files_per_cluster))
-        assigned = assigned.repartition(F.col("_cluster"), salt)
-    else:
-        assigned = assigned.repartition(F.col("_cluster"))
+    assigned = _assigned_frame(corpus, centroids, id_col, vec_col, assignment)
+    assigned = _cluster_aligned(assigned, files_per_cluster)
     assigned.write.partitionBy("_cluster").mode("overwrite").parquet(path)
     cents = [[float(x) for x in c] for c in centroids]
     corpus.sparkSession.createDataFrame(
@@ -544,6 +573,55 @@ def read_ivf_centroids(spark, path: str) -> list[list[float]]:
     import json
 
     return json.loads(spark.read.json(f"{path}/_centroids").collect()[0].centroids_json)
+
+
+def append_to_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignment: str = "auto",
+    files_per_cluster: int = 1,
+) -> list[list[float]]:
+    """Incrementally append a NEW batch to an IVF index written by
+    ``write_ivf_index`` — the 100-TB ingest path (VERDICT r10 item 2):
+    a corpus arrives batch by batch (ST1's whole point), and rebuilding
+    the full index per batch is O(corpus) when the new work is
+    O(batch).
+
+    The batch is assigned with the SAVED quantizer
+    (``read_ivf_centroids``) — never retrained — so appended rows land
+    in exactly the clusters a same-quantizer rebuild would put them in:
+    post-append probe results are GATED equal to
+    ``write_ivf_index(full_corpus, centroids=saved)`` (test_plans).
+    The write is the same cluster-aligned ``partitionBy("_cluster")``
+    repartition as the build, in ``append`` mode: each append adds at
+    most ``files_per_cluster`` files per TOUCHED cluster (after A
+    appends a cluster holds ≤ (1+A)·files_per_cluster files — compact
+    by rebuilding with ``centroids=read_ivf_centroids(...)``, which
+    needs no retrain). Duplicate ids are the caller's contract, as in
+    any append-only table.
+
+    **Retrain-vs-append drift criterion**: frozen quantizers stay
+    EXACT for assignment and pruning, but they were fit on the
+    original sample — as the appended distribution drifts, cells skew
+    and more vectors land far from their centroid, so a fixed
+    ``n_probe`` recalls less. Retrain (full ``write_ivf_index``) when
+    (a) appended rows exceed ~30-50% of the rows the quantizer was
+    fit over (FAISS guidance), or (b) a held-out probe's recall@k
+    drops below target; a cheap online signal is the mean
+    nearest-centroid distance of each appended batch creeping above
+    its value at build time."""
+    spark = batch.sparkSession
+    centroids = read_ivf_centroids(spark, path)
+    if assignment == "auto":
+        assignment = (
+            "batched" if len(centroids) >= _BATCHED_ASSIGN_MIN_K else "hof"
+        )
+    assigned = _assigned_frame(batch, centroids, id_col, vec_col, assignment)
+    assigned = _cluster_aligned(assigned, files_per_cluster)
+    assigned.write.partitionBy("_cluster").mode("append").parquet(path)
+    return centroids
 
 
 def ivf_topk_indexed(
@@ -1244,6 +1322,31 @@ def assign_and_encode_batched(
     )
 
 
+def _ivfpq_encoded(
+    corpus: DataFrame, centroids, codebook, id_col: str, vec_col: str, assignment: str
+) -> DataFrame:
+    """(neighbor_id, cvec, cn, _cluster, codes) under GIVEN quantizers
+    — the encode pass shared by index build and incremental append.
+    ``"auto"`` routes through :func:`assign_and_encode_batched` above
+    the shared thresholds; gate-scale indexes keep the pure-JVM HOF
+    maps."""
+    n_clusters, ks = len(centroids), len(codebook[0])
+    if assignment == "auto":
+        assignment = (
+            "batched"
+            if n_clusters >= _BATCHED_ASSIGN_MIN_K or ks >= _LLOYD_MATMUL_MIN_K
+            else "hof"
+        )
+    if assignment == "batched":
+        return assign_and_encode_batched(corpus, centroids, codebook, id_col, vec_col)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        VX.norm(F.col(vec_col)).alias("cn"),
+        _nearest_centroid(F.col(vec_col), centroids).alias("_cluster"),
+    ).withColumn("codes", _pq_codes(F.col("cvec"), codebook, norm_col=F.col("cn")))
+
+
 def write_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -1256,6 +1359,7 @@ def write_ivfpq_index(
     train_sample: int = 65536,
     assignment: str = "auto",
     files_per_cluster: int = 1,
+    quantizers=None,
 ):
     """FAISS-style IVF-PQ index AT REST — the composition the two
     standalone indexes each lack half of (the r10 1M probes: IVF prunes
@@ -1288,42 +1392,33 @@ def write_ivfpq_index(
 
     Parity: the reference has no ANN surface — this extends the
     LLM-pipeline operator family (brief: similarity search at 100 TB).
+
+    ``quantizers``: pass a saved ``(centroids, codebook)`` pair to
+    REBUILD without retraining (``n_clusters``/``m``/``ks``/``seed``/
+    ``train_sample`` are then ignored) — the compaction path for an
+    index grown by ``append_to_ivfpq_index``.
+
     Returns (centroids, codebook)."""
     import json
 
-    sample = _driver_sample(corpus, vec_col, train_sample, seed)
-    if not sample:
-        raise ValueError(
-            "cannot train a quantizer on an empty corpus sample — "
-            "the input frame has no vectors"
-        )
-    dim = len(sample[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m} sub-quantizers")
-    centroids = _fit_quantizer(sample, n_clusters, seed)
-    codebook = pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
-
-    if assignment == "auto":
-        assignment = (
-            "batched"
-            if n_clusters >= _BATCHED_ASSIGN_MIN_K or ks >= _LLOYD_MATMUL_MIN_K
-            else "hof"
-        )
-    if assignment == "batched":
-        enc = assign_and_encode_batched(corpus, centroids, codebook, id_col, vec_col)
+    if quantizers is not None:
+        centroids, codebook = quantizers
+        n_clusters, ks = len(centroids), len(codebook[0])
     else:
-        enc = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cvec"),
-            VX.norm(F.col(vec_col)).alias("cn"),
-            _nearest_centroid(F.col(vec_col), centroids).alias("_cluster"),
-        ).withColumn("codes", _pq_codes(F.col("cvec"), codebook, norm_col=F.col("cn")))
+        sample = _driver_sample(corpus, vec_col, train_sample, seed)
+        if not sample:
+            raise ValueError(
+                "cannot train a quantizer on an empty corpus sample — "
+                "the input frame has no vectors"
+            )
+        dim = len(sample[0])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m {m} sub-quantizers")
+        centroids = _fit_quantizer(sample, n_clusters, seed)
+        codebook = pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
 
-    if files_per_cluster > 1:
-        salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(files_per_cluster))
-        enc = enc.repartition(F.col("_cluster"), salt)
-    else:
-        enc = enc.repartition(F.col("_cluster"))
+    enc = _ivfpq_encoded(corpus, centroids, codebook, id_col, vec_col, assignment)
+    enc = _cluster_aligned(enc, files_per_cluster)
     (
         enc.sortWithinPartitions("_cluster", "neighbor_id")
         .write.partitionBy("_cluster")
@@ -1340,6 +1435,48 @@ def write_ivfpq_index(
         "codebook_json string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_codebook")
     return cents, codebook
+
+
+def append_to_ivfpq_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignment: str = "auto",
+    files_per_cluster: int = 1,
+):
+    """Incrementally append a NEW batch to an IVF-PQ index written by
+    ``write_ivfpq_index`` (VERDICT r10 item 2): the batch is assigned
+    AND PQ-encoded in one pass with the SAVED quantizers
+    (``read_ivf_centroids`` + ``read_pq_codebook``, never retrained),
+    then written cluster-aligned in ``append`` mode — post-append
+    probe results are GATED equal to
+    ``write_ivfpq_index(full_corpus, quantizers=saved)`` (test_plans
+    parity + the bench_io ``emb_ivfpq_append`` gate). Work is
+    O(batch); the existing cluster files are untouched (each append
+    adds ≤ ``files_per_cluster`` files per touched cluster — compact
+    by rebuilding with ``quantizers=(centroids, codebook)``, no
+    retrain needed).
+
+    Retrain-vs-append drift criterion: see ``append_to_ivf_index`` —
+    identical, plus the PQ codebook adds a second drift surface (ADC
+    error grows on out-of-distribution appends before assignment skew
+    hurts, because the exact rerank only sees candidates the ADC pass
+    ranked into the top k·refine).
+
+    Returns (centroids, codebook) as read from the index."""
+    spark = batch.sparkSession
+    centroids = read_ivf_centroids(spark, path)
+    codebook = read_pq_codebook(spark, path)
+    enc = _ivfpq_encoded(batch, centroids, codebook, id_col, vec_col, assignment)
+    enc = _cluster_aligned(enc, files_per_cluster)
+    (
+        enc.sortWithinPartitions("_cluster", "neighbor_id")
+        .write.partitionBy("_cluster")
+        .mode("append")
+        .parquet(f"{path}/data")
+    )
+    return centroids, codebook
 
 
 def ivfpq_topk_indexed(

@@ -694,3 +694,78 @@ def test_indexed_rerank_carries_string_ids(spark, tmp_path):
     ).collect()
     assert len(rows) == 5 * 3
     assert all(isinstance(r.query_id, str) and isinstance(r.neighbor_id, str) for r in rows)
+
+
+def test_ivf_append_equals_rebuild_with_saved_quantizer(spark, tmp_path):
+    """VERDICT r10 item 2: append_to_ivf_index assigns the new batch
+    with the SAVED quantizer, so probing the appended index must equal
+    probing a full rebuild of the same corpus under the same quantizer
+    (write_ivf_index(..., centroids=saved) — the no-retrain compaction
+    path) row-for-row."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(21)
+    vecs = rng.standard_normal((300, 16)).astype("float32")
+    full = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    initial = full.filter(F.col("vec_id") < 200)
+    batch = full.filter(F.col("vec_id") >= 200)
+
+    grown = str(tmp_path / "ivf_grown")
+    saved = SIM.write_ivf_index(initial, grown, n_clusters=8, seed=42)
+    SIM.append_to_ivf_index(batch, grown)
+
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    SIM.write_ivf_index(full, rebuilt, centroids=saved)
+
+    q = full.filter(F.col("vec_id") < 10)
+    got = SIM.ivf_topk_indexed(spark, grown, q, k=5, n_probe=3).collect()
+    want = SIM.ivf_topk_indexed(spark, rebuilt, q, k=5, n_probe=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 10 * 5
+    # the appended rows are actually IN the grown index
+    ids = {r.neighbor_id for r in spark.read.parquet(grown).select("neighbor_id").collect()}
+    assert ids == set(range(300))
+
+
+def test_ivfpq_append_equals_rebuild_and_bounds_files(spark, tmp_path):
+    """Same gate for the composed IVF-PQ index: one assign+encode pass
+    under the saved (centroids, codebook), appended cluster-aligned.
+    Also pins the append file-bound promise: after one append no
+    cluster directory holds more than 2 x files_per_cluster files."""
+    import glob as globmod
+    import os
+
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(22)
+    vecs = rng.standard_normal((300, 16)).astype("float32")
+    full = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    initial = full.filter(F.col("vec_id") < 200)
+    batch = full.filter(F.col("vec_id") >= 200)
+
+    grown = str(tmp_path / "ivfpq_grown")
+    cents, cb = SIM.write_ivfpq_index(initial, grown, n_clusters=8, m=4, ks=8, seed=42)
+    SIM.append_to_ivfpq_index(batch, grown)
+
+    rebuilt = str(tmp_path / "ivfpq_rebuilt")
+    SIM.write_ivfpq_index(full, rebuilt, quantizers=(cents, cb))
+
+    q = full.filter(F.col("vec_id") < 10)
+    got = SIM.ivfpq_topk_indexed(spark, grown, q, k=5, n_probe=3, refine=8).collect()
+    want = SIM.ivfpq_topk_indexed(spark, rebuilt, q, k=5, n_probe=3, refine=8).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 10 * 5
+
+    for cdir in globmod.glob(f"{grown}/data/_cluster=*"):
+        files = [f for f in os.listdir(cdir) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 2, (cdir, files)  # build + at most one append
