@@ -41,9 +41,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # queries rotate back in — pricing_summary (deferred one round in r10
 # for the emb_ivfpq_pruned registration; green r6, entry()-smoked
 # every round) plus the 48 r8-verified queries sitting exactly at the
-# two-round staleness bound. The 50th slot is held by
-# socrata_paged_scan (green r10) pending this round's one new
-# registration. Benched (rotated out): the r10-verified set — green
+# two-round staleness bound. The 50th slot holds the one r11
+# registration (doc_minhash_against_corpus — new queries sample
+# unconditionally). Benched (rotated out): the r10-verified set — green
 # r10 — which may stay benched through r12 and MUST rotate back in by
 # r13.
 _VERIFY_FIRST = [
@@ -98,12 +98,13 @@ _VERIFY_FIRST = [
     "doc_dup_clusters",
     "emb_semantic_dedup",
     "emb_ivf_pruned",
-    # --- 50th slot: green r10, held pending the r11 registration ---
-    "socrata_paged_scan",
+    # --- NEW in r11: cross-run dedup against signatures at rest ---
+    "doc_minhash_against_corpus",
 ]
 _ROTATION_BENCHED = [
     # --- r10-verified (green r10); may stay benched through r12,
     # MUST rotate back into the sample by r13 ---
+    "socrata_paged_scan",
     "time_features",
     "whitelist_recode",
     "emb_ivfpq_pruned",

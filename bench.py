@@ -62,6 +62,7 @@ SKIP = {
     "compact_small_files",
     "socrata_paged_scan",  # loopback-HTTP fixture round-trip — an ingest/IO gate, not query latency (VERDICT r9 item 3)
     "emb_ivfpq_pruned",  # index-at-rest round-trip, same bin as emb_ivf_pruned/emb_pq_pruned
+    "doc_minhash_against_corpus",  # r11: signature-table-at-rest round-trip — IO bin
     "emb_ivf_pruned",
     "emb_pq_pruned",
     "orc_roundtrip_stats",

@@ -49,6 +49,7 @@ IO_QUERIES = [
     "emb_ivf_pruned",
     "emb_pq_pruned",
     "emb_ivfpq_pruned",  # r10: the composed IVF-PQ at-rest index
+    "doc_minhash_against_corpus",  # r11: MinHash signatures at rest + cross-run probe
     # loopback-HTTP Socrata fixture round-trip (r9): the cost is the
     # scripted-server plumbing + paged fetch, an ingest path like the
     # rest of this set — not query latency (VERDICT r9 item 3)

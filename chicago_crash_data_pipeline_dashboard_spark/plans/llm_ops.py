@@ -819,6 +819,147 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_against_oracle(
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    threshold: float,
+    max_bucket: int,
+    clone_offset: int,
+) -> str:
+    """DuckDB twin of write_minhash_signatures + near_duplicates_against
+    over the gate's corpus/batch split: corpus = doc_id % 5 != 0 (its
+    signatures are 'at rest'), batch = doc_id % 5 = 0 plus clones of
+    every corpus doc with doc_id % 50 = 1 under id + clone_offset. The
+    oracle replays the SAME band-bucket join — corpus side banded and
+    cap-filtered on its WRITE-TIME bucket size, batch side banded
+    fresh — and the same signature-estimated Jaccard."""
+    rows = num_hashes // bands
+    params = DD._hash_params(num_hashes, seed)
+    mins = ", ".join(
+        f"list_min(list_transform(hvals, h -> ((h % {_P31}) * {a} + {b}) % {_P31}))"
+        for a, b in params
+    )
+
+    def banded(sig_cte: str) -> str:
+        selects = []
+        for i in range(bands):
+            cols = ", ".join(f"signature[{i * rows + j + 1}]" for j in range(rows))
+            selects.append(
+                f"SELECT doc, {i} AS band, concat_ws('_', {cols}) AS bucket "
+                f"FROM {sig_cte}"
+            )
+        return " UNION ALL ".join(selects)
+
+    return f"""
+    WITH corpus_docs AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch_docs AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + {clone_offset} AS doc, text FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1
+    ),
+    csh AS (SELECT doc, {_shingles_sql(shingle_n)} AS shingles FROM corpus_docs),
+    chv AS (SELECT doc, list_transform(shingles, s -> {_H32.format(s='s')}) AS hvals FROM csh),
+    csig AS (SELECT doc, [{mins}] AS signature FROM chv),
+    bsh AS (SELECT doc, {_shingles_sql(shingle_n)} AS shingles FROM batch_docs),
+    bhv AS (SELECT doc, list_transform(shingles, s -> {_H32.format(s='s')}) AS hvals FROM bsh),
+    bsig AS (SELECT doc, [{mins}] AS signature FROM bhv),
+    cbanded0 AS ({banded('csig')}),
+    hot AS (SELECT band, bucket FROM cbanded0
+            GROUP BY band, bucket HAVING count(*) > {max_bucket}),
+    cbanded AS (SELECT b.* FROM cbanded0 b
+                WHERE NOT EXISTS (SELECT 1 FROM hot h
+                                  WHERE h.band = b.band AND h.bucket = b.bucket)),
+    bbanded AS ({banded('bsig')}),
+    cand AS (
+      SELECT DISTINCT c.doc AS corpus_doc, b.doc AS batch_doc
+      FROM cbanded c JOIN bbanded b USING (band, bucket)
+    ),
+    est AS (
+      SELECT corpus_doc, batch_doc,
+        CAST(len(list_filter(range(1, {num_hashes} + 1),
+                 i -> sc.signature[i] = sb.signature[i])) AS DOUBLE) / {num_hashes}
+          AS est_jaccard
+      FROM cand
+      JOIN csig sc ON sc.doc = corpus_doc
+      JOIN bsig sb ON sb.doc = batch_doc
+    )
+    SELECT corpus_doc, batch_doc, round(est_jaccard, 6) AS est_jaccard
+    FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+_AGAINST_CLONE_OFFSET = 1_000_000
+
+
+@register(
+    "doc_minhash_against_corpus",
+    oracle=_minhash_against_oracle(
+        num_hashes=32, bands=8, shingle_n=3, seed=42, threshold=0.5,
+        max_bucket=1000, clone_offset=_AGAINST_CLONE_OFFSET,
+    ),
+    doc="Cross-run dedup against signatures AT REST (operators/dedup.py "
+    "write_minhash_signatures / near_duplicates_against — VERDICT r10 "
+    "item 3): the corpus's banded MinHash signatures persist as one "
+    "parquet table partitionBy(part = hash(band, bucket) % parts) with "
+    "a write-time bucket_size column, and an incoming batch dedups "
+    "against the WHOLE ingested corpus by (a) banding its own "
+    "signatures, (b) pruning the table scan to only the hive "
+    "partitions its buckets hash into (PartitionFilters, "
+    "plan-asserted in test_plans), (c) a batch-broadcast join on "
+    "(band, bucket) with the hot-bucket cap applied scan-side from the "
+    "stored bucket_size — no query-time aggregation of the corpus and "
+    "no corpus text read, the generalization of doc_decontaminate's "
+    "one-off shape. Gate: batch = the held-out 20% of documents plus "
+    "planted clones of 10 corpus docs under new ids; every planted "
+    "clone must surface at est_jaccard 1.0 (raised in-gate) and the "
+    "full pair set must hash-match the oracle's SQL replay of the "
+    "band-bucket join. At 100 TB the probe is O(batch + matched "
+    "buckets): the corpus is touched only through its pruned "
+    "signature partitions.",
+)
+def doc_minhash_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    clones = corpus.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + _AGAINST_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(clones)
+    tmp = tempfile.mkdtemp(prefix="ccpd_sigs_")
+    try:
+        path = f"{tmp}/sigs"
+        DD.write_minhash_signatures(
+            corpus, path, "doc_id", "text",
+            num_hashes=32, bands=8, shingle_n=3, seed=42,
+            hash_mode="md5", parts=16,
+        )
+        pairs = DD.near_duplicates_against(
+            batch, path, "doc_id", "text", threshold=0.5, max_bucket=1000
+        )
+        rows = pairs.collect()
+        got = {(r.corpus_doc, r.batch_doc): r.est_jaccard for r in rows}
+        planted = [r.doc_id for r in clones.select("doc_id").collect()]
+        missed = [
+            b for b in planted
+            if got.get((b - _AGAINST_CLONE_OFFSET, b)) != 1.0
+        ]
+        if planted and missed:
+            raise AssertionError(
+                f"planted cross-run clones not caught at est_jaccard=1.0: {missed}"
+            )
+        # the signature files vanish with the scratch dir — return data
+        return spark.createDataFrame(rows, pairs.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _simhash_fp_ctes(bits: int) -> str:
     """Shared CTE chain ending in ``fp(doc, simhash)`` — the portable
     md5-mode SimHash fingerprint, reused by the fingerprint gate and

@@ -769,3 +769,39 @@ def test_ivfpq_append_equals_rebuild_and_bounds_files(spark, tmp_path):
     for cdir in globmod.glob(f"{grown}/data/_cluster=*"):
         files = [f for f in os.listdir(cdir) if f.endswith(".parquet")]
         assert 1 <= len(files) <= 2, (cdir, files)  # build + at most one append
+
+
+def test_signature_table_probe_prunes_partitions(spark, sf_oracle, tmp_path):
+    """near_duplicates_against's promise: the corpus signature scan
+    reads ONLY the hive partitions the batch's buckets hash into
+    (PartitionFilters IN-list on part) and never reads corpus text
+    (the scan schema is the signature table's columns only)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "sigs")
+    DD.write_minhash_signatures(
+        corpus, path, "doc_id", "text",
+        num_hashes=32, bands=8, shingle_n=3, seed=42, parts=16,
+    )
+    batch = d.filter(F.col("doc_id") % 97 == 0).limit(3)
+    pairs = DD.near_duplicates_against(batch, path, "doc_id", "text", threshold=0.5)
+    plan = plan_of(pairs)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any(
+        "part" in l and "IN" in l.upper() and "[]" not in l.replace(" ", "")
+        for l in pf_lines
+    ), f"no part IN partition filter in: {pf_lines}"
+    # a 3-doc batch hashes into fewer than all 16 parts: the literal
+    # list must be a strict subset (3 docs x 8 bands = at most 24
+    # buckets, but the IN-list dedupes to the distinct parts)
+    # and the batch side broadcasts
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    # two scans appear: the batch side legitimately reads text from
+    # documents.parquet; the BANDED table scan (the one with the
+    # signature column) must not touch any text column
+    sig_schemas = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "signature" in l
+    ]
+    assert sig_schemas and all("text" not in l for l in sig_schemas), sig_schemas
