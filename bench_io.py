@@ -59,6 +59,52 @@ IO_QUERIES = [
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def _ivfpq_append_gate(spark, sf_dir):
+    """r11 (VERDICT r10 item 2): build an IVF-PQ index on 80% of the
+    embeddings, append the held-out 20% with the SAVED quantizers, and
+    probe — timed as the incremental-ingest IO path. Self-gating: the
+    probe of the grown index must equal (row-for-row) the probe of a
+    full rebuild under the same quantizers, or this raises. Not a
+    registered query (the driver sample is full this round); the
+    operator-level parity lives in tests/test_plans.py."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    initial = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    q = e.filter(F.col("vec_id") < 8)
+    tmp = tempfile.mkdtemp(prefix="ccpd_ivfpq_append_")
+    try:
+        grown = f"{tmp}/grown"
+        cents, cb = SIM.write_ivfpq_index(
+            initial, grown, n_clusters=16, m=16, ks=16, seed=42
+        )
+        SIM.append_to_ivfpq_index(batch, grown)
+        rebuilt = f"{tmp}/rebuilt"
+        SIM.write_ivfpq_index(e, rebuilt, quantizers=(cents, cb))
+        got = SIM.ivfpq_topk_indexed(spark, grown, q, k=5, n_probe=4, refine=8)
+        want = SIM.ivfpq_topk_indexed(spark, rebuilt, q, k=5, n_probe=4, refine=8)
+        g, w = sorted(map(tuple, got.collect())), sorted(map(tuple, want.collect()))
+        if g != w:
+            raise AssertionError("append-grown probe diverged from same-quantizer rebuild")
+        return got.sparkSession.createDataFrame(g, got.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Self-gating IO paths timed alongside the registered IO queries but
+# NOT part of the driver registry (tests/test_bench_contract.py pins
+# IO_QUERIES == bench.SKIP minus streaming; these are extra).
+IO_EXTRA = {
+    "emb_ivfpq_append": _ivfpq_append_gate,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -67,12 +113,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in IO_QUERIES:
+    runnables = [(n, QUERIES[n].fn) for n in IO_QUERIES] + list(IO_EXTRA.items())
+    for name, fn in runnables:
         samples = []
         try:
             for _ in range(RUNS):
                 t0 = time.perf_counter()
-                df = QUERIES[name].fn(spark, sf_dir)
+                df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(samples), 4)
