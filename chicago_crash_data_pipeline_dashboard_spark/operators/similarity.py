@@ -1252,27 +1252,43 @@ def pq_topk(
 # --------------------------------------------------------------------------
 
 
+def _unit_centroids(centroids):
+    """Centroid matrix L2-normalized row-wise (f32) — the anchor the
+    residual encode subtracts in unit space (cosine ranking happens
+    between unit vectors, so residuals must live there too)."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    n = np.sqrt((c * c).sum(axis=1))
+    return (c / np.where(n == 0, 1.0, n)[:, None]).astype(np.float32)
+
+
 def assign_and_encode_batched(
     corpus: DataFrame,
     centroids,
     codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encode: str = "direct",
 ) -> DataFrame:
     """One Arrow-batched pass computing BOTH the IVF cluster assignment
     and the PQ codes — the production encode for ``write_ivfpq_index``
     (running ``assign_clusters_batched`` and ``pq_codes_batched``
     separately would read and materialize the corpus twice). Cluster
     argmin follows ``assign_clusters_batched`` exactly (f64 matmul on
-    the RAW vector, lowest index on ties); codes follow
-    ``pq_codes_batched`` exactly (f32 sgemm per subspace on the
-    L2-NORMALIZED vector). Returns
-    (neighbor_id, cvec, cn, _cluster, codes)."""
+    the RAW vector, lowest index on ties); ``encode="direct"`` codes
+    follow ``pq_codes_batched`` exactly (f32 sgemm per subspace on the
+    L2-NORMALIZED vector); ``encode="residual"`` codes the FAISS
+    IVFADC residual r = unit(v) − unit(c_assigned) instead — the
+    codebook then spends its ks levels on the (much smaller) spread
+    WITHIN a cell rather than on absolute position (r11 A/B,
+    COVERAGE.md). Returns (neighbor_id, cvec, cn, _cluster, codes)."""
     import numpy as np
     import pandas as pd
 
     c = np.asarray(centroids, dtype=np.float64)  # k × d
     c_sq = (c * c).sum(axis=1)
+    cu = _unit_centroids(centroids) if encode == "residual" else None
     cb = np.asarray(codebook, dtype=np.float32)  # m × ks × sub
     m, ks, sub = cb.shape
     cb_sq = (cb * cb).sum(axis=2)
@@ -1288,18 +1304,20 @@ def assign_and_encode_batched(
                 np.float64
             )
             dists = c_sq[None, :] - 2.0 * (vecs @ c.T)
+            cl = dists.argmin(axis=1).astype("int32")
             norms = np.sqrt((vecs * vecs).sum(axis=1))
             unit = (vecs / np.where(norms == 0, 1.0, norms)[:, None]).astype(np.float32)
+            enc_vecs = unit - cu[cl] if cu is not None else unit
             codes = np.empty((len(vecs), m), dtype=np.int32)
             for mi in range(m):
-                sv = unit[:, mi * sub : (mi + 1) * sub]
+                sv = enc_vecs[:, mi * sub : (mi + 1) * sub]
                 codes[:, mi] = (cb_sq[mi][None, :] - 2.0 * (sv @ cb[mi].T)).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf[id_col].values,
                     "cvec": pdf[vec_col].values,
                     "cn": norms,
-                    "_cluster": dists.argmin(axis=1).astype("int32"),
+                    "_cluster": cl,
                     "codes": list(codes),
                 }
             )
@@ -1323,22 +1341,34 @@ def assign_and_encode_batched(
 
 
 def _ivfpq_encoded(
-    corpus: DataFrame, centroids, codebook, id_col: str, vec_col: str, assignment: str
+    corpus: DataFrame,
+    centroids,
+    codebook,
+    id_col: str,
+    vec_col: str,
+    assignment: str,
+    encode: str = "direct",
 ) -> DataFrame:
     """(neighbor_id, cvec, cn, _cluster, codes) under GIVEN quantizers
     — the encode pass shared by index build and incremental append.
     ``"auto"`` routes through :func:`assign_and_encode_batched` above
     the shared thresholds; gate-scale indexes keep the pure-JVM HOF
-    maps."""
+    maps. ``encode="residual"`` always runs batched (the residual
+    subtraction is numpy arithmetic; a HOF form would embed the full
+    centroid matrix twice)."""
     n_clusters, ks = len(centroids), len(codebook[0])
-    if assignment == "auto":
+    if encode == "residual":
+        assignment = "batched"
+    elif assignment == "auto":
         assignment = (
             "batched"
             if n_clusters >= _BATCHED_ASSIGN_MIN_K or ks >= _LLOYD_MATMUL_MIN_K
             else "hof"
         )
     if assignment == "batched":
-        return assign_and_encode_batched(corpus, centroids, codebook, id_col, vec_col)
+        return assign_and_encode_batched(
+            corpus, centroids, codebook, id_col, vec_col, encode=encode
+        )
     return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -1360,6 +1390,7 @@ def write_ivfpq_index(
     assignment: str = "auto",
     files_per_cluster: int = 1,
     quantizers=None,
+    encode: str = "direct",
 ):
     """FAISS-style IVF-PQ index AT REST — the composition the two
     standalone indexes each lack half of (the r10 1M probes: IVF prunes
@@ -1381,14 +1412,19 @@ def write_ivfpq_index(
     - ``{path}/_centroids`` / ``{path}/_codebook``: the two quantizers,
       readable by ``read_ivf_centroids`` / ``read_pq_codebook``.
 
-    Both quantizers train on ONE bounded driver sample. Codes encode
-    the L2-normalized vector directly (not the FAISS residual — cosine
-    ranking needs unit vectors, and the exact rerank absorbs the
-    precision difference; documented trade, parity with the PQ-alone
-    semantics). ``assignment="auto"`` routes the corpus pass through
-    :func:`assign_and_encode_batched` above 32 clusters or at
-    production sub-codebook sizes; gate-scale indexes keep the
-    pure-JVM HOF maps.
+    Both quantizers train on ONE bounded driver sample.
+    ``encode="direct"`` (default) codes the L2-normalized vector
+    (parity with the PQ-alone semantics); ``encode="residual"`` codes
+    the FAISS IVFADC residual r = unit(v) − unit(c_assigned), with the
+    codebook trained on sample residuals — ks levels spent on the
+    spread WITHIN a cell instead of absolute position (the r11 1M A/B
+    in COVERAGE.md measures the recall difference; the exact rerank is
+    identical either way). The mode persists in ``{path}/_codebook``
+    so probes and appends can never mix regimes. ``assignment="auto"``
+    routes the corpus pass through :func:`assign_and_encode_batched`
+    above 32 clusters or at production sub-codebook sizes; gate-scale
+    indexes keep the pure-JVM HOF maps (residual mode always runs
+    batched).
 
     Parity: the reference has no ANN surface — this extends the
     LLM-pipeline operator family (brief: similarity search at 100 TB).
@@ -1401,6 +1437,8 @@ def write_ivfpq_index(
     Returns (centroids, codebook)."""
     import json
 
+    if encode not in ("direct", "residual"):
+        raise ValueError(f"encode must be 'direct' or 'residual', got {encode!r}")
     if quantizers is not None:
         centroids, codebook = quantizers
         n_clusters, ks = len(centroids), len(codebook[0])
@@ -1415,9 +1453,14 @@ def write_ivfpq_index(
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m {m} sub-quantizers")
         centroids = _fit_quantizer(sample, n_clusters, seed)
-        codebook = pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
+        codebook = pq_train(
+            _residual_sample(sample, centroids) if encode == "residual" else sample,
+            dim=dim, m=m, ks=ks, seed=seed,
+        )
 
-    enc = _ivfpq_encoded(corpus, centroids, codebook, id_col, vec_col, assignment)
+    enc = _ivfpq_encoded(
+        corpus, centroids, codebook, id_col, vec_col, assignment, encode=encode
+    )
     enc = _cluster_aligned(enc, files_per_cluster)
     (
         enc.sortWithinPartitions("_cluster", "neighbor_id")
@@ -1431,10 +1474,38 @@ def write_ivfpq_index(
         1
     ).write.mode("overwrite").json(f"{path}/_centroids")
     spark.createDataFrame(
-        [(json.dumps([[[float(x) for x in cc] for cc in cs] for cs in codebook]),)],
-        "codebook_json string",
+        [
+            (
+                json.dumps(
+                    [[[float(x) for x in cc] for cc in cs] for cs in codebook]
+                ),
+                encode,
+            )
+        ],
+        "codebook_json string, encode string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_codebook")
     return cents, codebook
+
+
+def _residual_sample(sample, centroids):
+    """Sample residuals unit(v) − unit(c_assigned) for residual-mode
+    codebook training (driver-side; the sample is bounded by
+    contract)."""
+    import numpy as np
+
+    v = np.asarray(sample, dtype=np.float64)
+    c = np.asarray(centroids, dtype=np.float64)
+    cl = ((c * c).sum(axis=1)[None, :] - 2.0 * (v @ c.T)).argmin(axis=1)
+    n = np.sqrt((v * v).sum(axis=1))
+    unit = v / np.where(n == 0, 1.0, n)[:, None]
+    return (unit - _unit_centroids(centroids).astype(np.float64)[cl]).tolist()
+
+
+def read_ivfpq_encode_mode(spark, path: str) -> str:
+    """The encode regime persisted by ``write_ivfpq_index`` ('direct'
+    for pre-r11 indexes that carry no mode field)."""
+    row = spark.read.json(f"{path}/_codebook").collect()[0]
+    return row["encode"] if "encode" in row.__fields__ else "direct"
 
 
 def append_to_ivfpq_index(
@@ -1468,7 +1539,12 @@ def append_to_ivfpq_index(
     spark = batch.sparkSession
     centroids = read_ivf_centroids(spark, path)
     codebook = read_pq_codebook(spark, path)
-    enc = _ivfpq_encoded(batch, centroids, codebook, id_col, vec_col, assignment)
+    # the encode regime comes from the INDEX, never the caller — an
+    # appended batch must be coded the way the at-rest codes were
+    enc = _ivfpq_encoded(
+        batch, centroids, codebook, id_col, vec_col, assignment,
+        encode=read_ivfpq_encode_mode(spark, path),
+    )
     enc = _cluster_aligned(enc, files_per_cluster)
     (
         enc.sortWithinPartitions("_cluster", "neighbor_id")
@@ -1502,20 +1578,30 @@ def ivfpq_topk_indexed(
     ``_BATCHED_ASSIGN_MIN_K`` centroid (or ``_LLOYD_MATMUL_MIN_K``
     sub-codebook) threshold the probe ids and LUT compute driver-side
     in numpy (same split + arguments as ``ivf_topk_indexed`` /
-    ``pq_topk_indexed``)."""
+    ``pq_topk_indexed``). A residual-encoded index (persisted mode)
+    always takes the numpy path, with a PER-(query, probed-cluster)
+    LUT over q' = unit(q) − unit(c_cluster) — the ADC then
+    approximates ‖unit(q) − unit(v)‖² exactly as the direct mode
+    does, just anchored at the cell centroid."""
     import numpy as np
 
     from pyspark.sql import types as T
 
     centroids = read_ivf_centroids(spark, path)
     codebook = read_pq_codebook(spark, path)
+    enc_mode = read_ivfpq_encode_mode(spark, path)
     cb = np.asarray(codebook, dtype=np.float64)
     m, ks, sub = cb.shape
     # same thresholds as write_ivfpq_index's "auto" switch — a corpus
     # assigned by the batched regime is always probed by it too
-    large = len(centroids) >= _BATCHED_ASSIGN_MIN_K or ks >= _LLOYD_MATMUL_MIN_K
+    large = (
+        len(centroids) >= _BATCHED_ASSIGN_MIN_K
+        or ks >= _LLOYD_MATMUL_MIN_K
+        or enc_mode == "residual"
+    )
     if large:
         c = np.asarray(centroids, dtype=np.float64)
+        cu = _unit_centroids(centroids).astype(np.float64)
         rows = []
         for r in queries.select(id_col, vec_col).collect():
             v = r[vec_col]
@@ -1526,6 +1612,15 @@ def ivfpq_topk_indexed(
             order = np.lexsort((np.arange(len(c)), d2))[:n_probe]
             qn = float(np.sqrt((v64 * v64).sum()))
             unit = v64 / (qn if qn != 0 else 1.0)
+            if enc_mode == "residual":
+                for cl in order:
+                    qr = unit - cu[cl]
+                    lut = [
+                        ((cb[mi] - qr[mi * sub : (mi + 1) * sub]) ** 2).sum(-1).tolist()
+                        for mi in range(m)
+                    ]
+                    rows.append((r[id_col], v, qn, int(cl), lut))
+                continue
             lut = [
                 ((cb[mi] - unit[mi * sub : (mi + 1) * sub]) ** 2).sum(-1).tolist()
                 for mi in range(m)

@@ -805,3 +805,44 @@ def test_signature_table_probe_prunes_partitions(spark, sf_oracle, tmp_path):
         l for l in plan.splitlines() if "ReadSchema" in l and "signature" in l
     ]
     assert sig_schemas and all("text" not in l for l in sig_schemas), sig_schemas
+
+
+def test_ivfpq_residual_encode_roundtrip(spark, tmp_path):
+    """encode='residual' (r11, VERDICT r10 item 5): codes anchor at
+    the assigned cell's unit centroid and the probe builds a
+    per-(query, cluster) LUT. Planted exact clones must come back at
+    rank 1 / cos 1.0 through assign→probe→residual-ADC→rerank, the
+    persisted mode must round-trip, and append must inherit it."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(31)
+    centers = rng.standard_normal((8, 16)) * 5.0
+    vecs = (centers[np.repeat(np.arange(8), 40)]
+            + 0.05 * rng.standard_normal((320, 16))).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivfpq_residual")
+    SIM.write_ivfpq_index(
+        df.filter(F.col("vec_id") < 280), path,
+        n_clusters=8, m=4, ks=16, seed=42, encode="residual",
+    )
+    assert SIM.read_ivfpq_encode_mode(spark, path) == "residual"
+    # append inherits the persisted mode (not a caller argument)
+    SIM.append_to_ivfpq_index(df.filter(F.col("vec_id") >= 280), path)
+
+    q = df.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    top1 = SIM.ivfpq_topk_indexed(spark, path, q, k=1, n_probe=2, refine=8).collect()
+    assert len(top1) == 6
+    assert all(r.neighbor_id == r.query_id - 10_000 for r in top1), top1
+    assert all(r.cos == 1.0 for r in top1)
+
+    # a direct index written pre-r11 (no mode field) still reads as direct
+    direct = str(tmp_path / "ivfpq_direct")
+    SIM.write_ivfpq_index(df, direct, n_clusters=8, m=4, ks=16, seed=42)
+    assert SIM.read_ivfpq_encode_mode(spark, direct) == "direct"
