@@ -93,6 +93,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — harness boundary
         notes["ingest_throughput"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
+    # r11 (VERDICT r10 item 6): decompose the dominant windowed-count
+    # gate — batch-twin plan cost vs stream start/stop vs full drain
+    try:
+        from chicago_crash_data_pipeline_dashboard_spark.plans.analytics import (
+            windowed_stream_cost_probe,
+        )
+
+        notes["windowed_counts_cost"] = windowed_stream_cost_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — harness boundary
+        notes["windowed_counts_cost"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     out = {
         "metric": "stream_total_median_query_seconds",
         "value": round(sum(timings.values()), 4),

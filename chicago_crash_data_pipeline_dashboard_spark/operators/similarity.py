@@ -1143,7 +1143,16 @@ def _indexed_rerank(spark, vectors: DataFrame, cand_rows, q: DataFrame, k: int) 
     min/max range pushes (one comparison, still skips row groups when
     candidates are localized) and the broadcast candidate join — which
     runs in BOTH regimes and alone guarantees exactness — does the
-    selection."""
+    selection.
+
+    Sizing guidance: the candidate count is k·refine·n_queries. Below
+    the cap the IN prunes row groups wherever the ids land; above it,
+    the range filter prunes only when candidates are LOCALIZED in id
+    space (clustered writes, monotone ids) — candidates spread across
+    the full id range make it a no-op and the rerank scans every
+    probed row group (correct, just unpruned). If that regime is the
+    norm for a workload, lower k·refine per probe or shard the query
+    batch so each call stays under ``_RERANK_IN_MAX`` ids."""
     from pyspark.sql import types as T
 
     # carry the id types through from the query/vectors frames — the

@@ -1286,6 +1286,92 @@ def _drain_events_stream(
     return spark.table(name)
 
 
+def windowed_stream_cost_probe(spark: SparkSession, sf_dir: str) -> dict:
+    """BENCH_STREAM notes decomposition for the dominant stream gate
+    (VERDICT r10 item 6: event_windowed_counts_stream is ~30% of the
+    stream total — is that availableNow machinery or plan?). Three
+    measurements of the SAME windowed-count operator:
+
+    - ``batch_twin_sec``: the identical agg run as a plain batch query
+      over the same parquet — the cost of the aggregation itself;
+    - ``drain_zero_sec``: the streaming query started and drained over
+      an EMPTY source directory (0 batches) — stream start/stop,
+      file-source listing, sink setup;
+    - ``drain_full_sec``: the gate's real drain (1 availableNow batch
+      through watermark + window state + memory sink).
+
+    ``stream_overhead_sec`` = full − batch_twin: what the micro-batch
+    machinery adds on top of the plan. An unmeasurable decomposition
+    (batch twin slower than the full drain — host noise) publishes
+    nulls with ``noisy: true`` rather than a fabricated number (same
+    posture as streaming_ingest_throughput_probe)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.ingest import windowed_event_counts
+
+    load(spark, sf_dir, "events")  # establishes the legacy conf when needed
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    legacy_ts = dict(raw.dtypes).get("ts") == "bigint"
+
+    def _stream_over(src_dir: str, name: str) -> float:
+        stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+        if legacy_ts:
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        t0 = _time.perf_counter()
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = _time.perf_counter() - t0
+        spark.catalog.dropTempView(name)
+        return sec
+
+    tmp = tempfile.mkdtemp(prefix="ccpd_wstream_probe_")
+    try:
+        # unmeasured warm-up (first stream in a session pays one-time
+        # engine + codegen costs that belong to neither bucket)
+        os.makedirs(f"{tmp}/warm")
+        raw.limit(1).write.parquet(f"{tmp}/warm/events.parquet")
+        _stream_over(f"{tmp}/warm", "ccpd_wstream_warm")
+
+        os.makedirs(f"{tmp}/empty")
+        drain_zero_sec = _stream_over(f"{tmp}/empty", "ccpd_wstream_zero")
+
+        os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/full_events.parquet")
+        os.makedirs(f"{tmp}/full")
+        os.symlink(f"{sf_dir}/events.parquet", f"{tmp}/full/events.parquet")
+        drain_full_sec = _stream_over(f"{tmp}/full", "ccpd_wstream_full")
+
+        batch = windowed_event_counts(raw if not legacy_ts else raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        ))
+        t0 = _time.perf_counter()
+        n_windows = batch.count()
+        batch_twin_sec = _time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    overhead = drain_full_sec - batch_twin_sec
+    noisy = overhead <= 0
+    return {
+        "rows": raw.count(),
+        "n_windows": int(n_windows),
+        "batch_twin_sec": round(batch_twin_sec, 4),
+        "drain_zero_sec": round(drain_zero_sec, 4),
+        "drain_full_sec": round(drain_full_sec, 4),
+        "stream_overhead_sec": None if noisy else round(overhead, 4),
+        "noisy": noisy,
+    }
+
+
 @register(
     "event_sessions_stream",
     oracle="""

@@ -245,3 +245,22 @@ def test_ingest_throughput_probe_decomposes(spark, sf_smoke):
         assert p["rows_per_sec"] > 0
         # 1e-4 = the artifact's 4-decimal rounding granularity
         assert abs(p["variable_sec"] - (p["drain_rows_sec"] - p["drain_zero_sec"])) < 2e-4
+
+
+def test_windowed_stream_cost_probe_decomposes(spark, sf_smoke):
+    """The r11 BENCH_STREAM decomposition instrument (VERDICT r10 item
+    6) must measure what it claims: a real batch twin, a genuinely
+    zero-batch drain, a full drain, and either a non-negative overhead
+    or an explicit noisy flag."""
+    from chicago_crash_data_pipeline_dashboard_spark.plans.analytics import (
+        windowed_stream_cost_probe,
+    )
+
+    p = windowed_stream_cost_probe(spark, sf_smoke)
+    assert p["rows"] > 0 and p["n_windows"] > 0
+    assert p["batch_twin_sec"] > 0
+    assert p["drain_zero_sec"] > 0 and p["drain_full_sec"] > 0
+    if p["noisy"]:
+        assert p["stream_overhead_sec"] is None
+    else:
+        assert 0 < p["stream_overhead_sec"] <= p["drain_full_sec"]
