@@ -734,11 +734,18 @@ def _unit(vec_col, norm_col=None):
     )
 
 
-def pq_train(sample, dim: int, m: int = 8, ks: int = 16, seed: int = 42):
+def pq_train(sample, dim: int, m: int = 8, ks: int = 16, seed: int = 42,
+             normalize: bool = True):
     """Per-subspace codebooks: split ``dim`` into ``m`` sub-vectors and
     fit a seeded ``ks``-centroid k-means in each subspace on the
     (driver-side, bounded — same discipline as ivf_index) sample of
-    L2-NORMALIZED vectors. Returns ``codebook[m][ks][dim // m]``."""
+    L2-NORMALIZED vectors. ``normalize=False`` trains on the sample
+    AS GIVEN — required when the sample is already in encode space
+    (residual-mode IVF-PQ trains on unit-space residuals whose norms
+    are small by construction; re-normalizing them would scale the
+    codebook ~1/‖r‖ away from what the encoder actually codes — the
+    r11 A/B's first run hit exactly that, recall 0.62 → 0.23).
+    Returns ``codebook[m][ks][dim // m]``."""
     import numpy as np
 
     if dim % m != 0:
@@ -752,8 +759,9 @@ def pq_train(sample, dim: int, m: int = 8, ks: int = 16, seed: int = 42):
             "cannot train a quantizer on an empty corpus sample — "
             "the input frame has no vectors"
         )
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x / np.where(norms == 0, 1.0, norms)  # zero rows stay zero
+    if normalize:
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norms == 0, 1.0, norms)  # zero rows stay zero
     return [
         _fit_quantizer(x[:, mi * sub : (mi + 1) * sub], ks, seed + mi).tolist()
         for mi in range(m)
@@ -1462,10 +1470,14 @@ def write_ivfpq_index(
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m {m} sub-quantizers")
         centroids = _fit_quantizer(sample, n_clusters, seed)
-        codebook = pq_train(
-            _residual_sample(sample, centroids) if encode == "residual" else sample,
-            dim=dim, m=m, ks=ks, seed=seed,
-        )
+        if encode == "residual":
+            # residuals are ALREADY in encode space — train as given
+            codebook = pq_train(
+                _residual_sample(sample, centroids),
+                dim=dim, m=m, ks=ks, seed=seed, normalize=False,
+            )
+        else:
+            codebook = pq_train(sample, dim=dim, m=m, ks=ks, seed=seed)
 
     enc = _ivfpq_encoded(
         corpus, centroids, codebook, id_col, vec_col, assignment, encode=encode

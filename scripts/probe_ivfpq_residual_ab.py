@@ -81,10 +81,17 @@ def main():
         (F.col("vec_id") + Q_OFFSET).alias("vec_id"), "embedding"
     )
 
-    t0 = time.perf_counter()
-    exact = SIM.brute_force_topk(e, q, k=K).collect()
-    print(f"brute-force baseline: {time.perf_counter() - t0:.1f}s "
-          f"({len(exact)} rows)", flush=True)
+    exact_path = f"{work}/exact_topk"
+    if os.path.exists(f"{exact_path}/_SUCCESS"):
+        exact = spark.read.parquet(exact_path).collect()
+        print(f"brute-force baseline: cached ({len(exact)} rows)", flush=True)
+    else:
+        t0 = time.perf_counter()
+        exact_df = SIM.brute_force_topk(e, q, k=K)
+        exact = exact_df.collect()
+        spark.createDataFrame(exact, exact_df.schema).write.parquet(exact_path)
+        print(f"brute-force baseline: {time.perf_counter() - t0:.1f}s "
+              f"({len(exact)} rows)", flush=True)
 
     for mode in ("direct", "residual"):
         path = f"{work}/ivfpq_{mode}"
