@@ -1407,7 +1407,7 @@ def write_ivfpq_index(
     assignment: str = "auto",
     files_per_cluster: int = 1,
     quantizers=None,
-    encode: str = "direct",
+    encode: str = "auto",
 ):
     """FAISS-style IVF-PQ index AT REST — the composition the two
     standalone indexes each lack half of (the r10 1M probes: IVF prunes
@@ -1430,18 +1430,22 @@ def write_ivfpq_index(
       readable by ``read_ivf_centroids`` / ``read_pq_codebook``.
 
     Both quantizers train on ONE bounded driver sample.
-    ``encode="direct"`` (default) codes the L2-normalized vector
-    (parity with the PQ-alone semantics); ``encode="residual"`` codes
-    the FAISS IVFADC residual r = unit(v) − unit(c_assigned), with the
-    codebook trained on sample residuals — ks levels spent on the
-    spread WITHIN a cell instead of absolute position (the r11 1M A/B
-    in COVERAGE.md measures the recall difference; the exact rerank is
-    identical either way). The mode persists in ``{path}/_codebook``
-    so probes and appends can never mix regimes. ``assignment="auto"``
-    routes the corpus pass through :func:`assign_and_encode_batched`
-    above 32 clusters or at production sub-codebook sizes; gate-scale
-    indexes keep the pure-JVM HOF maps (residual mode always runs
-    batched).
+    ``encode="direct"`` codes the L2-normalized vector (parity with
+    the PQ-alone semantics); ``encode="residual"`` codes the FAISS
+    IVFADC residual r = unit(v) − unit(c_assigned), with the codebook
+    trained on sample residuals (normalize=False — they are already in
+    encode space) — ks levels spent on the spread WITHIN a cell
+    instead of absolute position. The r11 1M A/B (COVERAGE.md)
+    measured recall@100 0.618 (direct) vs 0.996 (residual) at equal
+    m/ks and equal probe cost, so ``"auto"`` (default) picks residual
+    at production cluster counts (>= ``_BATCHED_ASSIGN_MIN_K``) and
+    keeps direct at gate scale (byte-stable small indexes; the exact
+    rerank is identical either way). The resolved mode persists in
+    ``{path}/_codebook`` so probes and appends can never mix regimes.
+    ``assignment="auto"`` routes the corpus pass through
+    :func:`assign_and_encode_batched` above 32 clusters or at
+    production sub-codebook sizes; gate-scale indexes keep the
+    pure-JVM HOF maps (residual mode always runs batched).
 
     Parity: the reference has no ANN surface — this extends the
     LLM-pipeline operator family (brief: similarity search at 100 TB).
@@ -1449,17 +1453,28 @@ def write_ivfpq_index(
     ``quantizers``: pass a saved ``(centroids, codebook)`` pair to
     REBUILD without retraining (``n_clusters``/``m``/``ks``/``seed``/
     ``train_sample`` are then ignored) — the compaction path for an
-    index grown by ``append_to_ivfpq_index``.
+    index grown by ``append_to_ivfpq_index``. A saved codebook is
+    bound to the mode it was trained under: pass
+    ``encode=read_ivfpq_encode_mode(...)`` alongside it if the
+    original write overrode the ``"auto"`` resolution (``"auto"``
+    re-resolves identically from the same cluster count, so
+    default-built indexes rebuild consistently without it).
 
     Returns (centroids, codebook)."""
     import json
 
-    if encode not in ("direct", "residual"):
-        raise ValueError(f"encode must be 'direct' or 'residual', got {encode!r}")
+    if encode not in ("auto", "direct", "residual"):
+        raise ValueError(
+            f"encode must be 'auto', 'direct' or 'residual', got {encode!r}"
+        )
     if quantizers is not None:
         centroids, codebook = quantizers
         n_clusters, ks = len(centroids), len(codebook[0])
-    else:
+    if encode == "auto":
+        # the r11 1M A/B's winner at production sizes; direct at gate
+        # scale keeps small indexes byte-stable (COVERAGE.md probe)
+        encode = "residual" if n_clusters >= _BATCHED_ASSIGN_MIN_K else "direct"
+    if quantizers is None:
         sample = _driver_sample(corpus, vec_col, train_sample, seed)
         if not sample:
             raise ValueError(
