@@ -1059,6 +1059,7 @@ def write_pq_index(
     ks: int = 16,
     seed: int = 42,
     train_sample: int = 65536,
+    codebook=None,
 ):
     """Materialize the PQ index AT REST — the shape that makes PQ's
     compression claim real on disk, not just in a shuffle:
@@ -1072,10 +1073,16 @@ def write_pq_index(
     - ``{path}/_codebook``: the m×ks×(dim/m) codebook as one JSON row
       (underscore-prefixed like ``_centroids`` so discovery skips it).
 
+    ``codebook``: pass a saved codebook (``read_pq_codebook``) to
+    REBUILD without retraining — the compaction path for an index
+    grown by ``append_to_pq_index`` (``dim``/``m``/``ks``/``seed``/
+    ``train_sample`` are then ignored).
+
     Returns the codebook (also persisted)."""
     import json
 
-    codebook = _pq_train_validated(corpus, vec_col, dim, m, ks, seed, train_sample)
+    if codebook is None:
+        codebook = _pq_train_validated(corpus, vec_col, dim, m, ks, seed, train_sample)
     c = _pq_corpus_frames(corpus, id_col, vec_col, codebook)
     c.select("neighbor_id", "codes").write.mode("overwrite").parquet(f"{path}/codes")
     (
@@ -1088,6 +1095,37 @@ def write_pq_index(
         [(json.dumps([[[float(x) for x in cc] for cc in cs] for cs in codebook]),)],
         "codebook_json string",
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_codebook")
+    return codebook
+
+
+def append_to_pq_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incrementally append a NEW batch to a PQ index written by
+    ``write_pq_index`` — completes the append family (IVF and IVF-PQ
+    have the same shape): the batch encodes under the SAVED codebook
+    (``read_pq_codebook``, never retrained) and appends to both the
+    codes and vectors tables. Post-append probe results are gated
+    equal to ``write_pq_index(full_corpus, codebook=saved)``
+    (test_plans parity). Work is O(batch).
+
+    Retrain-vs-append drift criterion: as ``append_to_ivf_index``,
+    minus the assignment-skew surface (no coarse quantizer here) —
+    only ADC error grows on out-of-distribution appends. Returns the
+    codebook as read from the index."""
+    spark = batch.sparkSession
+    codebook = read_pq_codebook(spark, path)
+    c = _pq_corpus_frames(batch, id_col, vec_col, codebook)
+    c.select("neighbor_id", "codes").write.mode("append").parquet(f"{path}/codes")
+    (
+        c.select("neighbor_id", "cvec", "cn")
+        .sortWithinPartitions("neighbor_id")
+        .write.mode("append")
+        .parquet(f"{path}/vectors")
+    )
     return codebook
 
 
@@ -1542,6 +1580,51 @@ def read_ivfpq_encode_mode(spark, path: str) -> str:
     for pre-r11 indexes that carry no mode field)."""
     row = spark.read.json(f"{path}/_codebook").collect()[0]
     return row["encode"] if "encode" in row.__fields__ else "direct"
+
+
+def assign_drift_stats(
+    batch: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 'cheap online signal' the append retrain criteria cite,
+    as an actual API: the distribution of nearest-centroid L2
+    distances for a batch under a SAVED coarse quantizer — one
+    Arrow-batched pass, one 1-row aggregate. Record it at index build
+    (over the build corpus or its sample) and again per appended
+    batch: a creeping mean/p95 means the frozen cells are skewing
+    away from the incoming distribution and a retrain
+    (``write_ivf_index`` / ``write_ivfpq_index`` without saved
+    quantizers) is due. Returns one row:
+    (n_vectors, mean_dist, p95_dist, max_dist)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    def body(batches):
+        for pdf in batches:
+            col = pdf[vec_col].dropna()
+            if not len(col):
+                continue
+            vecs = np.stack(col.map(np.asarray, na_action=None).values).astype(
+                np.float64
+            )
+            d2 = (
+                (vecs * vecs).sum(axis=1)[:, None]
+                + c_sq[None, :]
+                - 2.0 * (vecs @ c.T)
+            ).min(axis=1)
+            yield pd.DataFrame({"dist": np.sqrt(np.maximum(d2, 0.0))})
+
+    dists = batch.select(vec_col).mapInPandas(body, "dist double")
+    return dists.agg(
+        F.count("dist").alias("n_vectors"),
+        F.avg("dist").alias("mean_dist"),
+        F.percentile_approx("dist", 0.95).alias("p95_dist"),
+        F.max("dist").alias("max_dist"),
+    )
 
 
 def append_to_ivfpq_index(

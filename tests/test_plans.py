@@ -872,3 +872,66 @@ def test_ivfpq_encode_auto_resolves_by_scale(spark, tmp_path):
         df, big, n_clusters=SIM._BATCHED_ASSIGN_MIN_K, m=4, ks=8, seed=42
     )
     assert SIM.read_ivfpq_encode_mode(spark, big) == "residual"
+
+
+def test_pq_append_equals_rebuild_with_saved_codebook(spark, tmp_path):
+    """append_to_pq_index completes the append family: encode the new
+    batch under the SAVED codebook, append to codes + vectors; probing
+    the grown index equals probing a no-retrain rebuild of the same
+    corpus (write_pq_index(..., codebook=saved)) row-for-row."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(23)
+    vecs = rng.standard_normal((240, 16)).astype("float32")
+    full = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    initial = full.filter(F.col("vec_id") < 160)
+    batch = full.filter(F.col("vec_id") >= 160)
+
+    grown = str(tmp_path / "pq_grown")
+    saved = SIM.write_pq_index(initial, grown, dim=16, m=4, ks=8, seed=42)
+    SIM.append_to_pq_index(batch, grown)
+
+    rebuilt = str(tmp_path / "pq_rebuilt")
+    SIM.write_pq_index(full, rebuilt, codebook=saved)
+
+    q = full.filter(F.col("vec_id") < 8)
+    got = SIM.pq_topk_indexed(spark, grown, q, k=5, refine=4).collect()
+    want = SIM.pq_topk_indexed(spark, rebuilt, q, k=5, refine=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 8 * 5
+    ids = {r.neighbor_id for r in spark.read.parquet(f"{grown}/codes").collect()}
+    assert ids == set(range(240))
+
+
+def test_assign_drift_stats_detects_shift(spark):
+    """assign_drift_stats is the documented retrain signal: an
+    in-distribution batch scores a small mean distance under the
+    saved quantizer; a shifted batch scores a clearly larger one."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(41)
+    centers = rng.standard_normal((4, 8)) * 5.0
+    base = centers[np.repeat(np.arange(4), 50)] + 0.1 * rng.standard_normal((200, 8))
+    centroids = SIM._fit_quantizer([v.tolist() for v in base], 4, seed=1)
+
+    in_dist = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base[:50])],
+        "vec_id long, embedding array<float>",
+    )
+    shifted = spark.createDataFrame(
+        [(i, (v + 30.0).tolist()) for i, v in enumerate(base[:50])],
+        "vec_id long, embedding array<float>",
+    )
+    a = SIM.assign_drift_stats(in_dist, centroids).collect()[0]
+    b = SIM.assign_drift_stats(shifted, centroids).collect()[0]
+    assert a.n_vectors == 50 and b.n_vectors == 50
+    assert 0 < a.mean_dist < 1.0
+    assert b.mean_dist > 10 * a.mean_dist
+    assert a.p95_dist >= a.mean_dist and a.max_dist >= a.p95_dist
