@@ -589,6 +589,113 @@ def write_minhash_signatures(
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_params")
 
 
+def write_fingerprints(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    parts: int = 64,
+    files_per_part: int = 1,
+) -> None:
+    """Persist the corpus's EXACT-dedup fingerprints AT REST — the
+    exact-match sibling of ``write_minhash_signatures``: one (doc,
+    fingerprint) row per document (``TX.fingerprint`` — md5 of
+    normalized text, the same fingerprint ``exact_duplicates`` groups
+    on), parquet ``partitionBy(part = pmod(xxhash64(fingerprint),
+    parts))`` so an incoming batch prunes its scan to only the
+    partitions its own fingerprints hash into. The table holds a hash
+    per doc, never text — at 100 TB it is ~1/1000th of the corpus and
+    the thing every ingest batch anti-joins before appending."""
+    fps = df.select(
+        F.col(id_col).alias("doc"),
+        TX.fingerprint(F.col(text_col)).alias("fingerprint"),
+    ).withColumn("part", F.pmod(F.xxhash64("fingerprint"), F.lit(parts)).cast("int"))
+    if files_per_part > 1:
+        salt = F.pmod(F.xxhash64("doc"), F.lit(files_per_part))
+        fps = fps.repartition(F.col("part"), salt)
+    else:
+        fps = fps.repartition(F.col("part"))
+    (
+        fps.sortWithinPartitions("part", "fingerprint")
+        .write.partitionBy("part")
+        .mode("overwrite")
+        .parquet(f"{path}/fingerprints")
+    )
+    df.sparkSession.createDataFrame(
+        [(parts,)], "parts int"
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_params")
+
+
+def append_fingerprints(
+    batch: DataFrame, path: str, id_col: str, text_col: str, files_per_part: int = 1
+) -> None:
+    """Append a (deduped) batch's fingerprints — the ingest step after
+    ``dedup_exact_against``. ``parts`` comes from the table's
+    ``_params``, never the caller."""
+    spark = batch.sparkSession
+    parts = int(spark.read.json(f"{path}/_params").collect()[0].parts)
+    fps = batch.select(
+        F.col(id_col).alias("doc"),
+        TX.fingerprint(F.col(text_col)).alias("fingerprint"),
+    ).withColumn("part", F.pmod(F.xxhash64("fingerprint"), F.lit(parts)).cast("int"))
+    if files_per_part > 1:
+        salt = F.pmod(F.xxhash64("doc"), F.lit(files_per_part))
+        fps = fps.repartition(F.col("part"), salt)
+    else:
+        fps = fps.repartition(F.col("part"))
+    (
+        fps.sortWithinPartitions("part", "fingerprint")
+        .write.partitionBy("part")
+        .mode("append")
+        .parquet(f"{path}/fingerprints")
+    )
+
+
+def dedup_exact_against(
+    batch: DataFrame, path: str, id_col: str, text_col: str
+) -> DataFrame:
+    """Rows of ``batch`` whose exact content fingerprint is NOT already
+    in the corpus table written by ``write_fingerprints`` — cross-run
+    exact dedup, the primitive every 100 TB ingest runs before
+    appending anything.
+
+    Join shape (deliberate, scale-first): the corpus side is huge and
+    must NOT shuffle, and a plain ``batch LEFT ANTI corpus`` would
+    shuffle it (the anti side of a join cannot broadcast). Instead:
+
+    1. the corpus scan prunes to the batch's fingerprint partitions
+       (``part`` IN-list — a bounded ≤``parts``-row collect), then
+       LEFT SEMI joins the BROADCAST batch fingerprints — map-side,
+       zero corpus shuffle, output ≤ |batch| rows;
+    2. the batch anti-joins that tiny hit set (broadcast again).
+
+    Within-batch duplicates are NOT collapsed here (run
+    ``dedup_exact`` first — same contract as the reference pipeline:
+    clean, then gate)."""
+    if "_fp" in batch.columns:
+        raise ValueError("dedup_exact_against reserves the column name '_fp'")
+    spark = batch.sparkSession
+    parts = int(spark.read.json(f"{path}/_params").collect()[0].parts)
+    bf = batch.withColumn("_fp", TX.fingerprint(F.col(text_col))).withColumn(
+        "part", F.pmod(F.xxhash64("_fp"), F.lit(parts)).cast("int")
+    )
+    # bounded collect: at most `parts` distinct values by construction
+    mods = sorted(r.part for r in bf.select("part").distinct().collect())
+    corpus = spark.read.parquet(f"{path}/fingerprints").filter(
+        F.col("part").isin(mods)
+    )
+    hits = (
+        corpus.join(
+            F.broadcast(bf.select(F.col("_fp").alias("fingerprint")).distinct()),
+            "fingerprint",
+            "left_semi",
+        )
+        .select(F.col("fingerprint").alias("_fp"))
+        .distinct()
+    )
+    return bf.join(F.broadcast(hits), "_fp", "left_anti").drop("_fp", "part")
+
+
 def _write_banded(banded: DataFrame, path: str, files_per_part: int, mode: str) -> None:
     """bucket_size window + part-aligned repartition + partitioned
     write — shared by the initial write and the per-batch append."""

@@ -1055,3 +1055,43 @@ def test_signatures_hot_bucket_cap_is_scan_side(spark, hot_docs, tmp_path):
     )
     assert uncapped.count() > 0
     assert capped.count() == 0
+
+
+def test_fingerprints_at_rest_exact_cross_run_dedup(spark, docs, tmp_path):
+    """Exact cross-run dedup against a fingerprint table at rest: a
+    batch re-ingesting known content (byte-identical OR
+    normalization-identical) is filtered out; genuinely new content
+    survives; appending then catches it on the next run."""
+    path = str(tmp_path / "fps")
+    DD.write_fingerprints(docs, path, "doc_id", "text", parts=8)
+
+    batch = spark.createDataFrame(
+        [
+            (100, BASE),  # byte-identical re-ingest
+            (101, "  THE  QUICK brown fox jumps over the lazy dog again and again today "),
+            # ^ normalizes to BASE (doc 5's quirk) — must also drop
+            (102, "genuinely new content never ingested before"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = DD.dedup_exact_against(batch, path, "doc_id", "text")
+    assert [r.doc_id for r in kept.collect()] == [102]
+    assert kept.columns == batch.columns  # passthrough schema
+
+    # append the survivors; a re-run of the same batch now drops 102 too
+    DD.append_fingerprints(kept, path, "doc_id", "text")
+    assert DD.dedup_exact_against(batch, path, "doc_id", "text").count() == 0
+
+    # the corpus scan is partition-pruned and text-free
+    plan_df = DD.dedup_exact_against(batch, path, "doc_id", "text")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("part" in l and "IN" in l.upper() for l in pf), pf
+    fp_schemas = [l for l in plan.splitlines() if "ReadSchema" in l and "fingerprint" in l]
+    assert fp_schemas and all("text" not in l for l in fp_schemas)
