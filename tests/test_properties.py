@@ -579,3 +579,37 @@ def test_dedup_exact_matches_min_id_model(spark, docs):
     # row contents survive untouched (no helper columns leak)
     cols = DD.dedup_exact(df, "doc_id", "text").columns
     assert cols == ["doc_id", "text"]
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=" abcXY tHe", min_size=0, max_size=20), min_size=1, max_size=12
+    ),
+    st.lists(
+        st.text(alphabet=" abcXY tHe", min_size=0, max_size=20), min_size=1, max_size=12
+    ),
+)
+def test_dedup_exact_against_matches_set_model(spark, tmp_path_factory, corpus_texts, batch_texts):
+    """Cross-run exact dedup vs the obvious set model: a batch row
+    survives iff its NORMALIZED content fingerprint is absent from the
+    corpus — over adversarial text (case/whitespace collisions between
+    corpus and batch)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+
+    def norm(s):
+        return " ".join(s.strip().lower().split())
+
+    tmp = tmp_path_factory.mktemp("fps")
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(batch_texts)], "doc_id long, text string"
+    )
+    path = str(tmp / "t")
+    DD.write_fingerprints(corpus, path, "doc_id", "text", parts=4)
+    got = sorted(r.doc_id for r in DD.dedup_exact_against(batch, path, "doc_id", "text").collect())
+    corpus_norms = {norm(t) for t in corpus_texts}
+    want = sorted(1000 + i for i, t in enumerate(batch_texts) if norm(t) not in corpus_norms)
+    assert got == want
