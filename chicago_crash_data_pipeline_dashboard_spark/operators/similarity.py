@@ -548,11 +548,11 @@ def write_ivf_index(
     the compaction path for an index grown by ``append_to_ivf_index``
     (same quantizer ⇒ identical assignments ⇒ probe results equal, but
     every cluster back at ``files_per_cluster`` files)."""
-    import json
-
+    drift = None
     if centroids is None:
         sample = _driver_sample(corpus, vec_col, train_sample, seed)
         centroids = _fit_quantizer(sample, n_clusters, seed)
+        drift = _sample_drift_baseline(sample, centroids)
     else:
         n_clusters = len(centroids)
     if assignment == "auto":
@@ -561,9 +561,7 @@ def write_ivf_index(
     assigned = _cluster_aligned(assigned, files_per_cluster)
     assigned.write.partitionBy("_cluster").mode("overwrite").parquet(path)
     cents = [[float(x) for x in c] for c in centroids]
-    corpus.sparkSession.createDataFrame(
-        [(json.dumps(cents),)], "centroids_json string"
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_centroids")
+    _write_centroids_meta(corpus.sparkSession, path, cents, drift)
     return cents
 
 
@@ -1307,6 +1305,47 @@ def pq_topk(
 # --------------------------------------------------------------------------
 
 
+def _sample_drift_baseline(sample, centroids) -> dict:
+    """Nearest-centroid distance distribution of the TRAINING sample —
+    persisted with the index so ``assign_drift_stats`` on later
+    appended batches has a committed anchor to compare against
+    (driver-side numpy; the sample is bounded by contract)."""
+    import numpy as np
+
+    v = np.asarray(sample, dtype=np.float64)
+    c = np.asarray(centroids, dtype=np.float64)
+    d2 = (v * v).sum(axis=1)[:, None] + (c * c).sum(axis=1)[None, :] - 2.0 * (v @ c.T)
+    d = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+    return {
+        "n_vectors": int(len(d)),
+        "mean_dist": float(d.mean()),
+        "p95_dist": float(np.percentile(d, 95)),
+        "max_dist": float(d.max()),
+    }
+
+
+def _write_centroids_meta(spark, path: str, centroids, drift: dict | None) -> None:
+    import json
+
+    cents = [[float(x) for x in c] for c in centroids]
+    spark.createDataFrame(
+        [(json.dumps(cents), json.dumps(drift) if drift is not None else None)],
+        "centroids_json string, drift_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_centroids")
+
+
+def read_drift_baseline(spark, path: str) -> dict | None:
+    """The build-time drift baseline persisted by write_ivf_index /
+    write_ivfpq_index (None for pre-r11 indexes or no-retrain
+    rebuilds, whose metadata carries no baseline)."""
+    import json
+
+    row = spark.read.json(f"{path}/_centroids").collect()[0]
+    if "drift_json" not in row.__fields__ or row["drift_json"] is None:
+        return None
+    return json.loads(row["drift_json"])
+
+
 def _unit_centroids(centroids):
     """Centroid matrix L2-normalized row-wise (f32) — the anchor the
     residual encode subtracts in unit space (cosine ranking happens
@@ -1505,6 +1544,7 @@ def write_ivfpq_index(
         raise ValueError(
             f"encode must be 'auto', 'direct' or 'residual', got {encode!r}"
         )
+    drift = None
     if quantizers is not None:
         centroids, codebook = quantizers
         n_clusters, ks = len(centroids), len(codebook[0])
@@ -1523,6 +1563,7 @@ def write_ivfpq_index(
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m {m} sub-quantizers")
         centroids = _fit_quantizer(sample, n_clusters, seed)
+        drift = _sample_drift_baseline(sample, centroids)
         if encode == "residual":
             # residuals are ALREADY in encode space — train as given
             codebook = pq_train(
@@ -1544,9 +1585,7 @@ def write_ivfpq_index(
     )
     spark = corpus.sparkSession
     cents = [[float(x) for x in c] for c in centroids]
-    spark.createDataFrame([(json.dumps(cents),)], "centroids_json string").coalesce(
-        1
-    ).write.mode("overwrite").json(f"{path}/_centroids")
+    _write_centroids_meta(spark, path, cents, drift)
     spark.createDataFrame(
         [
             (
@@ -1590,13 +1629,14 @@ def assign_drift_stats(
     """The 'cheap online signal' the append retrain criteria cite,
     as an actual API: the distribution of nearest-centroid L2
     distances for a batch under a SAVED coarse quantizer — one
-    Arrow-batched pass, one 1-row aggregate. Record it at index build
-    (over the build corpus or its sample) and again per appended
-    batch: a creeping mean/p95 means the frozen cells are skewing
-    away from the incoming distribution and a retrain
-    (``write_ivf_index`` / ``write_ivfpq_index`` without saved
-    quantizers) is due. Returns one row:
-    (n_vectors, mean_dist, p95_dist, max_dist)."""
+    Arrow-batched pass, one 1-row aggregate. The build records the
+    training sample's own distribution in the index metadata
+    (``read_drift_baseline``); compare each appended batch against it:
+    a creeping mean/p95 means the frozen cells are skewing away from
+    the incoming distribution and a retrain (``write_ivf_index`` /
+    ``write_ivfpq_index`` without saved quantizers) is due. Returns
+    one row: (n_vectors, mean_dist, p95_dist, max_dist) — the same
+    keys the baseline dict carries."""
     import numpy as np
     import pandas as pd
 

@@ -935,3 +935,40 @@ def test_assign_drift_stats_detects_shift(spark):
     assert 0 < a.mean_dist < 1.0
     assert b.mean_dist > 10 * a.mean_dist
     assert a.p95_dist >= a.mean_dist and a.max_dist >= a.p95_dist
+
+
+def test_drift_baseline_persists_with_index(spark, tmp_path):
+    """write_ivf_index / write_ivfpq_index record the training
+    sample's nearest-centroid distance distribution in the index
+    metadata — the committed anchor assign_drift_stats compares
+    appended batches against. No-retrain rebuilds carry none (their
+    quantizer wasn't trained on this corpus)."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(43)
+    vecs = rng.standard_normal((150, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    p1 = str(tmp_path / "ivf")
+    saved = SIM.write_ivf_index(df, p1, n_clusters=4, seed=42)
+    base = SIM.read_drift_baseline(spark, p1)
+    assert base and base["n_vectors"] == 150
+    assert 0 < base["mean_dist"] <= base["p95_dist"] <= base["max_dist"]
+    # an in-distribution batch measures in the baseline's ballpark
+    live = SIM.assign_drift_stats(df.limit(40), saved).collect()[0]
+    assert live.mean_dist < 2 * base["mean_dist"]
+
+    p2 = str(tmp_path / "ivf_rebuilt")
+    SIM.write_ivf_index(df, p2, centroids=saved)
+    assert SIM.read_drift_baseline(spark, p2) is None
+    # and the probe path still reads the centroid list fine
+    assert len(SIM.read_ivf_centroids(spark, p2)) == 4
+
+    p3 = str(tmp_path / "ivfpq")
+    SIM.write_ivfpq_index(df, p3, n_clusters=4, m=4, ks=8, seed=42)
+    b3 = SIM.read_drift_baseline(spark, p3)
+    assert b3 and b3["n_vectors"] == 150
