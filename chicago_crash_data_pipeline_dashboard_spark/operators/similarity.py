@@ -1346,6 +1346,50 @@ def read_drift_baseline(spark, path: str) -> dict | None:
     return json.loads(row["drift_json"])
 
 
+def describe_index(spark, path: str) -> dict:
+    """Operational introspection for an at-rest ANN index — what an
+    operator checks before deciding append vs retrain: kind (ivf /
+    ivfpq / pq by layout), quantizer shape, the persisted encode mode
+    and drift baseline, and row/file counts from the data table
+    (one count + one listing; no vector bytes read)."""
+    import glob as globmod
+    import os
+
+    jvm_free = path.startswith("/") or path.startswith("file:")
+    meta: dict = {"path": path}
+    has_codebook = os.path.isdir(f"{path}/_codebook") if jvm_free else True
+    has_centroids = os.path.isdir(f"{path}/_centroids") if jvm_free else True
+    if has_centroids:
+        centroids = read_ivf_centroids(spark, path)
+        meta.update(
+            n_clusters=len(centroids),
+            dim=len(centroids[0]),
+            drift_baseline=read_drift_baseline(spark, path),
+        )
+    if has_codebook:
+        codebook = read_pq_codebook(spark, path)
+        meta.update(
+            m=len(codebook), ks=len(codebook[0]),
+            sub_dim=len(codebook[0][0]),
+        )
+    if has_centroids and has_codebook:
+        meta["kind"] = "ivfpq"
+        data_dir, count_cols = f"{path}/data", ["neighbor_id"]
+        meta["encode"] = read_ivfpq_encode_mode(spark, path)
+    elif has_centroids:
+        meta["kind"] = "ivf"
+        data_dir, count_cols = path, ["neighbor_id"]
+    else:
+        meta["kind"] = "pq"
+        data_dir, count_cols = f"{path}/codes", ["neighbor_id"]
+    meta["n_rows"] = spark.read.parquet(data_dir).select(*count_cols).count()
+    if jvm_free:
+        meta["n_files"] = len(
+            globmod.glob(f"{data_dir.removeprefix('file:')}/**/*.parquet", recursive=True)
+        )
+    return meta
+
+
 def _unit_centroids(centroids):
     """Centroid matrix L2-normalized row-wise (f32) — the anchor the
     residual encode subtracts in unit space (cosine ranking happens

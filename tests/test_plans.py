@@ -972,3 +972,37 @@ def test_drift_baseline_persists_with_index(spark, tmp_path):
     SIM.write_ivfpq_index(df, p3, n_clusters=4, m=4, ks=8, seed=42)
     b3 = SIM.read_drift_baseline(spark, p3)
     assert b3 and b3["n_vectors"] == 150
+
+
+def test_describe_index_reports_all_three_kinds(spark, tmp_path):
+    """describe_index: the operator-facing summary of an at-rest ANN
+    index — kind, quantizer shape, persisted encode mode + drift
+    baseline, row/file counts."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(47)
+    vecs = rng.standard_normal((120, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    p = str(tmp_path / "ivf")
+    SIM.write_ivf_index(df, p, n_clusters=4, seed=42)
+    d = SIM.describe_index(spark, p)
+    assert d["kind"] == "ivf" and d["n_clusters"] == 4 and d["dim"] == 8
+    assert d["n_rows"] == 120 and d["n_files"] >= 4
+    assert d["drift_baseline"]["n_vectors"] == 120
+
+    p = str(tmp_path / "pq")
+    SIM.write_pq_index(df, p, dim=8, m=4, ks=8, seed=42)
+    d = SIM.describe_index(spark, p)
+    assert d["kind"] == "pq" and d["m"] == 4 and d["ks"] == 8 and d["sub_dim"] == 2
+    assert d["n_rows"] == 120
+
+    p = str(tmp_path / "ivfpq")
+    SIM.write_ivfpq_index(df, p, n_clusters=4, m=4, ks=8, seed=42)
+    d = SIM.describe_index(spark, p)
+    assert d["kind"] == "ivfpq" and d["encode"] == "direct"
+    assert d["n_clusters"] == 4 and d["m"] == 4 and d["n_rows"] == 120
