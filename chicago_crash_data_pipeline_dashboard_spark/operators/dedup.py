@@ -865,6 +865,209 @@ def simhash_near_duplicates(
     )
 
 
+def _simhash_segments(max_distance: int, bits: int):
+    """The Manku pigeonhole segmentation as an array-of-structs column
+    expression over a ``simhash`` column: ``max_distance + 1``
+    contiguous bit segments (two fingerprints within distance d differ
+    in at most d bits, touching at most d segments, so at least one
+    segment is bit-identical). Shared by the in-frame pair generator
+    and the at-rest index — both sides of a cross-run probe MUST cut
+    segments identically."""
+    n_seg = max_distance + 1
+    if n_seg > bits:
+        raise ValueError(
+            f"max_distance {max_distance} needs {n_seg} segments > {bits} bits"
+        )
+    base, rem = divmod(bits, n_seg)
+    widths = [base + (1 if i < rem else 0) for i in range(n_seg)]
+    offsets = [sum(widths[:i]) for i in range(n_seg)]
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("val"),
+            )
+            for i in range(n_seg)
+        ]
+    )
+
+
+def write_simhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    bits: int = 32,
+    hash_mode: str = "murmur3",
+    parts: int = 64,
+    files_per_part: int = 1,
+) -> None:
+    """Persist the corpus's SimHash fingerprints AT REST, pre-exploded
+    into Manku pigeonhole segments — the Hamming-tolerant member of
+    the cross-run dedup family (exact fingerprints / MinHash
+    signatures / SimHash segments all share the layout): rows
+    (doc, simhash, seg, val, bucket_size) parquet
+    ``partitionBy(part = pmod(xxhash64(seg, val), parts))``, so an
+    incoming batch prunes its scan to only the partitions its own
+    segment values hash into, and the hot-bucket cap is a scan-side
+    filter on the stored write-time ``bucket_size``.
+    ``{path}/_params`` pins (bits, max_distance, hash_mode, parts)."""
+    import json
+
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    segs = _simhash_segments(max_distance, bits)
+    fp = simhash(df, id_col, text_col, bits, hash_mode)
+    exploded = (
+        fp.select("doc", "simhash", F.explode(segs).alias("sv"))
+        .select("doc", "simhash", "sv.seg", "sv.val")
+        .withColumn(
+            "part", F.pmod(F.xxhash64("seg", "val"), F.lit(parts)).cast("int")
+        )
+        .withColumn(
+            "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("seg", "val"))
+        )
+    )
+    if files_per_part > 1:
+        salt = F.pmod(F.xxhash64("doc"), F.lit(files_per_part))
+        exploded = exploded.repartition(F.col("part"), salt)
+    else:
+        exploded = exploded.repartition(F.col("part"))
+    (
+        exploded.sortWithinPartitions("part", "seg", "val")
+        .write.partitionBy("part")
+        .mode("overwrite")
+        .parquet(f"{path}/segments")
+    )
+    df.sparkSession.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "bits": bits,
+                        "max_distance": max_distance,
+                        "hash_mode": hash_mode,
+                        "parts": parts,
+                    }
+                ),
+            )
+        ],
+        "params_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_params")
+
+
+def read_simhash_params(spark, path: str) -> dict:
+    import json
+
+    return json.loads(
+        spark.read.json(f"{path}/_params").collect()[0].params_json
+    )
+
+
+def simhash_near_duplicates_against(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    max_distance: int | None = None,
+    max_bucket: int | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Hamming-tolerant near-dup pairs between an incoming BATCH and
+    the corpus index written by ``write_simhash_index`` — cross-run
+    SimHash dedup, same probe shape as ``near_duplicates_against``:
+    the batch fingerprints and segments itself under the INDEX's
+    params, prunes the corpus scan to its segment partitions
+    (bounded ≤``parts``-row collect), broadcast-joins on (seg, val),
+    and verifies candidates by exact popcount of the XOR.
+
+    ``max_distance`` may be LOWERED below the index's stored value
+    (the pigeonhole guarantee holds for any d' ≤ d); raising it above
+    would miss pairs, so that is rejected. Returns
+    (corpus_doc, batch_doc, hamming); probe BEFORE appending
+    (``append_simhash_index``)."""
+    spark = batch.sparkSession
+    p = read_simhash_params(spark, path)
+    if max_distance is None:
+        max_distance = p["max_distance"]
+    if max_distance > p["max_distance"]:
+        raise ValueError(
+            f"max_distance {max_distance} exceeds the index's segmentation "
+            f"({p['max_distance']}) — pairs beyond it would be silently "
+            "missed; rebuild the index with the larger distance instead"
+        )
+    segs = _simhash_segments(p["max_distance"], p["bits"])
+    fp = simhash(batch, id_col, text_col, p["bits"], p["hash_mode"])
+    b = (
+        fp.select("doc", "simhash", F.explode(segs).alias("sv"))
+        .select("doc", "simhash", "sv.seg", "sv.val")
+        .withColumn(
+            "part", F.pmod(F.xxhash64("seg", "val"), F.lit(p["parts"])).cast("int")
+        )
+    )
+    # bounded collect: at most `parts` distinct values by construction
+    mods = sorted(r.part for r in b.select("part").distinct().collect())
+    corpus = spark.read.parquet(f"{path}/segments").filter(F.col("part").isin(mods))
+    if max_bucket is not None:
+        corpus = corpus.filter(F.col("bucket_size") <= max_bucket)
+    bside = b.select(
+        "seg", "val",
+        F.col("doc").alias("batch_doc"), F.col("simhash").alias("batch_fp"),
+    )
+    if broadcast_batch:
+        bside = F.broadcast(bside)
+    cand = corpus.select(
+        "seg", "val", F.col("doc").alias("corpus_doc"),
+        F.col("simhash").alias("corpus_fp"),
+    ).join(bside, ["seg", "val"])
+    return (
+        cand.select("corpus_doc", "batch_doc", "corpus_fp", "batch_fp")
+        .distinct()  # a close pair can share several segments
+        .withColumn(
+            "hamming", F.bit_count(F.col("corpus_fp").bitwiseXOR(F.col("batch_fp")))
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("corpus_doc", "batch_doc", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def append_simhash_index(
+    batch: DataFrame, path: str, id_col: str, text_col: str, files_per_part: int = 1
+) -> None:
+    """Append a (deduped) batch's segments under the INDEX's params —
+    same per-segment bucket_size posture as
+    ``append_minhash_signatures`` (sizes are per write segment; the
+    cap bounds each segment's contribution independently)."""
+    spark = batch.sparkSession
+    p = read_simhash_params(spark, path)
+    segs = _simhash_segments(p["max_distance"], p["bits"])
+    fp = simhash(batch, id_col, text_col, p["bits"], p["hash_mode"])
+    exploded = (
+        fp.select("doc", "simhash", F.explode(segs).alias("sv"))
+        .select("doc", "simhash", "sv.seg", "sv.val")
+        .withColumn(
+            "part", F.pmod(F.xxhash64("seg", "val"), F.lit(p["parts"])).cast("int")
+        )
+        .withColumn(
+            "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("seg", "val"))
+        )
+    )
+    if files_per_part > 1:
+        salt = F.pmod(F.xxhash64("doc"), F.lit(files_per_part))
+        exploded = exploded.repartition(F.col("part"), salt)
+    else:
+        exploded = exploded.repartition(F.col("part"))
+    (
+        exploded.sortWithinPartitions("part", "seg", "val")
+        .write.partitionBy("part")
+        .mode("append")
+        .parquet(f"{path}/segments")
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -898,25 +1101,8 @@ def simhash_hamming_pairs(
             f"max_distance must be >= 1, got {max_distance} "
             "(distance 0 is simhash_near_duplicates' bucket form)"
         )
-    n_seg = max_distance + 1
-    if n_seg > bits:
-        raise ValueError(f"max_distance {max_distance} needs {n_seg} segments > {bits} bits")
-    base, rem = divmod(bits, n_seg)
-    widths = [base + (1 if i < rem else 0) for i in range(n_seg)]
-    offsets = [sum(widths[:i]) for i in range(n_seg)]
-
+    segs = _simhash_segments(max_distance, bits)
     fp = simhash(df, id_col, text_col, bits, hash_mode)
-    segs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("seg"),
-                F.shiftright(F.col("simhash"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("val"),
-            )
-            for i in range(n_seg)
-        ]
-    )
     exploded = fp.select(
         "doc", "simhash", F.explode(segs).alias("sv")
     ).select("doc", "simhash", "sv.seg", "sv.val")

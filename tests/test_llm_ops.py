@@ -1095,3 +1095,80 @@ def test_fingerprints_at_rest_exact_cross_run_dedup(spark, docs, tmp_path):
     assert any("part" in l and "IN" in l.upper() for l in pf), pf
     fp_schemas = [l for l in plan.splitlines() if "ReadSchema" in l and "fingerprint" in l]
     assert fp_schemas and all("text" not in l for l in fp_schemas)
+
+
+def test_simhash_index_at_rest_cross_run(spark, docs, tmp_path):
+    """Cross-run SimHash dedup against segments at rest: a batch
+    re-ingesting identical content pairs at hamming 0; a near-dup
+    (one-word change) pairs within the distance; unrelated content
+    pairs with nothing. Lowering max_distance at probe time is legal;
+    raising it beyond the index's segmentation is rejected."""
+    path = str(tmp_path / "sh_idx")
+    DD.write_simhash_index(
+        docs, path, "doc_id", "text", max_distance=3, hash_mode="md5", parts=8
+    )
+    batch = spark.createDataFrame(
+        [(100, BASE), (101, OTHER + " but reworded a bit here")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.corpus_doc, r.batch_doc): r.hamming
+        for r in DD.simhash_near_duplicates_against(
+            batch, path, "doc_id", "text"
+        ).collect()
+    }
+    assert pairs[(1, 100)] == 0 and pairs[(2, 100)] == 0 and pairs[(5, 100)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+    # probe-time distance may shrink (pigeonhole still complete)...
+    tight = DD.simhash_near_duplicates_against(
+        batch, path, "doc_id", "text", max_distance=0
+    ).collect()
+    assert {(r.corpus_doc, r.batch_doc) for r in tight} >= {(1, 100), (2, 100), (5, 100)}
+    assert all(r.hamming == 0 for r in tight)
+    # ...but not grow beyond the stored segmentation
+    with pytest.raises(ValueError, match="exceeds the index's segmentation"):
+        DD.simhash_near_duplicates_against(
+            batch, path, "doc_id", "text", max_distance=5
+        ).collect()
+
+    # append inherits params; a re-run then catches the appended docs
+    DD.append_simhash_index(batch, path, "doc_id", "text")
+    again = {
+        (r.corpus_doc, r.batch_doc)
+        for r in DD.simhash_near_duplicates_against(
+            batch, path, "doc_id", "text"
+        ).collect()
+    }
+    assert (100, 100) in again  # self-match after append, as documented
+
+
+def test_simhash_against_matches_in_frame_pairs(spark, docs, tmp_path):
+    """Differential vs the in-frame generator: probing batch B against
+    an index of corpus C must produce exactly the C×B pairs the
+    in-frame simhash_hamming_pairs finds over C ∪ B (same segments,
+    same popcount verify)."""
+    path = str(tmp_path / "sh_diff")
+    corpus = docs.select("doc_id", "text")
+    batch = spark.createDataFrame(
+        [(100, BASE), (101, NEAR), (102, "unrelated words entirely")],
+        ["doc_id", "text"],
+    )
+    DD.write_simhash_index(
+        corpus, path, "doc_id", "text", max_distance=3, hash_mode="md5", parts=8
+    )
+    got = {
+        (r.corpus_doc, r.batch_doc, r.hamming)
+        for r in DD.simhash_near_duplicates_against(
+            batch, path, "doc_id", "text"
+        ).collect()
+    }
+    union = corpus.unionByName(batch)
+    in_frame = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in DD.simhash_hamming_pairs(
+            union, "doc_id", "text", max_distance=3, hash_mode="md5"
+        ).collect()
+    }
+    want = {(a, b, h) for (a, b, h) in in_frame if a < 100 and b >= 100}
+    assert got == want and got
