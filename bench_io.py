@@ -97,11 +97,56 @@ def _ivfpq_append_gate(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _index_compact_gate(spark, sf_dir):
+    """r11: the append-maintenance loop closed — build an IVF index on
+    70% of the embeddings, grow it with three appends under the saved
+    quantizer, then compact_index rewrites ONLY the bloated cluster
+    partitions (no quantizer math). Self-gating: probe results before
+    and after compaction must be identical, every cluster must be back
+    at one file, and at least one cluster must actually have been
+    rewritten — or this raises. Timed as the index-maintenance IO
+    path (build + appends + compact + two probes)."""
+    import glob as globmod
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="ccpd_index_compact_")
+    try:
+        path = f"{tmp}/ivf"
+        SIM.write_ivf_index(e.filter(F.col("vec_id") % 10 > 2), path, n_clusters=16, seed=42)
+        for r in (0, 1, 2):
+            SIM.append_to_ivf_index(e.filter(F.col("vec_id") % 10 == r), path)
+        q = e.filter(F.col("vec_id") < 8)
+        before = sorted(map(tuple, SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=4).collect()))
+        stats = SIM.compact_index(spark, path, files_per_cluster=1)
+        if stats["clusters_compacted"] < 1:
+            raise AssertionError("appends produced nothing to compact — gate is vacuous")
+        bad = [
+            d for d in globmod.glob(f"{path}/_cluster=*")
+            if len(globmod.glob(f"{d}/*.parquet")) != 1
+        ]
+        if bad:
+            raise AssertionError(f"clusters above the file bound after compaction: {bad}")
+        got = SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=4)
+        after = sorted(map(tuple, got.collect()))
+        if before != after:
+            raise AssertionError("compaction changed probe results")
+        return got.sparkSession.createDataFrame(after, got.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Self-gating IO paths timed alongside the registered IO queries but
 # NOT part of the driver registry (tests/test_bench_contract.py pins
 # IO_QUERIES == bench.SKIP minus streaming; these are extra).
 IO_EXTRA = {
     "emb_ivfpq_append": _ivfpq_append_gate,
+    "emb_index_compact": _index_compact_gate,
 }
 
 

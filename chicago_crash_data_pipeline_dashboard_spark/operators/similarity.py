@@ -545,9 +545,10 @@ def write_ivf_index(
     ``centroids``: pass a previously trained quantizer (e.g. from
     ``read_ivf_centroids``) to REBUILD without retraining —
     ``n_clusters``/``seed``/``train_sample`` are then ignored. This is
-    the compaction path for an index grown by ``append_to_ivf_index``
+    the full-rewrite path for an index grown by ``append_to_ivf_index``
     (same quantizer ⇒ identical assignments ⇒ probe results equal, but
-    every cluster back at ``files_per_cluster`` files)."""
+    every cluster back at ``files_per_cluster`` files); at scale prefer
+    :func:`compact_index`, which rewrites only the bloated clusters."""
     drift = None
     if centroids is None:
         sample = _driver_sample(corpus, vec_col, train_sample, seed)
@@ -595,10 +596,10 @@ def append_to_ivf_index(
     The write is the same cluster-aligned ``partitionBy("_cluster")``
     repartition as the build, in ``append`` mode: each append adds at
     most ``files_per_cluster`` files per TOUCHED cluster (after A
-    appends a cluster holds ≤ (1+A)·files_per_cluster files — compact
-    by rebuilding with ``centroids=read_ivf_centroids(...)``, which
-    needs no retrain). Duplicate ids are the caller's contract, as in
-    any append-only table.
+    appends a cluster holds ≤ (1+A)·files_per_cluster files —
+    :func:`compact_index` rewrites just the bloated clusters, no
+    quantizer math, probe results unchanged). Duplicate ids are the
+    caller's contract, as in any append-only table.
 
     **Retrain-vs-append drift criterion**: frozen quantizers stay
     EXACT for assignment and pruning, but they were fit on the
@@ -1072,9 +1073,10 @@ def write_pq_index(
       (underscore-prefixed like ``_centroids`` so discovery skips it).
 
     ``codebook``: pass a saved codebook (``read_pq_codebook``) to
-    REBUILD without retraining — the compaction path for an index
+    REBUILD without retraining — the full-rewrite path for an index
     grown by ``append_to_pq_index`` (``dim``/``m``/``ks``/``seed``/
-    ``train_sample`` are then ignored).
+    ``train_sample`` are then ignored); :func:`compact_index` compacts
+    the two tables in place without re-encoding anything.
 
     Returns the codebook (also persisted)."""
     import json
@@ -1388,6 +1390,163 @@ def describe_index(spark, path: str) -> dict:
             globmod.glob(f"{data_dir.removeprefix('file:')}/**/*.parquet", recursive=True)
         )
     return meta
+
+
+def recover_index_compaction(data_dir: str) -> str | None:
+    """Repair leftovers from a :func:`compact_index` that crashed
+    mid-swap (same state machine as ``sources.compact
+    .recover_compaction``, but for cluster-partitioned index tables
+    whose swap staging lives in sibling ``_compact_tmp`` /
+    ``_compact_old`` roots — staging can NOT use the leaf-adjacent
+    ``_cluster=3_compact_tmp`` naming, because a name containing ``=``
+    is partition-discovered and a crashed run would surface a bogus
+    partition to every later probe).
+
+    - a cluster dir present in ``_compact_old`` but missing from the
+      table crashed between the two renames → restore it;
+    - everything else in ``_compact_old`` / ``_compact_tmp`` is
+      discarded (re-running the compaction is idempotent).
+
+    Returns a short description of the repair (or None)."""
+    import os
+    import shutil
+
+    tmp_root = os.path.join(data_dir, "_compact_tmp")
+    old_root = os.path.join(data_dir, "_compact_old")
+    action = None
+    if os.path.isdir(old_root):
+        restored = 0
+        for d in os.listdir(old_root):
+            leaf = os.path.join(data_dir, d)
+            if d.startswith("_cluster=") and not os.path.exists(leaf):
+                os.rename(os.path.join(old_root, d), leaf)
+                restored += 1
+        shutil.rmtree(old_root)
+        action = f"restored_{restored}_clusters" if restored else "removed_old"
+    if os.path.isdir(tmp_root):
+        shutil.rmtree(tmp_root)
+        action = (action + "+removed_tmp") if action else "removed_tmp"
+    return action
+
+
+# IN-literal partition filters stay bounded (the r10 rerank lesson:
+# a 25k-term IN literal dominated a 1M probe); compaction just loops
+# waves instead of falling back, since each wave is independent.
+_COMPACT_WAVE = 2048
+
+
+def compact_index(
+    spark,
+    path: str,
+    files_per_cluster: int = 1,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact an at-rest ANN index grown by the ``append_to_*``
+    family WITHOUT rebuilding it — the piece that makes append-only
+    maintenance sustainable: after A appends a cluster holds up to
+    (1+A)·files_per_cluster files, and at 100 TB a full rebuild
+    (re-assign + re-encode every vector) to fix a *layout* problem is
+    not an option. This rewrites ONLY the bloated cluster partitions
+    — work is O(bloated bytes), zero quantizer math, and probe results
+    are unchanged (gated in tests and in the IO bench's self-check).
+
+    Kind-aware via the same layout sniffing as :func:`describe_index`:
+
+    - **ivf** / **ivfpq**: clusters with more than ``files_per_cluster``
+      data files are re-read (partition-pruned IN filter on
+      ``_cluster``, ≤ ``_COMPACT_WAVE`` clusters per job), rewritten
+      cluster-aligned (ivfpq re-sorted on ``neighbor_id`` to keep the
+      rerank's row-group skipping), staged under
+      ``{data}/_compact_tmp`` (underscore, no ``=`` — invisible to
+      partition discovery), then swapped in with per-cluster renames
+      (crash states repaired by :func:`recover_index_compaction`).
+      On an object store, swap via dynamic partition overwrite from a
+      persisted staging table instead of renames; the rewrite job is
+      identical.
+    - **pq**: the ``codes`` and ``vectors`` tables are plain
+      directories — ``codes`` compacts round-robin to ``target_bytes``
+      files, ``vectors`` range-partitioned + re-sorted on
+      ``neighbor_id`` (tightening the min/max stats the rerank fetch
+      skips row groups with).
+
+    Local-filesystem swap implementation, like ``sources.compact`` —
+    the repo's lake-layer convention. Returns before/after stats."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from ..sources.compact import compact_dir
+
+    def _data_files(data_dir: str) -> int:
+        # NOT dir_stats: the ivf table root also holds the _centroids
+        # sidecar, whose inner json files would skew the count
+        return len(globmod.glob(os.path.join(data_dir, "_cluster=*", "*.parquet")))
+
+    root = path.removeprefix("file:")
+    has_codebook = os.path.isdir(os.path.join(root, "_codebook"))
+    has_centroids = os.path.isdir(os.path.join(root, "_centroids"))
+    if not has_centroids and has_codebook:
+        codes = compact_dir(
+            spark, os.path.join(root, "codes"), target_bytes=target_bytes
+        )
+        vecs = compact_dir(
+            spark,
+            os.path.join(root, "vectors"),
+            target_bytes=target_bytes,
+            sort_col="neighbor_id",
+        )
+        return {
+            "kind": "pq",
+            "files_before": codes["files"] + vecs["files"],
+            "files_after": codes["files_after"] + vecs["files_after"],
+            "compacted": codes["compacted"] + vecs["compacted"],
+        }
+
+    kind = "ivfpq" if has_codebook else "ivf"
+    data_dir = os.path.join(root, "data") if kind == "ivfpq" else root
+    recover_index_compaction(data_dir)
+
+    bloated: list[int] = []
+    files_before = 0
+    n_clusters_on_disk = 0
+    for d in sorted(os.listdir(data_dir)):
+        if not d.startswith("_cluster="):
+            continue
+        n_clusters_on_disk += 1
+        n = len(globmod.glob(os.path.join(data_dir, d, "*.parquet")))
+        files_before += n
+        if n > files_per_cluster:
+            bloated.append(int(d.split("=", 1)[1]))
+    stats = {
+        "kind": kind,
+        "clusters_total": n_clusters_on_disk,
+        "clusters_compacted": len(bloated),
+        "files_before": files_before,
+    }
+    if not bloated:
+        return {**stats, "files_after": files_before, "compacted": 0}
+
+    tmp_root = os.path.join(data_dir, "_compact_tmp")
+    old_root = os.path.join(data_dir, "_compact_old")
+    for wave_at in range(0, len(bloated), _COMPACT_WAVE):
+        wave = bloated[wave_at : wave_at + _COMPACT_WAVE]
+        out = spark.read.parquet(data_dir).filter(F.col("_cluster").isin(wave))
+        out = _cluster_aligned(out, files_per_cluster)
+        if kind == "ivfpq":
+            out = out.sortWithinPartitions("_cluster", "neighbor_id")
+        out.write.partitionBy("_cluster").mode("overwrite").parquet(tmp_root)
+        os.makedirs(old_root, exist_ok=True)
+        for c in wave:
+            leaf = os.path.join(data_dir, f"_cluster={c}")
+            os.rename(leaf, os.path.join(old_root, f"_cluster={c}"))
+            os.rename(os.path.join(tmp_root, f"_cluster={c}"), leaf)
+        shutil.rmtree(old_root)
+        shutil.rmtree(tmp_root)
+    return {
+        **stats,
+        "files_after": _data_files(data_dir),
+        "compacted": len(bloated),
+    }
 
 
 def _unit_centroids(centroids):
@@ -1728,9 +1887,9 @@ def append_to_ivfpq_index(
     ``write_ivfpq_index(full_corpus, quantizers=saved)`` (test_plans
     parity + the bench_io ``emb_ivfpq_append`` gate). Work is
     O(batch); the existing cluster files are untouched (each append
-    adds ≤ ``files_per_cluster`` files per touched cluster — compact
-    by rebuilding with ``quantizers=(centroids, codebook)``, no
-    retrain needed).
+    adds ≤ ``files_per_cluster`` files per touched cluster —
+    :func:`compact_index` rewrites just the bloated clusters, no
+    re-encode of the rest).
 
     Retrain-vs-append drift criterion: see ``append_to_ivf_index`` —
     identical, plus the PQ codebook adds a second drift surface (ADC

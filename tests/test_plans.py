@@ -771,6 +771,159 @@ def test_ivfpq_append_equals_rebuild_and_bounds_files(spark, tmp_path):
         assert 1 <= len(files) <= 2, (cdir, files)  # build + at most one append
 
 
+def _rand_vec_frame(spark, seed: int, n: int = 300, dim: int = 16):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.standard_normal((n, dim)).astype("float32")
+    return spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_compact_index_ivf_restores_file_bound_probe_unchanged(spark, tmp_path):
+    """compact_index is what makes append-only maintenance sustainable
+    at scale: after appends bloat the cluster directories, it rewrites
+    ONLY the bloated partitions (no quantizer math, no re-assignment)
+    — file counts return to the files_per_cluster bound and probe
+    results are bit-identical to pre-compaction."""
+    import glob as globmod
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    full = _rand_vec_frame(spark, 31)
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(full.filter(F.col("vec_id") < 150), path, n_clusters=8, seed=42)
+    for lo, hi in ((150, 200), (200, 250), (250, 300)):
+        SIM.append_to_ivf_index(
+            full.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), path
+        )
+    assert any(
+        len(globmod.glob(f"{d}/*.parquet")) > 1
+        for d in globmod.glob(f"{path}/_cluster=*")
+    ), "appends should have bloated at least one cluster"
+
+    q = full.filter(F.col("vec_id") < 10)
+    before = sorted(map(tuple, SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=3).collect()))
+
+    stats = SIM.compact_index(spark, path, files_per_cluster=1)
+    assert stats["kind"] == "ivf"
+    assert stats["clusters_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    for d in globmod.glob(f"{path}/_cluster=*"):
+        assert len(globmod.glob(f"{d}/*.parquet")) == 1, d
+
+    after = sorted(map(tuple, SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=3).collect()))
+    assert before == after
+    # quantizer sidecar untouched; re-compacting is a no-op
+    assert len(SIM.read_ivf_centroids(spark, path)) == 8
+    again = SIM.compact_index(spark, path, files_per_cluster=1)
+    assert again["compacted"] == 0
+    assert again["files_after"] == stats["files_after"]
+
+
+def test_compact_index_ivfpq_keeps_sort_and_probe(spark, tmp_path):
+    """IVF-PQ compaction re-sorts each rewritten cluster on
+    neighbor_id (the rerank's row-group-skipping contract) and leaves
+    probe results unchanged."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq_mod
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    full = _rand_vec_frame(spark, 32)
+    path = str(tmp_path / "ivfpq")
+    SIM.write_ivfpq_index(
+        full.filter(F.col("vec_id") < 200), path, n_clusters=8, m=4, ks=8, seed=42
+    )
+    SIM.append_to_ivfpq_index(full.filter(F.col("vec_id") >= 200), path)
+
+    q = full.filter(F.col("vec_id") < 10)
+    before = sorted(
+        map(tuple, SIM.ivfpq_topk_indexed(spark, path, q, k=5, n_probe=3, refine=8).collect())
+    )
+    stats = SIM.compact_index(spark, path, files_per_cluster=1)
+    assert stats["kind"] == "ivfpq"
+    assert stats["clusters_compacted"] >= 1
+    leaves = globmod.glob(f"{path}/data/_cluster=*")
+    for d in leaves:
+        files = globmod.glob(f"{d}/*.parquet")
+        assert len(files) == 1, d
+        ids = pq_mod.read_table(files[0], columns=["neighbor_id"])["neighbor_id"].to_pylist()
+        assert ids == sorted(ids), f"{d} lost its neighbor_id sort"
+    after = sorted(
+        map(tuple, SIM.ivfpq_topk_indexed(spark, path, q, k=5, n_probe=3, refine=8).collect())
+    )
+    assert before == after
+
+
+def test_compact_index_pq_tables(spark, tmp_path):
+    """PQ compaction: codes compacts round-robin, vectors re-sorts on
+    neighbor_id (globally range-partitioned); probes unchanged."""
+    import glob as globmod
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    full = _rand_vec_frame(spark, 33, n=240)
+    path = str(tmp_path / "pq")
+    SIM.write_pq_index(full.filter(F.col("vec_id") < 160), path, dim=16, m=4, ks=8, seed=42)
+    SIM.append_to_pq_index(full.filter(F.col("vec_id") >= 160), path)
+
+    q = full.filter(F.col("vec_id") < 8)
+    before = sorted(map(tuple, SIM.pq_topk_indexed(spark, path, q, k=5, refine=4).collect()))
+    stats = SIM.compact_index(spark, path)
+    assert stats["kind"] == "pq"
+    assert stats["compacted"] == 2
+    assert len(globmod.glob(f"{path}/codes/*.parquet")) == 1
+    assert len(globmod.glob(f"{path}/vectors/*.parquet")) == 1
+    after = sorted(map(tuple, SIM.pq_topk_indexed(spark, path, q, k=5, refine=4).collect()))
+    assert before == after
+
+
+def test_recover_index_compaction_restores_crashed_swap(spark, tmp_path):
+    """A compaction that dies between the two renames leaves a cluster
+    only under _compact_old; recovery restores it (and discards tmp
+    staging), after which probes see the full corpus again and a fresh
+    compact_index runs clean."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    full = _rand_vec_frame(spark, 34)
+    path = str(tmp_path / "ivf_crash")
+    SIM.write_ivf_index(full.filter(F.col("vec_id") < 200), path, n_clusters=8, seed=42)
+    SIM.append_to_ivf_index(full.filter(F.col("vec_id") >= 200), path)
+
+    q = full.filter(F.col("vec_id") < 10)
+    want = sorted(map(tuple, SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=3).collect()))
+
+    # simulate the mid-swap crash: one cluster moved to _compact_old,
+    # its replacement never moved in (left as tmp staging junk)
+    victim = sorted(globmod.glob(f"{path}/_cluster=*"))[0]
+    old_root = os.path.join(path, "_compact_old")
+    tmp_root = os.path.join(path, "_compact_tmp")
+    os.makedirs(old_root)
+    os.rename(victim, os.path.join(old_root, os.path.basename(victim)))
+    os.makedirs(os.path.join(tmp_root, os.path.basename(victim)))
+
+    action = SIM.recover_index_compaction(path)
+    assert action == "restored_1_clusters+removed_tmp"
+    assert os.path.isdir(victim)
+    assert not os.path.exists(old_root) and not os.path.exists(tmp_root)
+    got = sorted(map(tuple, SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=3).collect()))
+    assert got == want
+
+    stats = SIM.compact_index(spark, path, files_per_cluster=1)
+    assert stats["clusters_compacted"] >= 1
+    got2 = sorted(map(tuple, SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=3).collect()))
+    assert got2 == want
+    shutil.rmtree(path)
+
+
 def test_signature_table_probe_prunes_partitions(spark, sf_oracle, tmp_path):
     """near_duplicates_against's promise: the corpus signature scan
     reads ONLY the hive partitions the batch's buckets hash into
