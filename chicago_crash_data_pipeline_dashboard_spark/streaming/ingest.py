@@ -121,3 +121,75 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def stream_append_to_ivf_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Incremental ANN-index maintenance AS A STREAM — the composition
+    the append family exists for: a 100 TB corpus arrives as files, and
+    each availableNow drain appends every new file's vectors to the
+    at-rest IVF index under the SAVED quantizer
+    (``operators.similarity.append_to_ivf_index``; probe results gated
+    equal to a same-quantizer rebuild in tests/test_streaming.py).
+
+    Delivery contract: the file-source checkpoint is the exactly-once
+    ledger (each source file appended once across restarts and
+    re-drains — a second drain with no new files runs ZERO batches), so
+    the append — which, like any append-only sink, is NOT idempotent
+    under replayed input — is never handed the same file twice.
+    Duplicate ids ACROSS files remain the upstream contract, exactly as
+    in batch appends.
+
+    Per batch, the returned stats carry ``assign_drift_stats`` vs the
+    build-time baseline persisted in the index metadata
+    (``read_drift_baseline``) — the retrain signal surfaces in the
+    drain's output instead of silently decaying recall. Returns one
+    dict per micro-batch: {batch_id, n_vectors, mean_dist, p95_dist,
+    max_dist, baseline_mean}.
+    """
+    from ..operators import similarity as SIM
+
+    schema = spark.read.parquet(src_dir).schema
+    baseline = SIM.read_drift_baseline(spark, index_path)
+    stats: list[dict] = []
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(src_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            centroids = SIM.append_to_ivf_index(
+                batch_df, index_path, id_col=id_col, vec_col=vec_col
+            )
+            drift = SIM.assign_drift_stats(batch_df, centroids, vec_col=vec_col).first()
+            stats.append(
+                {
+                    "batch_id": batch_id,
+                    "n_vectors": drift["n_vectors"],
+                    "mean_dist": drift["mean_dist"],
+                    "p95_dist": drift["p95_dist"],
+                    "max_dist": drift["max_dist"],
+                    "baseline_mean": baseline["mean_dist"] if baseline else None,
+                }
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

@@ -264,3 +264,53 @@ def test_windowed_stream_cost_probe_decomposes(spark, sf_smoke):
         assert p["stream_overhead_sec"] is None
     else:
         assert 0 < p["stream_overhead_sec"] <= p["drain_full_sec"]
+
+
+def test_stream_append_to_ivf_index(spark, tmp_path):
+    """Incremental index maintenance as a stream: each drained file
+    appends under the saved quantizer; the checkpoint guarantees a
+    re-drain appends nothing; the grown index's probe results equal a
+    same-quantizer rebuild of the full corpus; drift stats are
+    reported against the persisted build baseline."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+    from chicago_crash_data_pipeline_dashboard_spark.streaming.ingest import (
+        stream_append_to_ivf_index,
+    )
+
+    rng = np.random.RandomState(41)
+    vecs = rng.standard_normal((300, 16)).astype("float32")
+    full = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    index = str(tmp_path / "ivf")
+    saved = SIM.write_ivf_index(full.filter(F.col("vec_id") < 200), index, n_clusters=8, seed=42)
+
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    full.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stats1 = stream_append_to_ivf_index(spark, src, index, ckpt)
+    assert len(stats1) == 1
+    assert stats1[0]["n_vectors"] == 50
+    assert stats1[0]["baseline_mean"] is not None  # retrain signal vs build baseline
+
+    # re-drain with no new files: ZERO batches, nothing double-appended
+    assert stream_append_to_ivf_index(spark, src, index, ckpt) == []
+
+    full.filter(F.col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+    stats2 = stream_append_to_ivf_index(spark, src, index, ckpt)
+    assert sum(s["n_vectors"] for s in stats2) == 50
+
+    rebuilt = str(tmp_path / "rebuilt")
+    SIM.write_ivf_index(full, rebuilt, centroids=saved)
+    q = full.filter(F.col("vec_id") < 10)
+    got = SIM.ivf_topk_indexed(spark, index, q, k=5, n_probe=3).collect()
+    want = SIM.ivf_topk_indexed(spark, rebuilt, q, k=5, n_probe=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    ids = {r.neighbor_id for r in spark.read.parquet(index).select("neighbor_id").collect()}
+    assert ids == set(range(300))
