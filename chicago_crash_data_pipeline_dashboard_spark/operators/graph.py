@@ -136,6 +136,223 @@ def connected_components(
     return labels
 
 
+def extend_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Incrementally extend a (node, comp) assignment table with a NEW
+    batch of edges — cross-run dedup clustering: each ingest round's
+    near-dup pairs (within the batch AND batch-vs-corpus, e.g. from
+    ``near_duplicates_against``) fold into the standing clusters
+    without recomputing the corpus graph.
+
+    EXACT, not approximate, by the star-graph property: a component's
+    (node → comp) rows are themselves edges that reproduce its
+    connectivity (comp is a member node, so the star is connected and
+    contains the component's min id), so
+    ``connected_components(star(assignments) ∪ new_edges)`` equals
+    ``connected_components(original_edges ∪ new_edges)`` — the
+    original edge list never needs to be kept. Gated against exactly
+    that equality in tests/test_graph.py.
+
+    Work is O(affected), not O(corpus): only components touching a new
+    edge's endpoint re-enter the iteration —
+
+    - the touched component ids come from a broadcast semi-join of the
+      (tiny) endpoint set against ``assignments``;
+    - untouched rows pass through via a broadcast anti-join on comp —
+      the corpus table is never shuffled, and at rest the comp-hash
+      partition layout prunes most of it out of the scan entirely;
+    - the pointer-jumping iteration runs over the affected star edges
+      plus the new edges only.
+
+    Labels of affected components may DECREASE (a merge adopts the
+    smaller side's min id; a new node with a smaller id than every
+    corpus member becomes the new canonical) — min-label semantics,
+    same as a full recompute. Returns the full updated (node, comp)
+    table."""
+    endpoints = (
+        new_edges.select(F.col(src).alias("node"))
+        .union(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    touched = (
+        assignments.join(F.broadcast(endpoints), "node", "left_semi")
+        .select("comp")
+        .distinct()
+    )
+    affected = assignments.join(F.broadcast(touched), "comp", "left_semi")
+    star = affected.select(F.col("node").alias("a"), F.col("comp").alias("b"))
+    combined = star.union(
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
+    updated = connected_components(
+        combined, src="a", dst="b", max_iter=max_iter, stats_out=stats_out
+    )
+    untouched = assignments.join(F.broadcast(touched), "comp", "left_anti")
+    return untouched.unionByName(updated)
+
+
+def write_components(
+    assignments: DataFrame,
+    path: str,
+    parts: int = 64,
+    files_per_part: int = 1,
+) -> None:
+    """Persist a (node, comp) assignment table AT REST, partitioned by
+    ``part = pmod(xxhash64(comp), parts)`` — comp-hash partitioning
+    puts EVERY member of a component in exactly one hive partition, so
+    :func:`extend_components_at_rest` can rewrite a touched component
+    without touching (or reading) the rest of the table. Same
+    ``_params`` sidecar and file-count discipline (repartition on part
+    + optional salt before partitionBy) as the signature tables."""
+    import json
+
+    out = assignments.select(
+        "node", "comp", F.pmod(F.xxhash64("comp"), F.lit(parts)).alias("part")
+    )
+    if files_per_part > 1:
+        salt = F.pmod(F.xxhash64("node"), F.lit(files_per_part))
+        out = out.repartition(F.col("part"), salt)
+    else:
+        out = out.repartition(F.col("part"))
+    out.write.partitionBy("part").mode("overwrite").parquet(f"{path}/assign")
+    assignments.sparkSession.createDataFrame(
+        [(json.dumps({"parts": parts, "files_per_part": files_per_part}),)],
+        "params_json string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_params")
+
+
+def read_components(spark, path: str) -> DataFrame:
+    """The (node, comp) table persisted by :func:`write_components`."""
+    return spark.read.parquet(f"{path}/assign").select("node", "comp")
+
+
+def _components_params(spark, path: str) -> dict:
+    import json
+
+    return json.loads(
+        spark.read.json(f"{path}/_params").collect()[0].params_json
+    )
+
+
+def extend_components_at_rest(
+    spark,
+    path: str,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    stats_out: dict | None = None,
+) -> dict:
+    """:func:`extend_components` against the AT-REST table — each
+    ingest round folds its near-dup pairs into the standing cluster
+    assignments in place, rewriting only the partitions whose
+    components were touched:
+
+    - touched components come from one column-pruned scan of
+      (node, comp) semi-joined with the broadcast endpoint set (two
+      longs per row — the one corpus-wide pass, and the reason the
+      table carries nothing else);
+    - their members are re-read through a ``part IN (...)``
+      partition-pruned scan, re-clustered with the new edges
+      (:func:`connected_components` over the affected star only), and
+      written back with dynamic partition overwrite — merged
+      components move to their new comp-hash partition, survivors of
+      the old partitions are carried over in the same write;
+    - an old partition whose every row moved away receives no rows
+      (dynamic overwrite cannot clear it), so those are removed
+      explicitly — local-filesystem convention, like the compaction
+      swap.
+
+    Labels only ever DECREASE under min-label semantics, so repeated
+    extends converge exactly like one big recompute (gated in
+    tests/test_graph.py: interleaved extends == full-union CC).
+    Returns {touched_comps, rewritten_parts, n_updated}."""
+    import os
+    import shutil
+
+    parts = _components_params(spark, path)["parts"]
+    table = spark.read.parquet(f"{path}/assign")
+
+    endpoints = (
+        new_edges.select(F.col(src).alias("node"))
+        .union(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    touched = (
+        table.join(F.broadcast(endpoints), "node", "left_semi")
+        .select("comp")
+        .distinct()
+    )
+    # comp ids are bounded by the batch's endpoint count (each endpoint
+    # is in at most one component) — a driver-side list by contract,
+    # like ANN probe ids
+    touched_rows = touched.withColumn(
+        "part", F.pmod(F.xxhash64("comp"), F.lit(parts))
+    ).collect()
+    if not touched_rows and new_edges.isEmpty():
+        return {"touched_comps": 0, "rewritten_parts": 0, "n_updated": 0}
+    touched_comps = [r["comp"] for r in touched_rows]
+    old_parts = sorted({r["part"] for r in touched_rows})
+
+    pruned = table.filter(F.col("part").isin(old_parts)) if old_parts else table.limit(0)
+    # comp type carried from the table schema, not a literal (string /
+    # int node ids pass through — the r10-advice hardcoded-type trap)
+    from pyspark.sql import types as T
+
+    touched_df = spark.createDataFrame(
+        [(c,) for c in touched_comps],
+        T.StructType([T.StructField("comp", table.schema["comp"].dataType)]),
+    )
+    affected = pruned.join(F.broadcast(touched_df), "comp", "left_semi")
+    updated = extend_components(
+        affected.select("node", "comp"),
+        new_edges,
+        src=src,
+        dst=dst,
+        max_iter=max_iter,
+        stats_out=stats_out,
+    )
+    keep = pruned.join(F.broadcast(touched_df), "comp", "left_anti").select(
+        "node", "comp"
+    )
+    out = updated.unionByName(keep).select(
+        "node", "comp", F.pmod(F.xxhash64("comp"), F.lit(parts)).alias("part")
+    )
+    out = out.repartition(F.col("part")).persist()
+    try:
+        n_updated = out.count()
+        written_parts = {
+            r["part"] for r in out.select("part").distinct().collect()
+        }
+        with_dynamic = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.partitionBy("part").mode("overwrite").parquet(f"{path}/assign")
+        finally:
+            if with_dynamic is not None:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dynamic)
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    finally:
+        out.unpersist()
+    emptied = set(old_parts) - written_parts
+    for p in emptied:
+        d = f"{path.removeprefix('file:')}/assign/part={p}"
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    return {
+        "touched_comps": len(touched_comps),
+        "rewritten_parts": len(written_parts | emptied),
+        "n_updated": n_updated,
+    }
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",

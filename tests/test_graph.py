@@ -91,3 +91,163 @@ def test_components_empty_edges_converge_immediately(spark):
     out = connected_components(empty, max_iter=25)
     assert out.count() == 0
     assert time.perf_counter() - t0 < 20  # 25 un-converged rounds would take far longer
+
+
+def test_extend_components_equals_full_recompute(spark):
+    """Star-graph exactness gate: extending run-1 assignments with
+    run-2's edge batch must equal connected_components over the full
+    union — including batch-only chains, batch-vs-corpus merges, a
+    chain of new edges fusing two old components, and a new node
+    taking over as a component's canonical (smaller id than every
+    member)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        extend_components,
+    )
+
+    run1 = [(2, 1), (2, 3), (10, 11), (11, 12), (20, 21), (30, 31), (40, 41)]
+    # 50-51-52: new-only chain; 3-10: merges comps 1 and 10;
+    # 21-30: merges comps 20 and 30 through a new node 99;
+    # 0-40: new node 0 becomes comp 40's canonical
+    run2 = [(50, 51), (51, 52), (3, 10), (21, 99), (99, 30), (0, 40)]
+
+    e1 = spark.createDataFrame(run1, "src long, dst long")
+    e2 = spark.createDataFrame(run2, "src long, dst long")
+    assignments = connected_components(e1)
+
+    got = {r["node"]: r["comp"] for r in extend_components(assignments, e2).collect()}
+    want = {
+        r["node"]: r["comp"]
+        for r in connected_components(e1.unionByName(e2)).collect()
+    }
+    assert got == want == _union_find(run1 + run2)
+    assert got[40] == 0  # new canonical adopted
+    assert got[12] == 1  # old comps 1+10 fused
+    assert got[30] == 20  # fused through the new bridge node
+    assert got[52] == 50  # batch-only chain clustered
+
+
+def test_extend_components_leaves_untouched_rows_alone(spark):
+    """Components with no endpoint in the batch pass through via the
+    broadcast anti-join — same rows, and the iterative recompute never
+    sees them (the affected star excludes their nodes)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        extend_components,
+    )
+
+    run1 = [(2, 1), (10, 11), (20, 21)]
+    run2 = [(11, 99)]
+    e1 = spark.createDataFrame(run1, "src long, dst long")
+    e2 = spark.createDataFrame(run2, "src long, dst long")
+    assignments = connected_components(e1)
+
+    stats: dict = {}
+    out = extend_components(assignments, e2, stats_out=stats)
+    got = {r["node"]: r["comp"] for r in out.collect()}
+    assert got == _union_find(run1 + run2)
+    # the iteration ran over the affected subgraph only: comp 10's
+    # 2 members + the new node — comps 1 and 20 never entered it
+    assert stats["rounds"] >= 1
+    affected_nodes = {10, 11, 99}
+    recomputed = {
+        r["node"]
+        for r in extend_components(assignments, e2)
+        .join(assignments.withColumnRenamed("comp", "_old"), "node", "left")
+        .filter(F.col("_old").isNull() | (F.col("comp") != F.col("_old")))
+        .collect()
+    }
+    assert recomputed <= affected_nodes
+
+
+def test_components_at_rest_extends_in_place(spark, tmp_path):
+    """Cross-run clustering at rest: each round's pairs fold into the
+    persisted (node, comp) table; only touched comp-hash partitions
+    rewrite (merged components move to their new partition, emptied
+    partitions are cleared); interleaved extends equal one full-union
+    recompute."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        extend_components_at_rest,
+        read_components,
+        write_components,
+    )
+
+    run1 = [(2, 1), (2, 3), (10, 11), (20, 21), (40, 41)]
+    run2 = [(3, 10), (50, 51)]          # merge comps 1+10; new pair
+    run3 = [(51, 52), (0, 40), (21, 1)]  # grow 50s; new canonical; merge 20s into 1s
+
+    e1 = spark.createDataFrame(run1, "src long, dst long")
+    path = str(tmp_path / "cc")
+    write_components(connected_components(e1), path, parts=8)
+
+    s2 = extend_components_at_rest(
+        spark, path, spark.createDataFrame(run2, "src long, dst long")
+    )
+    assert s2["touched_comps"] == 2  # comps 1 and 10 (50/51 are new nodes)
+    got2 = {r["node"]: r["comp"] for r in read_components(spark, path).collect()}
+    assert got2 == _union_find(run1 + run2)
+
+    s3 = extend_components_at_rest(
+        spark, path, spark.createDataFrame(run3, "src long, dst long")
+    )
+    got3 = {r["node"]: r["comp"] for r in read_components(spark, path).collect()}
+    assert got3 == _union_find(run1 + run2 + run3)
+    assert got3[21] == 1 and got3[40] == 0 and got3[52] == 50
+    # table stays consistent: one row per node, no stale leftovers
+    n = read_components(spark, path).count()
+    assert n == len(got3) == len(_union_find(run1 + run2 + run3))
+    assert s3["n_updated"] >= s3["touched_comps"]
+
+
+def test_components_at_rest_prunes_scan_and_clears_emptied(spark, tmp_path):
+    """The members re-read is partition-pruned to the touched comps'
+    part values, and an old partition whose rows all moved to a merged
+    component's new partition is removed rather than left stale."""
+    import glob as globmod
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        extend_components_at_rest,
+        read_components,
+        write_components,
+    )
+
+    # many parts so each comp very likely has its own partition
+    run1 = [(100, 101), (200, 201)]
+    e1 = spark.createDataFrame(run1, "src long, dst long")
+    path = str(tmp_path / "cc2")
+    write_components(connected_components(e1), path, parts=64)
+    parts_before = {
+        d.rsplit("=", 1)[1] for d in globmod.glob(f"{path}/assign/part=*")
+    }
+
+    # merge both comps: comp 200's rows move into comp 100's partition
+    edges = spark.createDataFrame([(101, 200)], "src long, dst long")
+    stats = extend_components_at_rest(spark, path, edges)
+    assert stats["touched_comps"] == 2
+    got = {r["node"]: r["comp"] for r in read_components(spark, path).collect()}
+    assert got == {100: 100, 101: 100, 200: 100, 201: 100}
+    parts_after = {
+        d.rsplit("=", 1)[1] for d in globmod.glob(f"{path}/assign/part=*")
+    }
+    # the merged-away component's partition is gone unless it collided
+    # with the survivor's partition value
+    if len(parts_before) == 2:
+        assert len(parts_after) == 1
+
+
+def test_components_at_rest_string_ids(spark, tmp_path):
+    """Doc ids are often strings — the at-rest tables and the touched-
+    comp literal frame must carry the source type through (no
+    hardcoded long schema)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        extend_components_at_rest,
+        read_components,
+        write_components,
+    )
+
+    e1 = spark.createDataFrame([("d2", "d1"), ("d5", "d6")], "src string, dst string")
+    path = str(tmp_path / "cc_str")
+    write_components(connected_components(e1), path, parts=8)
+    extend_components_at_rest(
+        spark, path, spark.createDataFrame([("d1", "d0"), ("d6", "d7")], "src string, dst string")
+    )
+    got = {r["node"]: r["comp"] for r in read_components(spark, path).collect()}
+    assert got == {"d0": "d0", "d1": "d0", "d2": "d0", "d5": "d5", "d6": "d5", "d7": "d5"}
