@@ -1172,3 +1172,116 @@ def test_simhash_against_matches_in_frame_pairs(spark, docs, tmp_path):
     }
     want = {(a, b, h) for (a, b, h) in in_frame if a < 100 and b >= 100}
     assert got == want and got
+
+
+def test_cross_run_ingest_round_composition(spark, docs, tmp_path):
+    """The complete cross-run ingest round, composed from the at-rest
+    pieces: corpus signatures + cluster assignments persisted; a new
+    batch (1) probes near-dup pairs against the corpus WITHOUT reading
+    corpus text, (2) finds its within-batch pairs, (3) folds both edge
+    sets into the standing clusters in place, (4) keeps one canonical
+    per cluster, and (5) appends only the survivors' signatures — so a
+    LATER batch cloning a survivor is caught too."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        connected_components,
+        extend_components_at_rest,
+        read_components,
+        write_components,
+    )
+
+    params = dict(num_hashes=32, bands=8, shingle_n=3, seed=42)
+    sigs = str(tmp_path / "sigs")
+    comps = str(tmp_path / "comps")
+    corpus = docs.select("doc_id", "text")
+    DD.write_minhash_signatures(corpus, sigs, "doc_id", "text", parts=8, **params)
+    corpus_pairs = DD.minhash_near_duplicates(
+        corpus, "doc_id", "text", threshold=0.5, **params
+    )
+    write_components(
+        connected_components(corpus_pairs, src="doc_a", dst="doc_b"), comps, parts=8
+    )
+
+    novel_a = "entirely novel content nobody has ingested before now"
+    batch = spark.createDataFrame(
+        [
+            (100, BASE),       # cross-run clone -> joins cluster {1,2,3,5}
+            (101, novel_a),    # novel, duplicated within the batch by 102
+            (102, novel_a),
+            (103, "another brand new document with its own words"),
+        ],
+        ["doc_id", "text"],
+    )
+    vs_corpus = DD.near_duplicates_against(batch, sigs, "doc_id", "text", threshold=0.5)
+    within = DD.minhash_near_duplicates(batch, "doc_id", "text", threshold=0.5, **params)
+    edges = vs_corpus.select(
+        F.col("corpus_doc").alias("src"), F.col("batch_doc").alias("dst")
+    ).unionByName(within.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+
+    extend_components_at_rest(spark, comps, edges)
+    assign = {r["node"]: r["comp"] for r in read_components(spark, comps).collect()}
+    assert assign[100] == 1 and assign[102] == 101 and assign[101] == 101
+    assert 103 not in assign  # never paired -> singleton by absence
+
+    # keep-one policy: a batch doc survives iff it's its own canonical
+    # or it has no cluster at all
+    clustered = read_components(spark, comps)
+    survivors = sorted(
+        r.doc_id
+        for r in batch.join(
+            clustered.filter(F.col("node") != F.col("comp")),
+            batch["doc_id"] == F.col("node"),
+            "left_anti",
+        ).collect()
+    )
+    assert survivors == [101, 103]
+
+    DD.append_minhash_signatures(
+        batch.filter(F.col("doc_id").isin(survivors)), sigs, "doc_id", "text"
+    )
+    # a later batch cloning survivor 101 is caught against the at-rest corpus
+    batch2 = spark.createDataFrame([(200, novel_a)], ["doc_id", "text"])
+    hits = {
+        r.corpus_doc
+        for r in DD.near_duplicates_against(
+            batch2, sigs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert 101 in hits and 102 not in hits  # only the survivor was appended
+
+
+def test_signature_table_compaction_probe_unchanged(spark, docs, tmp_path):
+    """The signature table is a hive-partitioned lake table, so the
+    generic compact_partitioned is its maintenance path: appends bloat
+    part dirs, compaction restores one file per partition, and the
+    cross-run probe is unchanged."""
+    import glob as globmod
+
+    from chicago_crash_data_pipeline_dashboard_spark.sources.compact import (
+        compact_partitioned,
+    )
+
+    path = str(tmp_path / "sigs_compact")
+    corpus0 = docs.filter(F.col("doc_id") <= 3).select("doc_id", "text")
+    DD.write_minhash_signatures(
+        corpus0, path, "doc_id", "text",
+        num_hashes=32, bands=8, shingle_n=3, seed=42, parts=4,
+    )
+    DD.append_minhash_signatures(
+        docs.filter(F.col("doc_id") > 3).select("doc_id", "text"), path, "doc_id", "text"
+    )
+    assert any(
+        len(globmod.glob(f"{d}/*.parquet")) > 1
+        for d in globmod.glob(f"{path}/banded/part=*")
+    )
+    batch = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    before = sorted(
+        map(tuple, DD.near_duplicates_against(batch, path, "doc_id", "text", threshold=0.5).collect())
+    )
+    stats = compact_partitioned(spark, f"{path}/banded")
+    assert stats["compacted"] >= 1
+    for d in globmod.glob(f"{path}/banded/part=*"):
+        assert len(globmod.glob(f"{d}/*.parquet")) == 1, d
+    after = sorted(
+        map(tuple, DD.near_duplicates_against(batch, path, "doc_id", "text", threshold=0.5).collect())
+    )
+    assert before == after
