@@ -153,6 +153,25 @@ def test_connected_components_match_union_find(spark, edges):
     assert got == _cc_model(edges)
 
 
+@settings(max_examples=5, deadline=None)
+@given(edge_st, edge_st)
+def test_extend_components_matches_full_recompute(spark, run1, run2):
+    """Incremental CC property: for ANY split of an edge list into two
+    runs, extending run 1's assignments with run 2's batch equals the
+    union-find model over the union (merges, takeover canonicals, and
+    batch-only components all arise from the random strategies)."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        connected_components,
+        extend_components,
+    )
+
+    e1 = spark.createDataFrame(run1, "src long, dst long")
+    e2 = spark.createDataFrame(run2, "src long, dst long")
+    assignments = connected_components(e1)
+    got = {r["node"]: r["comp"] for r in extend_components(assignments, e2).collect()}
+    assert got == _cc_model(run1 + run2)
+
+
 asof_rows_st = st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
 )
