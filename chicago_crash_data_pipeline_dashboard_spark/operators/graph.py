@@ -272,7 +272,19 @@ def extend_components_at_rest(
     Labels only ever DECREASE under min-label semantics, so repeated
     extends converge exactly like one big recompute (gated in
     tests/test_graph.py: interleaved extends == full-union CC).
-    Returns {touched_comps, rewritten_parts, n_updated}."""
+
+    **Write-amplification sizing** (measured at 1M nodes —
+    COVERAGE.md): the ITERATION is O(affected), but the WRITE rewrites
+    every partition a touched comp hashes into, ≈ ``min(touched,
+    parts) × corpus/parts`` rows — so ``parts`` must be large next to
+    the expected touched-comps-per-batch or the rewrite degenerates
+    toward a full rewrite (1,245 touched comps over parts=256 hit 254
+    partitions; the same corpus with a 100-edge batch over parts=4096
+    rewrites ~3%). Size ``parts`` ≥ ~20× the expected touched comps
+    per batch (subject to file-count budget); for firehose ingest,
+    buffer edges and extend in consolidated rounds instead of
+    per-micro-batch. Returns {touched_comps, rewritten_parts,
+    n_updated}."""
     import os
     import shutil
 
@@ -321,7 +333,29 @@ def extend_components_at_rest(
     keep = pruned.join(F.broadcast(touched_df), "comp", "left_anti").select(
         "node", "comp"
     )
-    out = updated.unionByName(keep).select(
+    upd = updated.select(
+        "node", "comp", F.pmod(F.xxhash64("comp"), F.lit(parts)).alias("part")
+    ).persist()
+    try:
+        # a merged or brand-new component's comp-hash can land in a
+        # partition holding only UNTOUCHED components; dynamic
+        # overwrite replaces whole partitions, so those partitions'
+        # existing rows must ride along in the write or they'd be
+        # silently dropped (every row there is untouched by
+        # construction — touched comps live in old_parts)
+        new_parts = sorted(
+            {r["part"] for r in upd.select("part").distinct().collect()}
+            - set(old_parts)
+        )
+        carry = (
+            table.filter(F.col("part").isin(new_parts)).select("node", "comp")
+            if new_parts
+            else table.limit(0).select("node", "comp")
+        )
+        out = upd.select("node", "comp").unionByName(keep).unionByName(carry)
+    finally:
+        upd.unpersist()
+    out = out.select(
         "node", "comp", F.pmod(F.xxhash64("comp"), F.lit(parts)).alias("part")
     )
     out = out.repartition(F.col("part")).persist()

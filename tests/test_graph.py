@@ -251,3 +251,29 @@ def test_components_at_rest_string_ids(spark, tmp_path):
     )
     got = {r["node"]: r["comp"] for r in read_components(spark, path).collect()}
     assert got == {"d0": "d0", "d1": "d0", "d2": "d0", "d5": "d5", "d6": "d5", "d7": "d5"}
+
+
+def test_components_at_rest_new_comp_landing_in_foreign_partition(spark, tmp_path):
+    """A merged/new component's comp-hash can land in a partition that
+    holds only UNTOUCHED components; the dynamic-overwrite write must
+    carry that partition's existing rows along or they are silently
+    dropped. parts=1 forces the collision deterministically."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        extend_components_at_rest,
+        read_components,
+        write_components,
+    )
+
+    run1 = [(100, 101), (200, 201)]
+    run2 = [(50, 51)]  # brand-new component, no touched comps at all
+    path = str(tmp_path / "cc_foreign")
+    write_components(
+        connected_components(spark.createDataFrame(run1, "src long, dst long")),
+        path,
+        parts=1,
+    )
+    extend_components_at_rest(
+        spark, path, spark.createDataFrame(run2, "src long, dst long")
+    )
+    got = {r["node"]: r["comp"] for r in read_components(spark, path).collect()}
+    assert got == _union_find(run1 + run2)  # 100s and 200s must survive
