@@ -1549,6 +1549,109 @@ def compact_index(
     }
 
 
+def maintain_ivf_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cluster: int = 1,
+    compact_trigger: float = 3.0,
+    retrain_drift_ratio: float = 1.5,
+    retrain: str = "auto",
+    train_sample: int = 65536,
+    seed: int = 42,
+) -> dict:
+    """One ingest round of IVF-index operations, as ONE call — the
+    policy loop the individual pieces exist for:
+
+    1. measure the batch's drift under the SAVED quantizer
+       (``assign_drift_stats`` vs the build-time baseline the index
+       persists);
+    2. if ``retrain="auto"`` and the batch's mean nearest-centroid
+       distance exceeds ``retrain_drift_ratio`` x the baseline — the
+       docstring criterion, now enforced — RETRAIN: a fresh quantizer
+       is fit over the index's own rows plus the batch (the index
+       stores the raw vectors, so no side copy of the corpus is
+       needed), written to a staging sibling and atomically swapped in
+       (``sources.compact.recover_compaction``'s tmp/old state machine
+       repairs a mid-swap crash on the next call);
+    3. otherwise APPEND under the saved quantizer
+       (``append_to_ivf_index``), then if any cluster holds more than
+       ``compact_trigger x files_per_cluster`` files, restore the file
+       bound with :func:`compact_index` (probe-identical).
+
+    A no-baseline index (pre-r11 layout or no-retrain rebuild) can't
+    compute the ratio, so it never auto-retrains — surfaced as
+    ``drift_ratio: None``. Returns the round's report:
+    {action, n_batch, drift_mean, baseline_mean, drift_ratio,
+    compacted, files_after}."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from ..sources.compact import recover_compaction
+
+    if retrain not in ("auto", "never"):
+        raise ValueError(f"retrain must be 'auto' or 'never', got {retrain!r}")
+    root = path.removeprefix("file:")
+    recover_compaction(root)
+
+    centroids = read_ivf_centroids(spark, path)
+    baseline = read_drift_baseline(spark, path)
+    drift = assign_drift_stats(batch, centroids, vec_col=vec_col).first()
+    ratio = (
+        float(drift["mean_dist"]) / float(baseline["mean_dist"])
+        if baseline and baseline.get("mean_dist")
+        else None
+    )
+    report = {
+        "n_batch": drift["n_vectors"],
+        "drift_mean": drift["mean_dist"],
+        "baseline_mean": baseline["mean_dist"] if baseline else None,
+        "drift_ratio": round(ratio, 4) if ratio is not None else None,
+        "compacted": 0,
+    }
+
+    if retrain == "auto" and ratio is not None and ratio > retrain_drift_ratio:
+        corpus = (
+            spark.read.parquet(path)
+            .select(F.col("neighbor_id").alias(id_col), F.col("cvec").alias(vec_col))
+            .unionByName(batch.select(F.col(id_col), F.col(vec_col)))
+        )
+        tmp = root.rstrip("/") + "_compact_tmp"
+        write_ivf_index(
+            corpus, tmp, id_col=id_col, vec_col=vec_col,
+            n_clusters=len(centroids), seed=seed, train_sample=train_sample,
+            files_per_cluster=files_per_cluster,
+        )
+        old = root.rstrip("/") + "_compact_old"
+        os.rename(root, old)
+        os.rename(tmp, root)
+        shutil.rmtree(old)
+        report["action"] = "retrained"
+    else:
+        append_to_ivf_index(
+            batch, path, id_col=id_col, vec_col=vec_col,
+            files_per_cluster=files_per_cluster,
+        )
+        report["action"] = "appended"
+        worst = max(
+            (
+                len(globmod.glob(os.path.join(d, "*.parquet")))
+                for d in globmod.glob(os.path.join(root, "_cluster=*"))
+            ),
+            default=0,
+        )
+        if worst > compact_trigger * files_per_cluster:
+            stats = compact_index(spark, path, files_per_cluster=files_per_cluster)
+            report["compacted"] = stats["compacted"]
+    report["files_after"] = len(
+        globmod.glob(os.path.join(root, "_cluster=*", "*.parquet"))
+    )
+    return report
+
+
 def _unit_centroids(centroids):
     """Centroid matrix L2-normalized row-wise (f32) — the anchor the
     residual encode subtracts in unit space (cosine ranking happens

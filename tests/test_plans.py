@@ -1159,3 +1159,98 @@ def test_describe_index_reports_all_three_kinds(spark, tmp_path):
     d = SIM.describe_index(spark, p)
     assert d["kind"] == "ivfpq" and d["encode"] == "direct"
     assert d["n_clusters"] == 4 and d["m"] == 4 and d["n_rows"] == 120
+
+
+def test_maintain_ivf_index_policy_round(spark, tmp_path):
+    """The one-call ops loop: in-distribution batches append (no
+    retrain), repeated appends trip the compaction trigger, and an
+    out-of-distribution batch trips the drift-ratio retrain — which
+    refits the quantizer from the index's own rows + the batch,
+    atomically swaps, and re-baselines."""
+    import glob as globmod
+
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(51)
+    base_vecs = rng.standard_normal((400, 16)).astype("float32")
+    full = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_ops")
+    SIM.write_ivf_index(full.filter(F.col("vec_id") < 200), path, n_clusters=8, seed=42)
+    baseline0 = SIM.read_drift_baseline(spark, path)
+
+    # three in-distribution batches: appended, ratio ~1, third one
+    # trips the compaction trigger (4 files > 3 x files_per_cluster)
+    reports = [
+        SIM.maintain_ivf_index(
+            spark, path,
+            full.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)),
+            compact_trigger=3.0,
+        )
+        for lo in (200, 250, 300)
+    ]
+    assert [r["action"] for r in reports] == ["appended"] * 3
+    assert all(0.5 < r["drift_ratio"] < 1.5 for r in reports)
+    assert reports[0]["compacted"] == 0 and reports[1]["compacted"] == 0
+    assert reports[2]["compacted"] >= 1
+    for d in globmod.glob(f"{path}/_cluster=*"):
+        assert len(globmod.glob(f"{d}/*.parquet")) <= 3
+
+    # out-of-distribution batch: large offset -> ratio >> 1.5 -> retrain
+    far = spark.createDataFrame(
+        [(1000 + i, (v + 25.0).tolist()) for i, v in enumerate(rng.standard_normal((50, 16)).astype("float32"))],
+        "vec_id long, embedding array<float>",
+    )
+    rep = SIM.maintain_ivf_index(spark, path, far)
+    assert rep["action"] == "retrained"
+    assert rep["drift_ratio"] > 1.5
+    # everything survived the swap: original 200 + 150 appended + 50 far
+    ids = {r.neighbor_id for r in spark.read.parquet(path).select("neighbor_id").collect()}
+    assert ids == set(range(350)) | {1000 + i for i in range(50)}
+    # re-baselined under the fresh quantizer
+    baseline1 = SIM.read_drift_baseline(spark, path)
+    assert baseline1 is not None and baseline1 != baseline0
+    # the retrained index still answers: a planted clone query hits itself first
+    q = far.limit(4)
+    got = SIM.ivf_topk_indexed(spark, path, q, k=3, n_probe=4)
+    assert got.count() == 4 * 3
+
+    # retrain="never" with the same far distribution appends instead
+    far2 = far.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
+    rep2 = SIM.maintain_ivf_index(spark, path, far2, retrain="never")
+    assert rep2["action"] == "appended"
+
+
+def test_maintain_ivf_index_recovers_crashed_retrain_swap(spark, tmp_path):
+    """A retrain that died between the two renames leaves the index
+    only under _compact_old; the next maintenance call restores it
+    before doing anything else (recover_compaction's state machine)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(52)
+    full = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(rng.standard_normal((200, 16)).astype("float32"))],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf_crashed")
+    SIM.write_ivf_index(full.filter(F.col("vec_id") < 150), path, n_clusters=8, seed=42)
+
+    os.rename(path, path + "_compact_old")      # crashed between renames
+    os.makedirs(path + "_compact_tmp")          # abandoned staging junk
+
+    rep = SIM.maintain_ivf_index(spark, path, full.filter(F.col("vec_id") >= 150))
+    assert rep["action"] == "appended"
+    assert not os.path.exists(path + "_compact_old")
+    assert not os.path.exists(path + "_compact_tmp")
+    ids = {r.neighbor_id for r in spark.read.parquet(path).select("neighbor_id").collect()}
+    assert ids == set(range(200))
+    shutil.rmtree(path)
