@@ -1549,7 +1549,7 @@ def compact_index(
     }
 
 
-def maintain_ivf_index(
+def maintain_index(
     spark,
     path: str,
     batch: DataFrame,
@@ -1562,29 +1562,34 @@ def maintain_ivf_index(
     train_sample: int = 65536,
     seed: int = 42,
 ) -> dict:
-    """One ingest round of IVF-index operations, as ONE call — the
-    policy loop the individual pieces exist for:
+    """One ingest round of index operations, as ONE call — the policy
+    loop the individual pieces exist for, for ALL THREE at-rest index
+    kinds (layout-sniffed like :func:`describe_index`):
 
-    1. measure the batch's drift under the SAVED quantizer
+    1. measure the batch's drift under the SAVED coarse quantizer
        (``assign_drift_stats`` vs the build-time baseline the index
-       persists);
+       persists) — ivf/ivfpq only; a PQ index has no coarse quantizer,
+       so its ``drift_ratio`` is None and it never auto-retrains
+       (matching its documented drift surface: only ADC error grows);
     2. if ``retrain="auto"`` and the batch's mean nearest-centroid
        distance exceeds ``retrain_drift_ratio`` x the baseline — the
-       docstring criterion, now enforced — RETRAIN: a fresh quantizer
-       is fit over the index's own rows plus the batch (the index
+       docstring criterion, now enforced — RETRAIN: fresh quantizers
+       are fit over the index's own rows plus the batch (every kind
        stores the raw vectors, so no side copy of the corpus is
-       needed), written to a staging sibling and atomically swapped in
-       (``sources.compact.recover_compaction``'s tmp/old state machine
-       repairs a mid-swap crash on the next call);
-    3. otherwise APPEND under the saved quantizer
-       (``append_to_ivf_index``), then if any cluster holds more than
-       ``compact_trigger x files_per_cluster`` files, restore the file
-       bound with :func:`compact_index` (probe-identical).
+       needed; ivfpq re-fits both quantizers and keeps its persisted
+       encode mode), written to a staging sibling and atomically
+       swapped in (``sources.compact.recover_compaction``'s tmp/old
+       state machine repairs a mid-swap crash on the next call);
+    3. otherwise APPEND under the saved quantizers (the
+       ``append_to_*_index`` family), then restore the file bound with
+       :func:`compact_index` (probe-identical) when the worst cluster
+       exceeds ``compact_trigger x files_per_cluster`` files (PQ: when
+       either plain table exceeds ``compact_trigger`` files).
 
     A no-baseline index (pre-r11 layout or no-retrain rebuild) can't
     compute the ratio, so it never auto-retrains — surfaced as
     ``drift_ratio: None``. Returns the round's report:
-    {action, n_batch, drift_mean, baseline_mean, drift_ratio,
+    {kind, action, n_batch, drift_mean, baseline_mean, drift_ratio,
     compacted, files_after}."""
     import glob as globmod
     import os
@@ -1597,17 +1602,29 @@ def maintain_ivf_index(
     root = path.removeprefix("file:")
     recover_compaction(root)
 
-    centroids = read_ivf_centroids(spark, path)
-    baseline = read_drift_baseline(spark, path)
-    drift = assign_drift_stats(batch, centroids, vec_col=vec_col).first()
+    has_codebook = os.path.isdir(os.path.join(root, "_codebook"))
+    has_centroids = os.path.isdir(os.path.join(root, "_centroids"))
+    kind = "ivfpq" if (has_centroids and has_codebook) else (
+        "ivf" if has_centroids else "pq"
+    )
+    vectors_dir = {"ivf": root, "ivfpq": f"{root}/data", "pq": f"{root}/vectors"}[kind]
+
+    centroids = read_ivf_centroids(spark, path) if has_centroids else None
+    baseline = read_drift_baseline(spark, path) if has_centroids else None
+    if centroids is not None:
+        drift = assign_drift_stats(batch, centroids, vec_col=vec_col).first()
+        n_batch, drift_mean = drift["n_vectors"], drift["mean_dist"]
+    else:
+        n_batch, drift_mean = batch.count(), None
     ratio = (
-        float(drift["mean_dist"]) / float(baseline["mean_dist"])
-        if baseline and baseline.get("mean_dist")
+        float(drift_mean) / float(baseline["mean_dist"])
+        if drift_mean is not None and baseline and baseline.get("mean_dist")
         else None
     )
     report = {
-        "n_batch": drift["n_vectors"],
-        "drift_mean": drift["mean_dist"],
+        "kind": kind,
+        "n_batch": n_batch,
+        "drift_mean": drift_mean,
         "baseline_mean": baseline["mean_dist"] if baseline else None,
         "drift_ratio": round(ratio, 4) if ratio is not None else None,
         "compacted": 0,
@@ -1615,40 +1632,73 @@ def maintain_ivf_index(
 
     if retrain == "auto" and ratio is not None and ratio > retrain_drift_ratio:
         corpus = (
-            spark.read.parquet(path)
+            spark.read.parquet(vectors_dir)
             .select(F.col("neighbor_id").alias(id_col), F.col("cvec").alias(vec_col))
             .unionByName(batch.select(F.col(id_col), F.col(vec_col)))
         )
         tmp = root.rstrip("/") + "_compact_tmp"
-        write_ivf_index(
-            corpus, tmp, id_col=id_col, vec_col=vec_col,
-            n_clusters=len(centroids), seed=seed, train_sample=train_sample,
-            files_per_cluster=files_per_cluster,
-        )
+        if kind == "ivfpq":
+            codebook = read_pq_codebook(spark, path)
+            write_ivfpq_index(
+                corpus, tmp, id_col=id_col, vec_col=vec_col,
+                n_clusters=len(centroids), m=len(codebook), ks=len(codebook[0]),
+                seed=seed, train_sample=train_sample,
+                files_per_cluster=files_per_cluster,
+                encode=read_ivfpq_encode_mode(spark, path),
+            )
+        else:
+            write_ivf_index(
+                corpus, tmp, id_col=id_col, vec_col=vec_col,
+                n_clusters=len(centroids), seed=seed, train_sample=train_sample,
+                files_per_cluster=files_per_cluster,
+            )
         old = root.rstrip("/") + "_compact_old"
         os.rename(root, old)
         os.rename(tmp, root)
         shutil.rmtree(old)
         report["action"] = "retrained"
     else:
-        append_to_ivf_index(
-            batch, path, id_col=id_col, vec_col=vec_col,
-            files_per_cluster=files_per_cluster,
-        )
+        if kind == "ivfpq":
+            append_to_ivfpq_index(
+                batch, path, id_col=id_col, vec_col=vec_col,
+                files_per_cluster=files_per_cluster,
+            )
+        elif kind == "ivf":
+            append_to_ivf_index(
+                batch, path, id_col=id_col, vec_col=vec_col,
+                files_per_cluster=files_per_cluster,
+            )
+        else:
+            append_to_pq_index(batch, path, id_col=id_col, vec_col=vec_col)
         report["action"] = "appended"
-        worst = max(
-            (
-                len(globmod.glob(os.path.join(d, "*.parquet")))
-                for d in globmod.glob(os.path.join(root, "_cluster=*"))
-            ),
-            default=0,
-        )
-        if worst > compact_trigger * files_per_cluster:
+        if kind == "pq":
+            worst = max(
+                len(globmod.glob(os.path.join(root, t, "*.parquet")))
+                for t in ("codes", "vectors")
+            )
+            bound = compact_trigger
+        else:
+            data_dir = vectors_dir if kind == "ivfpq" else root
+            worst = max(
+                (
+                    len(globmod.glob(os.path.join(d, "*.parquet")))
+                    for d in globmod.glob(os.path.join(data_dir, "_cluster=*"))
+                ),
+                default=0,
+            )
+            bound = compact_trigger * files_per_cluster
+        if worst > bound:
             stats = compact_index(spark, path, files_per_cluster=files_per_cluster)
             report["compacted"] = stats["compacted"]
-    report["files_after"] = len(
-        globmod.glob(os.path.join(root, "_cluster=*", "*.parquet"))
-    )
+    if kind == "pq":
+        report["files_after"] = len(
+            globmod.glob(os.path.join(root, "codes", "*.parquet"))
+        ) + len(globmod.glob(os.path.join(root, "vectors", "*.parquet")))
+    else:
+        data_dir = f"{root}/data" if kind == "ivfpq" else root
+        report["files_after"] = len(
+            globmod.glob(os.path.join(data_dir, "_cluster=*", "*.parquet"))
+        )
     return report
 
 

@@ -1161,7 +1161,7 @@ def test_describe_index_reports_all_three_kinds(spark, tmp_path):
     assert d["n_clusters"] == 4 and d["m"] == 4 and d["n_rows"] == 120
 
 
-def test_maintain_ivf_index_policy_round(spark, tmp_path):
+def test_maintain_index_policy_round_ivf(spark, tmp_path):
     """The one-call ops loop: in-distribution batches append (no
     retrain), repeated appends trip the compaction trigger, and an
     out-of-distribution batch trips the drift-ratio retrain — which
@@ -1186,7 +1186,7 @@ def test_maintain_ivf_index_policy_round(spark, tmp_path):
     # three in-distribution batches: appended, ratio ~1, third one
     # trips the compaction trigger (4 files > 3 x files_per_cluster)
     reports = [
-        SIM.maintain_ivf_index(
+        SIM.maintain_index(
             spark, path,
             full.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)),
             compact_trigger=3.0,
@@ -1205,7 +1205,7 @@ def test_maintain_ivf_index_policy_round(spark, tmp_path):
         [(1000 + i, (v + 25.0).tolist()) for i, v in enumerate(rng.standard_normal((50, 16)).astype("float32"))],
         "vec_id long, embedding array<float>",
     )
-    rep = SIM.maintain_ivf_index(spark, path, far)
+    rep = SIM.maintain_index(spark, path, far)
     assert rep["action"] == "retrained"
     assert rep["drift_ratio"] > 1.5
     # everything survived the swap: original 200 + 150 appended + 50 far
@@ -1221,11 +1221,11 @@ def test_maintain_ivf_index_policy_round(spark, tmp_path):
 
     # retrain="never" with the same far distribution appends instead
     far2 = far.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
-    rep2 = SIM.maintain_ivf_index(spark, path, far2, retrain="never")
+    rep2 = SIM.maintain_index(spark, path, far2, retrain="never")
     assert rep2["action"] == "appended"
 
 
-def test_maintain_ivf_index_recovers_crashed_retrain_swap(spark, tmp_path):
+def test_maintain_index_recovers_crashed_retrain_swap(spark, tmp_path):
     """A retrain that died between the two renames leaves the index
     only under _compact_old; the next maintenance call restores it
     before doing anything else (recover_compaction's state machine)."""
@@ -1247,10 +1247,67 @@ def test_maintain_ivf_index_recovers_crashed_retrain_swap(spark, tmp_path):
     os.rename(path, path + "_compact_old")      # crashed between renames
     os.makedirs(path + "_compact_tmp")          # abandoned staging junk
 
-    rep = SIM.maintain_ivf_index(spark, path, full.filter(F.col("vec_id") >= 150))
+    rep = SIM.maintain_index(spark, path, full.filter(F.col("vec_id") >= 150))
     assert rep["action"] == "appended"
     assert not os.path.exists(path + "_compact_old")
     assert not os.path.exists(path + "_compact_tmp")
     ids = {r.neighbor_id for r in spark.read.parquet(path).select("neighbor_id").collect()}
     assert ids == set(range(200))
     shutil.rmtree(path)
+
+
+def test_maintain_index_pq_and_ivfpq_kinds(spark, tmp_path):
+    """The policy is kind-dispatched: a PQ index (no coarse quantizer)
+    reports drift_ratio None and never auto-retrains, compacting its
+    two plain tables once the trigger trips; an IVF-PQ index retrains
+    on drift with BOTH quantizers refit and its persisted encode mode
+    carried through the swap."""
+    import glob as globmod
+
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(53)
+    vecs = rng.standard_normal((360, 16)).astype("float32")
+    full = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+    pq_path = str(tmp_path / "pq_ops")
+    SIM.write_pq_index(full.filter(F.col("vec_id") < 200), pq_path, dim=16, m=4, ks=8, seed=42)
+    reports = [
+        SIM.maintain_index(
+            spark, pq_path,
+            full.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 40)),
+            compact_trigger=3.0,
+        )
+        for lo in (200, 240, 280, 320)
+    ]
+    assert all(r["kind"] == "pq" and r["action"] == "appended" for r in reports)
+    assert all(r["drift_ratio"] is None for r in reports)  # never auto-retrains
+    assert any(r["compacted"] for r in reports)
+    assert len(globmod.glob(f"{pq_path}/codes/*.parquet")) <= 3
+    ids = {r.neighbor_id for r in spark.read.parquet(f"{pq_path}/codes").collect()}
+    assert ids == set(range(360))
+
+    ivfpq_path = str(tmp_path / "ivfpq_ops")
+    SIM.write_ivfpq_index(
+        full.filter(F.col("vec_id") < 200), ivfpq_path, n_clusters=8, m=4, ks=8, seed=42
+    )
+    mode_before = SIM.read_ivfpq_encode_mode(spark, ivfpq_path)
+    far = spark.createDataFrame(
+        [(2000 + i, (v + 25.0).tolist()) for i, v in enumerate(rng.standard_normal((40, 16)).astype("float32"))],
+        "vec_id long, embedding array<float>",
+    )
+    rep = SIM.maintain_index(spark, ivfpq_path, far)
+    assert rep["kind"] == "ivfpq" and rep["action"] == "retrained"
+    assert SIM.read_ivfpq_encode_mode(spark, ivfpq_path) == mode_before
+    ids = {
+        r.neighbor_id
+        for r in spark.read.parquet(f"{ivfpq_path}/data").select("neighbor_id").collect()
+    }
+    assert ids == set(range(200)) | {2000 + i for i in range(40)}
+    got = SIM.ivfpq_topk_indexed(spark, ivfpq_path, far.limit(3), k=3, n_probe=4, refine=6)
+    assert got.count() == 3 * 3
