@@ -1233,3 +1233,130 @@ def semantic_dedup(
     return vectors.join(
         drops, vectors[id_col] == drops["_drop_id"], "left_anti"
     )
+
+
+def minhash_ingest_round(
+    batch: DataFrame,
+    sig_path: str,
+    id_col: str,
+    text_col: str,
+    comp_path: str | None = None,
+    threshold: float = 0.6,
+    max_bucket: int | None = None,
+    compact_trigger: float = 3.0,
+) -> dict:
+    """One ingest round of cross-run dedup, as ONE call — the dedup
+    twin of ``similarity.maintain_index``, packaging the loop the
+    at-rest pieces exist for:
+
+    1. probe the batch against the corpus signatures
+       (``near_duplicates_against`` — corpus text never read) and
+       against itself (``minhash_near_duplicates`` under the TABLE's
+       pinned params, so both edge sets are computed under one
+       hashing);
+    2. pick survivors with the INGEST policy, not bare min-label: any
+       component containing corpus content loses its batch members
+       outright (already ingested wins even when a batch id sorts
+       below the corpus id), and a corpus-free component keeps exactly
+       its minimum batch member — transitive: a batch doc chained to
+       the corpus only through other batch docs drops too;
+    3. if ``comp_path`` is given, fold the round's edges into the
+       standing cluster assignments (``extend_components_at_rest``) so
+       the cluster table tracks the corpus;
+    4. append ONLY the survivors' signatures
+       (``append_minhash_signatures``) and compact the signature table
+       (``sources.compact.compact_partitioned``) when its worst
+       partition exceeds ``compact_trigger`` x the table's
+       files_per_part.
+
+    Returns {survivors, n_batch, n_cross_pairs, n_within_pairs,
+    n_survivors, compacted, extended} — ``survivors`` is the filtered
+    batch DataFrame (already appended; append it nowhere else)."""
+    from ..operators.graph import connected_components, extend_components_at_rest
+
+    spark = batch.sparkSession
+    p = read_minhash_params(spark, sig_path)
+    sig_kwargs = dict(
+        num_hashes=p["num_hashes"], bands=p["bands"], shingle_n=p["shingle_n"],
+        seed=p["seed"], hash_mode=p["hash_mode"],
+    )
+    vs_corpus = near_duplicates_against(
+        batch, sig_path, id_col, text_col, threshold=threshold, max_bucket=max_bucket
+    ).persist()
+    within = minhash_near_duplicates(
+        batch, id_col, text_col, threshold=threshold, max_bucket=max_bucket,
+        **sig_kwargs,
+    ).persist()
+    try:
+        n_cross = vs_corpus.count()
+        n_within = within.count()
+        edges = vs_corpus.select(
+            F.col("corpus_doc").alias("src"), F.col("batch_doc").alias("dst")
+        ).unionByName(
+            within.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        )
+
+        # ingest survivor policy over the round's (bounded) edge graph
+        comp = connected_components(edges, src="src", dst="dst")
+        corpus_nodes = vs_corpus.select(F.col("corpus_doc").alias("node")).distinct()
+        tainted = comp.join(F.broadcast(corpus_nodes), "node", "left_semi").select(
+            "comp"
+        ).distinct()
+        batch_ids = batch.select(F.col(id_col).alias("node"))
+        clustered = comp.join(F.broadcast(batch_ids), "node", "left_semi")
+        keep_clustered = (
+            clustered.join(F.broadcast(tainted), "comp", "left_anti")
+            .groupBy("comp")
+            .agg(F.min("node").alias("node"))
+            .select("node")
+        )
+        drop_ids = clustered.select("node").exceptAll(keep_clustered)
+        # localCheckpoint, not persist: the survivor plan reads the
+        # signature TABLE (through vs_corpus), and step 4 appends to
+        # that table — an eager checkpoint truncates the lineage so a
+        # later recompute (cache eviction, caller materializing after
+        # return) can never re-probe the mutated table and see the
+        # batch's own just-appended signatures (the probe-before-
+        # append rule, enforced structurally)
+        survivors = batch.join(
+            F.broadcast(drop_ids), batch[id_col] == F.col("node"), "left_anti"
+        ).localCheckpoint()
+        n_survivors = survivors.count()
+
+        extended = None
+        if comp_path is not None:
+            extended = extend_components_at_rest(spark, comp_path, edges)
+
+        append_minhash_signatures(
+            survivors, sig_path, id_col, text_col,
+            files_per_part=p.get("files_per_part", 1),
+        )
+    finally:
+        vs_corpus.unpersist()
+        within.unpersist()
+
+    import glob as globmod
+    import os
+
+    from ..sources.compact import compact_partitioned
+
+    root = sig_path.removeprefix("file:")
+    worst = max(
+        (
+            len(globmod.glob(os.path.join(d, "*.parquet")))
+            for d in globmod.glob(os.path.join(root, "banded", "part=*"))
+        ),
+        default=0,
+    )
+    compacted = 0
+    if worst > compact_trigger * p.get("files_per_part", 1):
+        compacted = compact_partitioned(spark, f"{root}/banded")["compacted"]
+    return {
+        "survivors": survivors,
+        "n_batch": batch.count(),
+        "n_cross_pairs": n_cross,
+        "n_within_pairs": n_within,
+        "n_survivors": n_survivors,
+        "compacted": compacted,
+        "extended": extended,
+    }

@@ -1285,3 +1285,64 @@ def test_signature_table_compaction_probe_unchanged(spark, docs, tmp_path):
         map(tuple, DD.near_duplicates_against(batch, path, "doc_id", "text", threshold=0.5).collect())
     )
     assert before == after
+
+
+def test_minhash_ingest_round_one_call(spark, tmp_path):
+    """The one-call dedup round: ingest policy drops ANY batch member
+    of a corpus-containing component — including a batch id that sorts
+    BELOW the corpus id, where bare min-label canonicalization would
+    wrongly keep the newcomer — keeps exactly one member of each
+    corpus-free component, appends only survivors, and folds the edges
+    into the standing cluster table."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators.graph import (
+        connected_components,
+        read_components,
+        write_components,
+    )
+
+    corpus = spark.createDataFrame(
+        [(10, BASE), (11, BASE), (12, OTHER)], ["doc_id", "text"]
+    )
+    sigs = str(tmp_path / "sigs")
+    comps = str(tmp_path / "comps")
+    DD.write_minhash_signatures(
+        corpus, sigs, "doc_id", "text",
+        num_hashes=32, bands=8, shingle_n=3, seed=42, parts=8,
+    )
+    pairs = DD.minhash_near_duplicates(
+        corpus, "doc_id", "text", threshold=0.5, num_hashes=32, bands=8, shingle_n=3, seed=42
+    )
+    write_components(connected_components(pairs, src="doc_a", dst="doc_b"), comps, parts=8)
+
+    novel = "entirely novel content nobody has ingested before now"
+    batch = spark.createDataFrame(
+        [
+            (0, BASE),    # clone with id BELOW the corpus ids — must still drop
+            (5, novel),   # within-batch dup pair; 5 is the canonical
+            (6, novel),
+            (7, "another brand new document with its own words"),
+        ],
+        ["doc_id", "text"],
+    )
+    rep = DD.minhash_ingest_round(
+        batch, sigs, "doc_id", "text", comp_path=comps, threshold=0.5
+    )
+    assert rep["n_batch"] == 4 and rep["n_survivors"] == 2
+    assert sorted(r.doc_id for r in rep["survivors"].collect()) == [5, 7]
+    assert rep["n_cross_pairs"] >= 2 and rep["n_within_pairs"] >= 1
+    assert rep["extended"]["touched_comps"] >= 1
+
+    # the cluster table absorbed the round (min-label bookkeeping)
+    assign = {r["node"]: r["comp"] for r in read_components(spark, comps).collect()}
+    assert assign[0] == assign[10] == assign[11]
+    assert assign[6] == assign[5] == 5
+
+    # only survivors were appended: a later clone of 5 hits, of the
+    # dropped 0/6 only through the surviving twin's signature
+    batch2 = spark.createDataFrame([(200, novel), (201, BASE)], ["doc_id", "text"])
+    hits = {
+        (r.corpus_doc, r.batch_doc)
+        for r in DD.near_duplicates_against(batch2, sigs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (5, 200) in hits and all(c != 6 for c, _ in hits)
+    assert (10, 201) in hits and all(c != 0 for c, _ in hits)
