@@ -193,3 +193,58 @@ def stream_append_to_ivf_index(
     )
     q.awaitTermination()
     return stats
+
+
+def stream_maintain_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    **policy,
+) -> list[dict]:
+    """:func:`stream_append_to_ivf_index`'s grown-up sibling: each
+    drained micro-batch goes through the FULL maintenance policy
+    (``operators.similarity.maintain_index`` — drift-gated auto-
+    retrain / append / trigger-based compaction) instead of a bare
+    append, so a long-running ingest stream keeps its index healthy
+    without an operator watching the drift stats. ``policy`` kwargs
+    pass through to ``maintain_index`` (``retrain_drift_ratio``,
+    ``compact_trigger``, ``retrain="never"`` …).
+
+    Same delivery contract as the append stream: the file-source
+    checkpoint is the exactly-once file ledger, so a re-drain runs
+    zero batches and the non-idempotent append/retrain never sees a
+    replayed file. Returns maintain_index's per-batch reports (with
+    batch_id added)."""
+    from ..operators import similarity as SIM
+
+    schema = spark.read.parquet(src_dir).schema
+    reports: list[dict] = []
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(src_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            rep = SIM.maintain_index(
+                spark, index_path, batch_df, id_col=id_col, vec_col=vec_col, **policy
+            )
+            rep["batch_id"] = batch_id
+            reports.append(rep)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reports

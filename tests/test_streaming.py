@@ -314,3 +314,43 @@ def test_stream_append_to_ivf_index(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     ids = {r.neighbor_id for r in spark.read.parquet(index).select("neighbor_id").collect()}
     assert ids == set(range(300))
+
+
+def test_stream_maintain_index_policy(spark, tmp_path):
+    """The streaming maintenance drain: an in-distribution file
+    appends; a later out-of-distribution file triggers the drift
+    retrain inside the stream; the checkpoint still guarantees a
+    re-drain does nothing."""
+    import numpy as np
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+    from chicago_crash_data_pipeline_dashboard_spark.streaming.ingest import (
+        stream_maintain_index,
+    )
+
+    rng = np.random.RandomState(42)
+    base = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(rng.standard_normal((250, 16)).astype("float32"))],
+        "vec_id long, embedding array<float>",
+    )
+    index = str(tmp_path / "ivf")
+    SIM.write_ivf_index(base.filter(F.col("vec_id") < 200), index, n_clusters=8, seed=42)
+
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    base.filter(F.col("vec_id") >= 200).coalesce(1).write.mode("append").parquet(src)
+    reports = stream_maintain_index(spark, src, index, ckpt)
+    assert [r["action"] for r in reports] == ["appended"]
+
+    assert stream_maintain_index(spark, src, index, ckpt) == []  # ledger holds
+
+    far = spark.createDataFrame(
+        [(500 + i, (v + 25.0).tolist()) for i, v in enumerate(rng.standard_normal((50, 16)).astype("float32"))],
+        "vec_id long, embedding array<float>",
+    )
+    far.coalesce(1).write.mode("append").parquet(src)
+    reports2 = stream_maintain_index(spark, src, index, ckpt)
+    assert [r["action"] for r in reports2] == ["retrained"]
+    assert reports2[0]["drift_ratio"] > 1.5
+    ids = {r.neighbor_id for r in spark.read.parquet(index).select("neighbor_id").collect()}
+    assert ids == set(range(250)) | {500 + i for i in range(50)}
