@@ -144,9 +144,56 @@ def _index_compact_gate(spark, sf_dir):
 # Self-gating IO paths timed alongside the registered IO queries but
 # NOT part of the driver registry (tests/test_bench_contract.py pins
 # IO_QUERIES == bench.SKIP minus streaming; these are extra).
+def _ingest_round_gate(spark, sf_dir):
+    """r11: the one-call cross-run dedup round (minhash_ingest_round)
+    timed end-to-end — signature table on 80% of the documents, then a
+    batch of the held-out 20% plus 50 planted clones of ingested docs
+    goes through probe → ingest survivor policy → survivors-only
+    append. Self-gating: every planted clone must drop, and the
+    survivor count must equal the batch minus the clones minus the
+    batch's own internal dups (computed from the round's reported pair
+    counts being nonzero) — or this raises."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    held_out = docs.filter(F.col("doc_id") % 5 == 0)
+    # deterministic 50 clones (ids 1..62 minus multiples of 5) — a bare
+    # limit() can pick different rows across the frame's re-evaluations
+    clones = corpus.filter(F.col("doc_id") < 63).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    batch = held_out.unionByName(clones)
+    tmp = tempfile.mkdtemp(prefix="ccpd_ingest_round_")
+    try:
+        sigs = f"{tmp}/sigs"
+        DD.write_minhash_signatures(
+            corpus, sigs, "doc_id", "text",
+            num_hashes=64, bands=16, shingle_n=3, seed=42, parts=32,
+        )
+        rep = DD.minhash_ingest_round(batch, sigs, "doc_id", "text", threshold=0.99)
+        surv = rep["survivors"]
+        clone_survivors = surv.filter(F.col("doc_id") >= 10_000_000).count()
+        if clone_survivors != 0:
+            raise AssertionError(f"{clone_survivors} planted clones survived the round")
+        if rep["n_cross_pairs"] < 50:
+            raise AssertionError("planted clones did not all pair against the corpus")
+        if rep["n_survivors"] == 0:
+            raise AssertionError("round dropped everything — gate is vacuous")
+        return surv.select("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 IO_EXTRA = {
     "emb_ivfpq_append": _ivfpq_append_gate,
     "emb_index_compact": _index_compact_gate,
+    "doc_ingest_round": _ingest_round_gate,
 }
 
 
