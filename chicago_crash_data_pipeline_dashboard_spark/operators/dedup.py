@@ -555,9 +555,10 @@ def write_minhash_signatures(
       write time), so the hot-bucket cap is a scan-side filter at
       probe time — no query-time groupBy over the corpus;
     - ``{path}/_params`` pins (num_hashes, bands, shingle_n, seed,
-      hash_mode, parts) — probes and appends read THEM, so batch and
-      corpus signatures can never be computed under different
-      parameters.
+      hash_mode, parts, files_per_part) — probes and appends read
+      THEM, so batch and corpus signatures can never be computed under
+      different parameters (and the ingest round's compaction trigger
+      uses the table's real file bound, not a guessed one).
 
     The write repartitions on ``part`` (+ a doc-hash salt when
     ``files_per_part`` > 1) before ``partitionBy`` — same file-count
@@ -581,6 +582,7 @@ def write_minhash_signatures(
                         "seed": seed,
                         "hash_mode": hash_mode,
                         "parts": parts,
+                        "files_per_part": files_per_part,
                     }
                 ),
             )
@@ -622,18 +624,37 @@ def write_fingerprints(
         .parquet(f"{path}/fingerprints")
     )
     df.sparkSession.createDataFrame(
-        [(parts,)], "parts int"
+        [(parts, files_per_part)], "parts int, files_per_part int"
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_params")
 
 
+def _fingerprint_params(spark, path: str) -> dict:
+    row = spark.read.json(f"{path}/_params").collect()[0]
+    return {
+        "parts": int(row.parts),
+        # pre-r12 tables carry no files_per_part field
+        "files_per_part": int(row.files_per_part)
+        if "files_per_part" in row.__fields__ and row.files_per_part is not None
+        else 1,
+    }
+
+
 def append_fingerprints(
-    batch: DataFrame, path: str, id_col: str, text_col: str, files_per_part: int = 1
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    files_per_part: int | None = None,
 ) -> None:
     """Append a (deduped) batch's fingerprints — the ingest step after
-    ``dedup_exact_against``. ``parts`` comes from the table's
-    ``_params``, never the caller."""
+    ``dedup_exact_against``. ``parts`` (and, unless overridden,
+    ``files_per_part``) come from the table's ``_params``, never the
+    caller."""
     spark = batch.sparkSession
-    parts = int(spark.read.json(f"{path}/_params").collect()[0].parts)
+    p = _fingerprint_params(spark, path)
+    parts = p["parts"]
+    if files_per_part is None:
+        files_per_part = p["files_per_part"]
     fps = batch.select(
         F.col(id_col).alias("doc"),
         TX.fingerprint(F.col(text_col)).alias("fingerprint"),
@@ -674,8 +695,11 @@ def dedup_exact_against(
     clean, then gate)."""
     if "_fp" in batch.columns:
         raise ValueError("dedup_exact_against reserves the column name '_fp'")
+    from ..sources.compact import ensure_recovered
+
     spark = batch.sparkSession
-    parts = int(spark.read.json(f"{path}/_params").collect()[0].parts)
+    ensure_recovered(f"{path}/fingerprints")
+    parts = _fingerprint_params(spark, path)["parts"]
     bf = batch.withColumn("_fp", TX.fingerprint(F.col(text_col))).withColumn(
         "part", F.pmod(F.xxhash64("_fp"), F.lit(parts)).cast("int")
     )
@@ -728,20 +752,23 @@ def append_minhash_signatures(
     path: str,
     id_col: str,
     text_col: str,
-    files_per_part: int = 1,
+    files_per_part: int | None = None,
 ) -> None:
     """Append a NEW batch's banded signatures to an existing table —
     the ingest step after ``near_duplicates_against`` has filtered the
     batch. Parameters come from the table's ``_params`` (never from
-    the caller), so appended signatures are always computed under the
-    corpus's own hashing. ``bucket_size`` is computed WITHIN this
-    batch (per-write-segment, like parquet row-group stats): the
-    probe-side hot-bucket cap therefore bounds each segment's
-    contribution independently — a bucket that only becomes hot
-    ACROSS segments is not dropped (the conservative direction: extra
-    candidates cost time, never recall)."""
+    the caller — including ``files_per_part`` unless explicitly
+    overridden), so appended signatures are always computed under the
+    corpus's own hashing and file discipline. ``bucket_size`` is
+    computed WITHIN this batch (per-write-segment, like parquet
+    row-group stats): the probe-side hot-bucket cap therefore bounds
+    each segment's contribution independently — a bucket that only
+    becomes hot ACROSS segments is not dropped (the conservative
+    direction: extra candidates cost time, never recall)."""
     spark = batch.sparkSession
     p = read_minhash_params(spark, path)
+    if files_per_part is None:
+        files_per_part = p.get("files_per_part", 1)
     banded = _banded_signatures(
         batch, id_col, text_col, p["num_hashes"], p["bands"], p["shingle_n"],
         p["seed"], p["hash_mode"], p["parts"],
@@ -780,7 +807,10 @@ def near_duplicates_against(
     of the family) drops corpus buckets whose WRITE-TIME size exceeds
     the cap — a scan-side filter on the stored ``bucket_size`` column,
     no query-time aggregation of the corpus."""
+    from ..sources.compact import ensure_recovered
+
     spark = batch.sparkSession
+    ensure_recovered(f"{path}/banded")
     p = read_minhash_params(spark, path)
     b = _banded_signatures(
         batch, id_col, text_col, p["num_hashes"], p["bands"], p["shingle_n"],
@@ -951,6 +981,7 @@ def write_simhash_index(
                         "max_distance": max_distance,
                         "hash_mode": hash_mode,
                         "parts": parts,
+                        "files_per_part": files_per_part,
                     }
                 ),
             )
@@ -989,7 +1020,10 @@ def simhash_near_duplicates_against(
     would miss pairs, so that is rejected. Returns
     (corpus_doc, batch_doc, hamming); probe BEFORE appending
     (``append_simhash_index``)."""
+    from ..sources.compact import ensure_recovered
+
     spark = batch.sparkSession
+    ensure_recovered(f"{path}/segments")
     p = read_simhash_params(spark, path)
     if max_distance is None:
         max_distance = p["max_distance"]
@@ -1035,14 +1069,21 @@ def simhash_near_duplicates_against(
 
 
 def append_simhash_index(
-    batch: DataFrame, path: str, id_col: str, text_col: str, files_per_part: int = 1
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    files_per_part: int | None = None,
 ) -> None:
     """Append a (deduped) batch's segments under the INDEX's params —
     same per-segment bucket_size posture as
     ``append_minhash_signatures`` (sizes are per write segment; the
-    cap bounds each segment's contribution independently)."""
+    cap bounds each segment's contribution independently).
+    ``files_per_part`` defaults to the index's own pinned value."""
     spark = batch.sparkSession
     p = read_simhash_params(spark, path)
+    if files_per_part is None:
+        files_per_part = p.get("files_per_part", 1)
     segs = _simhash_segments(p["max_distance"], p["bits"])
     fp = simhash(batch, id_col, text_col, p["bits"], p["hash_mode"])
     exploded = (
@@ -1270,9 +1311,24 @@ def minhash_ingest_round(
        files_per_part.
 
     Returns {survivors, n_batch, n_cross_pairs, n_within_pairs,
-    n_survivors, compacted, extended} — ``survivors`` is the filtered
-    batch DataFrame (already appended; append it nowhere else)."""
+    n_survivors, compacted, extended, secs} — ``survivors`` is the
+    filtered batch DataFrame (already appended; append it nowhere
+    else); ``secs`` decomposes the round's wall time per step
+    (probe / within / survivors / extend / append / compact), so a
+    scale probe or an ops dashboard can localize cost without
+    re-running the pieces."""
+    import time as _time
+
     from ..operators.graph import connected_components, extend_components_at_rest
+
+    secs: dict[str, float] = {}
+    t0 = _time.perf_counter()
+
+    def _lap(key: str) -> None:
+        nonlocal t0
+        now = _time.perf_counter()
+        secs[key] = round(now - t0, 3)
+        t0 = now
 
     spark = batch.sparkSession
     p = read_minhash_params(spark, sig_path)
@@ -1289,7 +1345,9 @@ def minhash_ingest_round(
     ).persist()
     try:
         n_cross = vs_corpus.count()
+        _lap("probe")
         n_within = within.count()
+        _lap("within")
         edges = vs_corpus.select(
             F.col("corpus_doc").alias("src"), F.col("batch_doc").alias("dst")
         ).unionByName(
@@ -1322,35 +1380,36 @@ def minhash_ingest_round(
             F.broadcast(drop_ids), batch[id_col] == F.col("node"), "left_anti"
         ).localCheckpoint()
         n_survivors = survivors.count()
+        _lap("survivors")
 
         extended = None
         if comp_path is not None:
             extended = extend_components_at_rest(spark, comp_path, edges)
+            _lap("extend")
 
-        append_minhash_signatures(
-            survivors, sig_path, id_col, text_col,
-            files_per_part=p.get("files_per_part", 1),
-        )
+        # files_per_part resolves from the table's own _params
+        append_minhash_signatures(survivors, sig_path, id_col, text_col)
+        _lap("append")
     finally:
         vs_corpus.unpersist()
         within.unpersist()
 
-    import glob as globmod
-    import os
-
+    from ..sources import fsutil as FS
     from ..sources.compact import compact_partitioned
 
-    root = sig_path.removeprefix("file:")
-    worst = max(
-        (
-            len(globmod.glob(os.path.join(d, "*.parquet")))
-            for d in globmod.glob(os.path.join(root, "banded", "part=*"))
-        ),
-        default=0,
-    )
+    # ONE globStatus listing over the table for the trigger — Hadoop
+    # FileSystem API, so the same trigger works on file/hdfs/s3a
+    per_part: dict[str, int] = {}
+    for f in FS.glob_paths(f"{sig_path.rstrip('/')}/banded/part=*/*.parquet"):
+        d = f.rsplit("/", 2)[1]
+        per_part[d] = per_part.get(d, 0) + 1
+    worst = max(per_part.values(), default=0)
     compacted = 0
     if worst > compact_trigger * p.get("files_per_part", 1):
-        compacted = compact_partitioned(spark, f"{root}/banded")["compacted"]
+        compacted = compact_partitioned(spark, f"{sig_path.rstrip('/')}/banded")[
+            "compacted"
+        ]
+    _lap("compact")
     return {
         "survivors": survivors,
         "n_batch": batch.count(),
@@ -1359,4 +1418,5 @@ def minhash_ingest_round(
         "n_survivors": n_survivors,
         "compacted": compacted,
         "extended": extended,
+        "secs": secs,
     }

@@ -248,6 +248,7 @@ def extend_components_at_rest(
     dst: str = "dst",
     max_iter: int = 25,
     stats_out: dict | None = None,
+    strict_sizing: bool = False,
 ) -> dict:
     """:func:`extend_components` against the AT-REST table — each
     ingest round folds its near-dup pairs into the standing cluster
@@ -266,8 +267,8 @@ def extend_components_at_rest(
       the old partitions are carried over in the same write;
     - an old partition whose every row moved away receives no rows
       (dynamic overwrite cannot clear it), so those are removed
-      explicitly — local-filesystem convention, like the compaction
-      swap.
+      explicitly through the Hadoop FileSystem API (``fsutil``) —
+      file/hdfs/s3a alike.
 
     Labels only ever DECREASE under min-label semantics, so repeated
     extends converge exactly like one big recompute (gated in
@@ -283,10 +284,15 @@ def extend_components_at_rest(
     rewrites ~3%). Size ``parts`` ≥ ~20× the expected touched comps
     per batch (subject to file-count budget); for firehose ingest,
     buffer edges and extend in consolidated rounds instead of
-    per-micro-batch. Returns {touched_comps, rewritten_parts,
-    n_updated}."""
-    import os
-    import shutil
+    per-micro-batch. The returned stats carry the measured ratio
+    (``touched_parts_ratio`` = rewritten partitions / parts) and the
+    round WARNS (or raises under ``strict_sizing=True``) when the
+    batch touches more components than ``parts / 20`` — the measured
+    threshold beyond which the rewrite degenerates; the fix is a
+    larger ``parts`` at the next full :func:`write_components`, or
+    consolidating batches. Returns {touched_comps, rewritten_parts,
+    touched_parts_ratio, n_updated}."""
+    from ..sources import fsutil as FS
 
     parts = _components_params(spark, path)["parts"]
     table = spark.read.parquet(f"{path}/assign")
@@ -308,9 +314,28 @@ def extend_components_at_rest(
         "part", F.pmod(F.xxhash64("comp"), F.lit(parts))
     ).collect()
     if not touched_rows and new_edges.isEmpty():
-        return {"touched_comps": 0, "rewritten_parts": 0, "n_updated": 0}
+        return {
+            "touched_comps": 0,
+            "rewritten_parts": 0,
+            "touched_parts_ratio": 0.0,
+            "n_updated": 0,
+        }
     touched_comps = [r["comp"] for r in touched_rows]
     old_parts = sorted({r["part"] for r in touched_rows})
+    if len(touched_comps) > parts / 20:
+        msg = (
+            f"extend_components_at_rest: batch touches {len(touched_comps)} "
+            f"components against parts={parts} — beyond the measured "
+            f"parts/20 sizing bound the rewrite degenerates toward a full "
+            f"table rewrite (COVERAGE.md 1M adversarial regime). Rebuild "
+            f"with write_components(parts >= ~{20 * len(touched_comps)}) or "
+            f"consolidate batches before extending."
+        )
+        if strict_sizing:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
 
     pruned = table.filter(F.col("part").isin(old_parts)) if old_parts else table.limit(0)
     # comp type carried from the table schema, not a literal (string /
@@ -377,12 +402,12 @@ def extend_components_at_rest(
         out.unpersist()
     emptied = set(old_parts) - written_parts
     for p in emptied:
-        d = f"{path.removeprefix('file:')}/assign/part={p}"
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        FS.delete(f"{path}/assign/part={p}")
+    rewritten = len(written_parts | emptied)
     return {
         "touched_comps": len(touched_comps),
-        "rewritten_parts": len(written_parts | emptied),
+        "rewritten_parts": rewritten,
+        "touched_parts_ratio": round(rewritten / parts, 4),
         "n_updated": n_updated,
     }
 

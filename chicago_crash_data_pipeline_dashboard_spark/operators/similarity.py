@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions import vectors as VX
+from ..sources import fsutil as FS
 
 
 def _topk_by_cos(scored: DataFrame, k: int) -> DataFrame:
@@ -574,6 +575,101 @@ def read_ivf_centroids(spark, path: str) -> list[list[float]]:
     return json.loads(spark.read.json(f"{path}/_centroids").collect()[0].centroids_json)
 
 
+# --------------------------------------------------------------------------
+# Idempotent (transactional) appends — the streaming-replay ledger
+# --------------------------------------------------------------------------
+#
+# foreachBatch is AT-LEAST-ONCE: a crash after an append succeeds but
+# before the stream checkpoint commits replays the same micro-batch on
+# restart, and a bare append-mode write would duplicate every row of
+# that batch (duplicate neighbor_ids silently skew top-k). The append
+# family therefore takes an optional ``txn`` id; with one, the append
+# runs a staged-move protocol whose EVERY step converges under replay:
+#
+#   1. committed marker present -> no-op (replay of a finished batch);
+#   2. stage the batch's output under ``_ingest_tmp/{txn}`` and freeze
+#      it with a manifest (no manifest -> staging is re-done from
+#      scratch; manifest present -> staged files are reused, because
+#      some may already have moved);
+#   3. move each staged file to a txn-deterministic destination name,
+#      skipping destinations that already exist (re-runs complete a
+#      partial move instead of duplicating it);
+#   4. write the committed marker (``_ledger/{txn}``), drop staging.
+#
+# A crash at any point leaves a state a re-run finishes exactly once.
+# Ledger and staging live INSIDE the index (underscore-prefixed, no
+# ``=`` — invisible to listing and partition discovery), so a retrain
+# that atomically swaps the whole index root publishes its own marker
+# in the same rename. Structured Streaming commits batches in order
+# and replays at most the last uncommitted one, so markers from
+# before a retrain need not be carried over.
+
+
+def _txn_paths(index_root: str, txn: str) -> tuple[str, str]:
+    safe = txn.replace("/", "_")
+    root = index_root.rstrip("/")
+    return f"{root}/_ledger/{safe}", f"{root}/_ingest_tmp/{safe}"
+
+
+def txn_committed(index_root: str, txn: str) -> bool:
+    """True if a transactional append/maintenance round with this id
+    already committed against the index — the replay check."""
+    return FS.exists(_txn_paths(index_root, txn)[0])
+
+
+def _idempotent_staged_append(
+    index_root: str, txn: str, write_stage, dest_for, order_key=None
+) -> bool:
+    """Run the staged-move protocol above. ``write_stage(stage_dir)``
+    writes the batch's full output under ``stage_dir``;
+    ``dest_for(rel)`` maps a stage-relative data-file path to its
+    final destination (must be txn-deterministic); ``order_key``
+    orders the moves (PQ moves ``vectors/`` before ``codes/`` so even
+    the transient crash window keeps the invisible-state invariant).
+    Returns False when the txn had already committed (replay), True
+    otherwise."""
+    import json
+
+    marker, stage = _txn_paths(index_root, txn)
+    if FS.exists(marker):
+        FS.delete(stage)  # a crash between marker and cleanup leaves litter
+        return False
+    manifest = f"{stage}/_manifest.json"
+    token = "/_ingest_tmp/" + stage.rsplit("/", 1)[-1] + "/"
+    if not FS.exists(manifest):
+        # no manifest -> nothing moved yet; restage from scratch
+        FS.delete(stage)
+        write_stage(stage)
+        rels = sorted(
+            (
+                p.split(token, 1)[1]
+                for p in FS.glob_paths(f"{stage}/*/*.parquet")
+                + FS.glob_paths(f"{stage}/*/*/*.parquet")
+            ),
+            key=order_key,
+        )
+        FS.write_text(manifest, json.dumps(rels))
+    else:
+        rels = json.loads(FS.read_text(manifest))
+    made_dirs: set[str] = set()
+    for rel in rels:
+        dest = dest_for(rel)
+        if FS.exists(dest):
+            continue  # a previous attempt moved this one
+        parent = dest.rsplit("/", 1)[0]
+        if parent not in made_dirs:
+            FS.mkdirs(parent)
+            made_dirs.add(parent)
+        FS.rename(f"{stage}/{rel}", dest)
+    FS.write_text(marker, json.dumps({"txn": txn, "files": len(rels)}))
+    FS.delete(stage)
+    return True
+
+
+def _txn_file_prefix(txn: str) -> str:
+    return "txn-" + txn.replace("/", "_") + "-"
+
+
 def append_to_ivf_index(
     batch: DataFrame,
     path: str,
@@ -581,6 +677,7 @@ def append_to_ivf_index(
     vec_col: str = "embedding",
     assignment: str = "auto",
     files_per_cluster: int = 1,
+    txn: str | None = None,
 ) -> list[list[float]]:
     """Incrementally append a NEW batch to an IVF index written by
     ``write_ivf_index`` — the 100-TB ingest path (VERDICT r10 item 2):
@@ -610,7 +707,12 @@ def append_to_ivf_index(
     fit over (FAISS guidance), or (b) a held-out probe's recall@k
     drops below target; a cheap online signal is the mean
     nearest-centroid distance of each appended batch creeping above
-    its value at build time."""
+    its value at build time.
+
+    ``txn``: an idempotency id for at-least-once callers (the
+    streaming drains) — see the staged-move protocol above. Without
+    one, the append is a plain append-mode write (the batch caller's
+    contract: don't hand the same batch in twice)."""
     spark = batch.sparkSession
     centroids = read_ivf_centroids(spark, path)
     if assignment == "auto":
@@ -619,7 +721,18 @@ def append_to_ivf_index(
         )
     assigned = _assigned_frame(batch, centroids, id_col, vec_col, assignment)
     assigned = _cluster_aligned(assigned, files_per_cluster)
-    assigned.write.partitionBy("_cluster").mode("append").parquet(path)
+    if txn is None:
+        assigned.write.partitionBy("_cluster").mode("append").parquet(path)
+        return centroids
+    pre = _txn_file_prefix(txn)
+    _idempotent_staged_append(
+        path,
+        txn,
+        lambda stage: assigned.write.partitionBy("_cluster")
+        .mode("overwrite")
+        .parquet(stage),
+        lambda rel: f"{path}/{rel.rsplit('/', 1)[0]}/{pre}{rel.rsplit('/', 1)[1]}",
+    )
     return centroids
 
 
@@ -1103,6 +1216,7 @@ def append_to_pq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    txn: str | None = None,
 ):
     """Incrementally append a NEW batch to a PQ index written by
     ``write_pq_index`` — completes the append family (IVF and IVF-PQ
@@ -1114,17 +1228,39 @@ def append_to_pq_index(
 
     Retrain-vs-append drift criterion: as ``append_to_ivf_index``,
     minus the assignment-skew surface (no coarse quantizer here) —
-    only ADC error grows on out-of-distribution appends. Returns the
+    only ADC error grows on out-of-distribution appends.
+
+    Write order is VECTORS first, deliberately: a failure between the
+    two appends then leaves vectors rows with no codes — invisible to
+    probes (the ADC pass drives candidate selection off ``codes``) and
+    repaired by re-running the append. The reverse order would leave
+    codes rows whose ids are absent from ``vectors``, and those ADC
+    candidates silently vanish at the rerank fetch while still
+    crowding real candidates out of the k·refine budget. Under a
+    ``txn`` id the same ordering holds inside the staged-move protocol
+    (manifest order sorts ``codes/`` after ``vectors/``). Returns the
     codebook as read from the index."""
     spark = batch.sparkSession
     codebook = read_pq_codebook(spark, path)
     c = _pq_corpus_frames(batch, id_col, vec_col, codebook)
-    c.select("neighbor_id", "codes").write.mode("append").parquet(f"{path}/codes")
-    (
-        c.select("neighbor_id", "cvec", "cn")
-        .sortWithinPartitions("neighbor_id")
-        .write.mode("append")
-        .parquet(f"{path}/vectors")
+    vecs = c.select("neighbor_id", "cvec", "cn").sortWithinPartitions("neighbor_id")
+    codes = c.select("neighbor_id", "codes")
+    if txn is None:
+        vecs.write.mode("append").parquet(f"{path}/vectors")
+        codes.write.mode("append").parquet(f"{path}/codes")
+        return codebook
+
+    def _stage(stage: str) -> None:
+        vecs.write.mode("overwrite").parquet(f"{stage}/vectors")
+        codes.write.mode("overwrite").parquet(f"{stage}/codes")
+
+    pre = _txn_file_prefix(txn)
+    _idempotent_staged_append(
+        path,
+        txn,
+        _stage,
+        lambda rel: f"{path}/{rel.rsplit('/', 1)[0]}/{pre}{rel.rsplit('/', 1)[1]}",
+        order_key=lambda rel: (0 if rel.startswith("vectors/") else 1, rel),
     )
     return codebook
 
@@ -1348,19 +1484,23 @@ def read_drift_baseline(spark, path: str) -> dict | None:
     return json.loads(row["drift_json"])
 
 
+def _index_layout(path: str) -> tuple[bool, bool]:
+    """(has_centroids, has_codebook) — layout sniffing through the
+    Hadoop FileSystem API, so a pure-IVF or pure-PQ index is
+    classified the same on ``file://``, ``hdfs://`` and ``s3a://``
+    (the r11-advice trap: assuming both sidecars exist whenever the
+    path isn't local misread every object-store index as ivfpq)."""
+    return FS.is_dir(f"{path}/_centroids"), FS.is_dir(f"{path}/_codebook")
+
+
 def describe_index(spark, path: str) -> dict:
     """Operational introspection for an at-rest ANN index — what an
     operator checks before deciding append vs retrain: kind (ivf /
     ivfpq / pq by layout), quantizer shape, the persisted encode mode
     and drift baseline, and row/file counts from the data table
     (one count + one listing; no vector bytes read)."""
-    import glob as globmod
-    import os
-
-    jvm_free = path.startswith("/") or path.startswith("file:")
     meta: dict = {"path": path}
-    has_codebook = os.path.isdir(f"{path}/_codebook") if jvm_free else True
-    has_centroids = os.path.isdir(f"{path}/_centroids") if jvm_free else True
+    has_centroids, has_codebook = _index_layout(path)
     if has_centroids:
         centroids = read_ivf_centroids(spark, path)
         meta.update(
@@ -1376,19 +1516,16 @@ def describe_index(spark, path: str) -> dict:
         )
     if has_centroids and has_codebook:
         meta["kind"] = "ivfpq"
-        data_dir, count_cols = f"{path}/data", ["neighbor_id"]
+        data_dir, file_glob = f"{path}/data", f"{path}/data/_cluster=*/*.parquet"
         meta["encode"] = read_ivfpq_encode_mode(spark, path)
     elif has_centroids:
         meta["kind"] = "ivf"
-        data_dir, count_cols = path, ["neighbor_id"]
+        data_dir, file_glob = path, f"{path}/_cluster=*/*.parquet"
     else:
         meta["kind"] = "pq"
-        data_dir, count_cols = f"{path}/codes", ["neighbor_id"]
-    meta["n_rows"] = spark.read.parquet(data_dir).select(*count_cols).count()
-    if jvm_free:
-        meta["n_files"] = len(
-            globmod.glob(f"{data_dir.removeprefix('file:')}/**/*.parquet", recursive=True)
-        )
+        data_dir, file_glob = f"{path}/codes", f"{path}/codes/*.parquet"
+    meta["n_rows"] = spark.read.parquet(data_dir).select("neighbor_id").count()
+    meta["n_files"] = FS.count_glob(file_glob)
     return meta
 
 
@@ -1407,24 +1544,23 @@ def recover_index_compaction(data_dir: str) -> str | None:
     - everything else in ``_compact_old`` / ``_compact_tmp`` is
       discarded (re-running the compaction is idempotent).
 
-    Returns a short description of the repair (or None)."""
-    import os
-    import shutil
-
-    tmp_root = os.path.join(data_dir, "_compact_tmp")
-    old_root = os.path.join(data_dir, "_compact_old")
+    All file ops through the Hadoop FileSystem API (``fsutil``) —
+    file/hdfs/s3a alike. Returns a short description of the repair
+    (or None)."""
+    tmp_root = f"{data_dir}/_compact_tmp"
+    old_root = f"{data_dir}/_compact_old"
     action = None
-    if os.path.isdir(old_root):
+    if FS.is_dir(old_root):
         restored = 0
-        for d in os.listdir(old_root):
-            leaf = os.path.join(data_dir, d)
-            if d.startswith("_cluster=") and not os.path.exists(leaf):
-                os.rename(os.path.join(old_root, d), leaf)
+        for d, is_dir in FS.list_entries(old_root):
+            leaf = f"{data_dir}/{d}"
+            if is_dir and d.startswith("_cluster=") and not FS.exists(leaf):
+                FS.rename(f"{old_root}/{d}", leaf)
                 restored += 1
-        shutil.rmtree(old_root)
+        FS.delete(old_root)
         action = f"restored_{restored}_clusters" if restored else "removed_old"
-    if os.path.isdir(tmp_root):
-        shutil.rmtree(tmp_root)
+    if FS.is_dir(tmp_root):
+        FS.delete(tmp_root)
         action = (action + "+removed_tmp") if action else "removed_tmp"
     return action
 
@@ -1460,38 +1596,37 @@ def compact_index(
       ``{data}/_compact_tmp`` (underscore, no ``=`` — invisible to
       partition discovery), then swapped in with per-cluster renames
       (crash states repaired by :func:`recover_index_compaction`).
-      On an object store, swap via dynamic partition overwrite from a
-      persisted staging table instead of renames; the rewrite job is
-      identical.
     - **pq**: the ``codes`` and ``vectors`` tables are plain
       directories — ``codes`` compacts round-robin to ``target_bytes``
       files, ``vectors`` range-partitioned + re-sorted on
       ``neighbor_id`` (tightening the min/max stats the rerank fetch
       skips row groups with).
 
-    Local-filesystem swap implementation, like ``sources.compact`` —
-    the repo's lake-layer convention. Returns before/after stats."""
-    import glob as globmod
-    import os
-    import shutil
-
+    All file ops route through the Hadoop FileSystem API
+    (``sources.fsutil``) — one implementation for file/hdfs/s3a. On a
+    store without atomic rename the per-cluster swap degrades to a
+    server-side copy; every intermediate state stays invisible
+    (``_compact_tmp``/``_compact_old`` roots contain no ``=``) or
+    recoverable (:func:`recover_index_compaction`). Returns
+    before/after stats."""
     from ..sources.compact import compact_dir
 
-    def _data_files(data_dir: str) -> int:
-        # NOT dir_stats: the ivf table root also holds the _centroids
-        # sidecar, whose inner json files would skew the count
-        return len(globmod.glob(os.path.join(data_dir, "_cluster=*", "*.parquet")))
+    def _cluster_file_counts(data_dir: str) -> dict[int, int]:
+        # ONE globStatus listing for the whole table (not dir_stats:
+        # the ivf table root also holds the _centroids sidecar, whose
+        # inner json files would skew the count)
+        counts: dict[int, int] = {}
+        for p in FS.glob_paths(f"{data_dir}/_cluster=*/*.parquet"):
+            c = int(p.rsplit("/", 2)[1].split("=", 1)[1])
+            counts[c] = counts.get(c, 0) + 1
+        return counts
 
-    root = path.removeprefix("file:")
-    has_codebook = os.path.isdir(os.path.join(root, "_codebook"))
-    has_centroids = os.path.isdir(os.path.join(root, "_centroids"))
+    has_centroids, has_codebook = _index_layout(path)
     if not has_centroids and has_codebook:
-        codes = compact_dir(
-            spark, os.path.join(root, "codes"), target_bytes=target_bytes
-        )
+        codes = compact_dir(spark, f"{path}/codes", target_bytes=target_bytes)
         vecs = compact_dir(
             spark,
-            os.path.join(root, "vectors"),
+            f"{path}/vectors",
             target_bytes=target_bytes,
             sort_col="neighbor_id",
         )
@@ -1503,31 +1638,23 @@ def compact_index(
         }
 
     kind = "ivfpq" if has_codebook else "ivf"
-    data_dir = os.path.join(root, "data") if kind == "ivfpq" else root
+    data_dir = f"{path}/data" if kind == "ivfpq" else path
     recover_index_compaction(data_dir)
 
-    bloated: list[int] = []
-    files_before = 0
-    n_clusters_on_disk = 0
-    for d in sorted(os.listdir(data_dir)):
-        if not d.startswith("_cluster="):
-            continue
-        n_clusters_on_disk += 1
-        n = len(globmod.glob(os.path.join(data_dir, d, "*.parquet")))
-        files_before += n
-        if n > files_per_cluster:
-            bloated.append(int(d.split("=", 1)[1]))
+    counts = _cluster_file_counts(data_dir)
+    files_before = sum(counts.values())
+    bloated = sorted(c for c, n in counts.items() if n > files_per_cluster)
     stats = {
         "kind": kind,
-        "clusters_total": n_clusters_on_disk,
+        "clusters_total": len(counts),
         "clusters_compacted": len(bloated),
         "files_before": files_before,
     }
     if not bloated:
         return {**stats, "files_after": files_before, "compacted": 0}
 
-    tmp_root = os.path.join(data_dir, "_compact_tmp")
-    old_root = os.path.join(data_dir, "_compact_old")
+    tmp_root = f"{data_dir}/_compact_tmp"
+    old_root = f"{data_dir}/_compact_old"
     for wave_at in range(0, len(bloated), _COMPACT_WAVE):
         wave = bloated[wave_at : wave_at + _COMPACT_WAVE]
         out = spark.read.parquet(data_dir).filter(F.col("_cluster").isin(wave))
@@ -1535,16 +1662,16 @@ def compact_index(
         if kind == "ivfpq":
             out = out.sortWithinPartitions("_cluster", "neighbor_id")
         out.write.partitionBy("_cluster").mode("overwrite").parquet(tmp_root)
-        os.makedirs(old_root, exist_ok=True)
+        FS.mkdirs(old_root)
         for c in wave:
-            leaf = os.path.join(data_dir, f"_cluster={c}")
-            os.rename(leaf, os.path.join(old_root, f"_cluster={c}"))
-            os.rename(os.path.join(tmp_root, f"_cluster={c}"), leaf)
-        shutil.rmtree(old_root)
-        shutil.rmtree(tmp_root)
+            leaf = f"{data_dir}/_cluster={c}"
+            FS.rename(leaf, f"{old_root}/_cluster={c}")
+            FS.rename(f"{tmp_root}/_cluster={c}", leaf)
+        FS.delete(old_root)
+        FS.delete(tmp_root)
     return {
         **stats,
-        "files_after": _data_files(data_dir),
+        "files_after": sum(_cluster_file_counts(data_dir).values()),
         "compacted": len(bloated),
     }
 
@@ -1561,6 +1688,7 @@ def maintain_index(
     retrain: str = "auto",
     train_sample: int = 65536,
     seed: int = 42,
+    txn: str | None = None,
 ) -> dict:
     """One ingest round of index operations, as ONE call — the policy
     loop the individual pieces exist for, for ALL THREE at-rest index
@@ -1588,22 +1716,35 @@ def maintain_index(
 
     A no-baseline index (pre-r11 layout or no-retrain rebuild) can't
     compute the ratio, so it never auto-retrains — surfaced as
-    ``drift_ratio: None``. Returns the round's report:
-    {kind, action, n_batch, drift_mean, baseline_mean, drift_ratio,
-    compacted, files_after}."""
-    import glob as globmod
-    import os
-    import shutil
+    ``drift_ratio: None``. All file ops route through the Hadoop
+    FileSystem API (``fsutil``) — file/hdfs/s3a alike.
 
-    from ..sources.compact import recover_compaction
+    ``txn``: an idempotency id for at-least-once callers (the
+    streaming drains). A round whose id already committed returns
+    ``{"action": "skipped_replay"}`` untouched; an APPEND round runs
+    the staged-move protocol (the append's marker IS the round's
+    marker — a replay that crashed after the append but before the
+    stream checkpoint commit re-runs to the identical index, never a
+    duplicated batch; a compaction skipped by such a replay simply
+    triggers again next round); a RETRAIN round plants its marker
+    inside the staged rebuild, so the swap's rename publishes index
+    and marker together.
+
+    Returns the round's report: {kind, action, n_batch, drift_mean,
+    baseline_mean, drift_ratio, compacted, files_after}."""
+    from ..sources.compact import _staging_paths, recover_compaction
 
     if retrain not in ("auto", "never"):
         raise ValueError(f"retrain must be 'auto' or 'never', got {retrain!r}")
-    root = path.removeprefix("file:")
+    root = path.rstrip("/")
+    # recovery BEFORE the replay check: a retrain that crashed after
+    # its swap but before cleanup leaves the committed marker in root
+    # AND the old index in staging — the cleanup must still happen
     recover_compaction(root)
+    if txn is not None and txn_committed(root, txn):
+        return {"action": "skipped_replay", "txn": txn}
 
-    has_codebook = os.path.isdir(os.path.join(root, "_codebook"))
-    has_centroids = os.path.isdir(os.path.join(root, "_centroids"))
+    has_centroids, has_codebook = _index_layout(root)
     kind = "ivfpq" if (has_centroids and has_codebook) else (
         "ivf" if has_centroids else "pq"
     )
@@ -1636,7 +1777,7 @@ def maintain_index(
             .select(F.col("neighbor_id").alias(id_col), F.col("cvec").alias(vec_col))
             .unionByName(batch.select(F.col(id_col), F.col(vec_col)))
         )
-        tmp = root.rstrip("/") + "_compact_tmp"
+        tmp, old = _staging_paths(root)
         if kind == "ivfpq":
             codebook = read_pq_codebook(spark, path)
             write_ivfpq_index(
@@ -1652,53 +1793,55 @@ def maintain_index(
                 n_clusters=len(centroids), seed=seed, train_sample=train_sample,
                 files_per_cluster=files_per_cluster,
             )
-        old = root.rstrip("/") + "_compact_old"
-        os.rename(root, old)
-        os.rename(tmp, root)
-        shutil.rmtree(old)
+        if txn is not None:
+            # marker rides the staged rebuild: the swap's rename
+            # publishes the retrained index and its commit atomically
+            import json as _json
+
+            FS.write_text(
+                _txn_paths(tmp, txn)[0], _json.dumps({"txn": txn, "action": "retrained"})
+            )
+        FS.rename(root, old)
+        FS.rename(tmp, root)
+        FS.delete(old)
         report["action"] = "retrained"
     else:
         if kind == "ivfpq":
             append_to_ivfpq_index(
                 batch, path, id_col=id_col, vec_col=vec_col,
-                files_per_cluster=files_per_cluster,
+                files_per_cluster=files_per_cluster, txn=txn,
             )
         elif kind == "ivf":
             append_to_ivf_index(
                 batch, path, id_col=id_col, vec_col=vec_col,
-                files_per_cluster=files_per_cluster,
+                files_per_cluster=files_per_cluster, txn=txn,
             )
         else:
-            append_to_pq_index(batch, path, id_col=id_col, vec_col=vec_col)
+            append_to_pq_index(batch, path, id_col=id_col, vec_col=vec_col, txn=txn)
         report["action"] = "appended"
         if kind == "pq":
             worst = max(
-                len(globmod.glob(os.path.join(root, t, "*.parquet")))
-                for t in ("codes", "vectors")
+                FS.count_glob(f"{root}/{t}/*.parquet") for t in ("codes", "vectors")
             )
             bound = compact_trigger
         else:
             data_dir = vectors_dir if kind == "ivfpq" else root
-            worst = max(
-                (
-                    len(globmod.glob(os.path.join(d, "*.parquet")))
-                    for d in globmod.glob(os.path.join(data_dir, "_cluster=*"))
-                ),
-                default=0,
-            )
+            per_cluster: dict[str, int] = {}
+            for p in FS.glob_paths(f"{data_dir}/_cluster=*/*.parquet"):
+                c = p.rsplit("/", 2)[1]
+                per_cluster[c] = per_cluster.get(c, 0) + 1
+            worst = max(per_cluster.values(), default=0)
             bound = compact_trigger * files_per_cluster
         if worst > bound:
             stats = compact_index(spark, path, files_per_cluster=files_per_cluster)
             report["compacted"] = stats["compacted"]
     if kind == "pq":
-        report["files_after"] = len(
-            globmod.glob(os.path.join(root, "codes", "*.parquet"))
-        ) + len(globmod.glob(os.path.join(root, "vectors", "*.parquet")))
+        report["files_after"] = FS.count_glob(f"{root}/codes/*.parquet") + FS.count_glob(
+            f"{root}/vectors/*.parquet"
+        )
     else:
         data_dir = f"{root}/data" if kind == "ivfpq" else root
-        report["files_after"] = len(
-            globmod.glob(os.path.join(data_dir, "_cluster=*", "*.parquet"))
-        )
+        report["files_after"] = FS.count_glob(f"{data_dir}/_cluster=*/*.parquet")
     return report
 
 
@@ -2030,6 +2173,7 @@ def append_to_ivfpq_index(
     vec_col: str = "embedding",
     assignment: str = "auto",
     files_per_cluster: int = 1,
+    txn: str | None = None,
 ):
     """Incrementally append a NEW batch to an IVF-PQ index written by
     ``write_ivfpq_index`` (VERDICT r10 item 2): the batch is assigned
@@ -2061,11 +2205,18 @@ def append_to_ivfpq_index(
         encode=read_ivfpq_encode_mode(spark, path),
     )
     enc = _cluster_aligned(enc, files_per_cluster)
-    (
-        enc.sortWithinPartitions("_cluster", "neighbor_id")
-        .write.partitionBy("_cluster")
-        .mode("append")
-        .parquet(f"{path}/data")
+    enc = enc.sortWithinPartitions("_cluster", "neighbor_id")
+    if txn is None:
+        enc.write.partitionBy("_cluster").mode("append").parquet(f"{path}/data")
+        return centroids, codebook
+    pre = _txn_file_prefix(txn)
+    _idempotent_staged_append(
+        path,
+        txn,
+        lambda stage: enc.write.partitionBy("_cluster")
+        .mode("overwrite")
+        .parquet(stage),
+        lambda rel: f"{path}/data/{rel.rsplit('/', 1)[0]}/{pre}{rel.rsplit('/', 1)[1]}",
     )
     return centroids, codebook
 

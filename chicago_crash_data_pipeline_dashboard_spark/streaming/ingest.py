@@ -123,6 +123,16 @@ def windowed_event_counts(
     )
 
 
+def _stream_ledger_id(checkpoint_dir: str) -> str:
+    """Stable per-stream ledger namespace: a restarted stream MUST
+    reuse its checkpoint dir (that's how it resumes), so a hash of it
+    keys the same ledger across restarts while two different streams
+    appending to one index never collide."""
+    import hashlib
+
+    return "cp" + hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:10]
+
+
 def stream_append_to_ivf_index(
     spark: SparkSession,
     src_dir: str,
@@ -139,13 +149,18 @@ def stream_append_to_ivf_index(
     (``operators.similarity.append_to_ivf_index``; probe results gated
     equal to a same-quantizer rebuild in tests/test_streaming.py).
 
-    Delivery contract: the file-source checkpoint is the exactly-once
-    ledger (each source file appended once across restarts and
-    re-drains — a second drain with no new files runs ZERO batches), so
-    the append — which, like any append-only sink, is NOT idempotent
-    under replayed input — is never handed the same file twice.
-    Duplicate ids ACROSS files remain the upstream contract, exactly as
-    in batch appends.
+    Delivery contract: the file-source checkpoint deduplicates INPUT
+    (each source file enters exactly one micro-batch across restarts
+    and re-drains — a second drain with no new files runs ZERO
+    batches), but ``foreachBatch`` itself is AT-LEAST-ONCE: a crash
+    after the append succeeds but before the checkpoint commit
+    replays the same micro-batch on restart. The append therefore
+    runs under a per-batch transaction id (``txn`` — a staged-move
+    ledger inside the index, keyed on this stream's checkpoint): a
+    replayed batch that already committed is a no-op, and a batch
+    that crashed mid-append re-runs to the identical index instead of
+    duplicating rows. Duplicate ids ACROSS source files remain the
+    upstream contract, exactly as in batch appends.
 
     Per batch, the returned stats carry ``assign_drift_stats`` vs the
     build-time baseline persisted in the index metadata
@@ -159,6 +174,7 @@ def stream_append_to_ivf_index(
     schema = spark.read.parquet(src_dir).schema
     baseline = SIM.read_drift_baseline(spark, index_path)
     stats: list[dict] = []
+    ledger = _stream_ledger_id(checkpoint_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -169,7 +185,8 @@ def stream_append_to_ivf_index(
         batch_df = batch_df.persist()
         try:
             centroids = SIM.append_to_ivf_index(
-                batch_df, index_path, id_col=id_col, vec_col=vec_col
+                batch_df, index_path, id_col=id_col, vec_col=vec_col,
+                txn=f"{ledger}-b{batch_id}",
             )
             drift = SIM.assign_drift_stats(batch_df, centroids, vec_col=vec_col).first()
             stats.append(
@@ -215,14 +232,19 @@ def stream_maintain_index(
     ``compact_trigger``, ``retrain="never"`` …).
 
     Same delivery contract as the append stream: the file-source
-    checkpoint is the exactly-once file ledger, so a re-drain runs
-    zero batches and the non-idempotent append/retrain never sees a
-    replayed file. Returns maintain_index's per-batch reports (with
-    batch_id added)."""
+    checkpoint deduplicates input files (a re-drain with no new files
+    runs zero batches), and the per-batch transaction ledger makes
+    the at-least-once ``foreachBatch`` body idempotent — a replayed
+    round that already committed reports ``skipped_replay``; an
+    append round that crashed mid-move re-runs to the identical
+    index; a retrain round's marker is published atomically with the
+    swapped-in index. Returns maintain_index's per-batch reports
+    (with batch_id added)."""
     from ..operators import similarity as SIM
 
     schema = spark.read.parquet(src_dir).schema
     reports: list[dict] = []
+    ledger = _stream_ledger_id(checkpoint_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -233,7 +255,8 @@ def stream_maintain_index(
         batch_df = batch_df.persist()
         try:
             rep = SIM.maintain_index(
-                spark, index_path, batch_df, id_col=id_col, vec_col=vec_col, **policy
+                spark, index_path, batch_df, id_col=id_col, vec_col=vec_col,
+                txn=f"{ledger}-b{batch_id}", **policy
             )
             rep["batch_id"] = batch_id
             reports.append(rep)

@@ -58,46 +58,58 @@ def test_compact_partitioned_keeps_layout_and_pruning(spark, tmp_path):
 
 
 def test_compact_recovers_mid_swap_crash(spark, tmp_path):
-    """A compaction that died between the two renames leaves only
-    `_compact_old`; recovery must restore the original directory and
-    discard the tmp before re-compacting."""
+    """A compaction that died between the two renames leaves only the
+    `_compact_old__{name}` sibling; recovery must restore the original
+    directory and discard the tmp before re-compacting."""
     import os
     import shutil
 
     from chicago_crash_data_pipeline_dashboard_spark.sources.compact import (
+        _staging_paths,
         compact_dir,
         recover_compaction,
     )
 
     path = str(tmp_path / "ds")
+    tmp, old = _staging_paths(path)
+    assert tmp == str(tmp_path / "_compact_staging" / "tmp__ds")
+    assert old == str(tmp_path / "_compact_staging" / "old__ds")
     spark.range(100).repartition(4).write.parquet(path)
     n = spark.read.parquet(path).count()
 
     # simulate: write finished to tmp, first rename done, then crash
-    shutil.copytree(path, path + "_compact_tmp")
-    os.rename(path, path + "_compact_old")
+    shutil.copytree(path, tmp)
+    os.rename(path, old)
     assert not os.path.exists(path)
+    assert os.path.isdir(str(tmp_path / "_compact_staging"))
 
     assert recover_compaction(path) == "restored_old+removed_tmp"
     assert spark.read.parquet(path).count() == n
-    assert not os.path.exists(path + "_compact_old")
-    assert not os.path.exists(path + "_compact_tmp")
+    assert not os.path.exists(old)
+    assert not os.path.exists(tmp)
 
     # stale tmp next to an intact dir is discarded inside compact_dir
-    shutil.copytree(path, path + "_compact_tmp")
+    shutil.copytree(path, tmp)
     r = compact_dir(spark, path, min_files=2)
-    assert not os.path.exists(path + "_compact_tmp")
+    assert not os.path.exists(tmp)
     assert spark.read.parquet(path).count() == n
     assert r["compacted"] == 1
 
 
 def test_compact_partitioned_recovers_lost_partition(spark, tmp_path):
-    """A partition existing only as `k=v_compact_old` must be restored
-    and then compacted like any other leaf."""
+    """A partition existing only under the `_compact_staging` sibling
+    must be restored and then compacted like any other leaf — and the
+    staging layout must be INVISIBLE to partition discovery while it
+    exists (a leaf-adjacent `k=v_compact_old` — or even
+    `_compact_old__k=v`, since Spark's listing filter keeps
+    underscore names containing '=' — would surface as a bogus
+    partition value; a staging ROOT without '=' is skipped whole)."""
     import os
 
     from chicago_crash_data_pipeline_dashboard_spark.sources.compact import (
+        _staging_paths,
         compact_partitioned,
+        recover_partitioned,
     )
     from pyspark.sql import functions as F
 
@@ -105,9 +117,23 @@ def test_compact_partitioned_recovers_lost_partition(spark, tmp_path):
     df = spark.range(200).withColumn("k", (F.col("id") % 2).cast("int"))
     df.repartition(4).write.partitionBy("k").parquet(base)
     total = spark.read.parquet(base).count()
-    os.rename(os.path.join(base, "k=1"), os.path.join(base, "k=1_compact_old"))
+    _tmp1, old1 = _staging_paths(os.path.join(base, "k=1"))
+    os.makedirs(os.path.dirname(old1))
+    os.rename(os.path.join(base, "k=1"), old1)
+
+    # the crash state is invisible: no bogus partition value surfaces
+    crashed = spark.read.parquet(base)
+    assert crashed.select("k").distinct().count() == 1
 
     compact_partitioned(spark, base, min_files=2)
     assert os.path.isdir(os.path.join(base, "k=1"))
-    assert not os.path.isdir(os.path.join(base, "k=1_compact_old"))
+    assert not os.path.exists(old1)
     assert spark.read.parquet(base).count() == total
+
+    # probe-side insurance: recover_partitioned alone repairs the state
+    _tmp0, old0 = _staging_paths(os.path.join(base, "k=0"))
+    os.makedirs(os.path.dirname(old0), exist_ok=True)
+    os.rename(os.path.join(base, "k=0"), old0)
+    assert recover_partitioned(base) == 1
+    assert spark.read.parquet(base).count() == total
+    assert recover_partitioned(base) == 0

@@ -1241,16 +1241,22 @@ def test_maintain_index_recovers_crashed_retrain_swap(spark, tmp_path):
         [(i, v.tolist()) for i, v in enumerate(rng.standard_normal((200, 16)).astype("float32"))],
         "vec_id long, embedding array<float>",
     )
+    from chicago_crash_data_pipeline_dashboard_spark.sources.compact import (
+        _staging_paths,
+    )
+
     path = str(tmp_path / "ivf_crashed")
     SIM.write_ivf_index(full.filter(F.col("vec_id") < 150), path, n_clusters=8, seed=42)
 
-    os.rename(path, path + "_compact_old")      # crashed between renames
-    os.makedirs(path + "_compact_tmp")          # abandoned staging junk
+    tmp, old = _staging_paths(path)
+    os.makedirs(os.path.dirname(old), exist_ok=True)
+    os.rename(path, old)                        # crashed between renames
+    os.makedirs(tmp)                            # abandoned staging junk
 
     rep = SIM.maintain_index(spark, path, full.filter(F.col("vec_id") >= 150))
     assert rep["action"] == "appended"
-    assert not os.path.exists(path + "_compact_old")
-    assert not os.path.exists(path + "_compact_tmp")
+    assert not os.path.exists(old)
+    assert not os.path.exists(tmp)
     ids = {r.neighbor_id for r in spark.read.parquet(path).select("neighbor_id").collect()}
     assert ids == set(range(200))
     shutil.rmtree(path)
@@ -1311,3 +1317,191 @@ def test_maintain_index_pq_and_ivfpq_kinds(spark, tmp_path):
     assert ids == set(range(200)) | {2000 + i for i in range(40)}
     got = SIM.ivfpq_topk_indexed(spark, ivfpq_path, far.limit(3), k=3, n_probe=4, refine=6)
     assert got.count() == 3 * 3
+
+
+def _txn_corpus(spark, seed=60, n=250, dim=16):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(rng.standard_normal((n, dim)).astype("float32"))],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_txn_append_exactly_once_under_replay(spark, tmp_path):
+    """The streaming-replay ledger (foreachBatch is at-least-once): a
+    txn-keyed append that already committed is a no-op on replay — and
+    the DANGEROUS window (append fully applied, marker write lost in
+    the crash) also replays to the identical index, because the move
+    destinations are txn-deterministic and skipped when present."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil as FS
+
+    full = _txn_corpus(spark)
+    path = str(tmp_path / "ivf_txn")
+    SIM.write_ivf_index(full.filter(F.col("vec_id") < 200), path, n_clusters=8, seed=42)
+    batch = full.filter(F.col("vec_id") >= 200)
+
+    SIM.append_to_ivf_index(batch, path, txn="cpx-b0")
+    assert SIM.txn_committed(path, "cpx-b0")
+    table = spark.read.parquet(path)
+    assert table.count() == 250
+
+    # replay of a committed batch: no-op
+    SIM.append_to_ivf_index(batch, path, txn="cpx-b0")
+    assert spark.read.parquet(path).count() == 250
+
+    # crash AFTER the moves, BEFORE the marker (the exact window the
+    # r11 advice flagged): the staged manifest is still on disk, so
+    # the replay converges on the already-moved files instead of
+    # re-staging under fresh names
+    import unittest.mock as mock
+
+    import pytest
+
+    real_write_text = fsutil.write_text
+
+    def crash_on_marker(p, text, spark_=None):
+        if "/_ledger/" in p:
+            raise OSError("injected crash before marker write")
+        return real_write_text(p, text, spark_)
+
+    batch2 = full.filter(F.col("vec_id") >= 200).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    with mock.patch.object(fsutil, "write_text", crash_on_marker):
+        with pytest.raises(OSError, match="injected"):
+            SIM.append_to_ivf_index(batch2, path, txn="cpx-b1")
+    assert not SIM.txn_committed(path, "cpx-b1")
+    # every move landed before the "crash": rows present exactly once
+    assert spark.read.parquet(path).count() == 300
+
+    SIM.append_to_ivf_index(batch2, path, txn="cpx-b1")  # the replay
+    out = spark.read.parquet(path)
+    assert out.count() == 300
+    assert out.select("neighbor_id").distinct().count() == 300
+    assert SIM.txn_committed(path, "cpx-b1")
+    # staging cleaned up, ledger invisible to the reader
+    assert not FS.exists(SIM._txn_paths(path, "cpx-b1")[1])
+
+
+def test_txn_append_completes_partial_move(spark, tmp_path):
+    """A crash MID-move (some staged files renamed, some not) re-runs
+    to exactly-once: the manifest freezes the staged file set, so the
+    replay completes the remaining moves instead of re-staging."""
+    import pytest
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+
+    full = _txn_corpus(spark, seed=61)
+    path = str(tmp_path / "ivf_txn_partial")
+    SIM.write_ivf_index(full.filter(F.col("vec_id") < 200), path, n_clusters=8, seed=42)
+    batch = full.filter(F.col("vec_id") >= 200)
+
+    real_rename = fsutil.rename
+    calls = {"n": 0}
+
+    def crashy(src, dst, spark_=None):
+        # let the first data-file move through, then "crash"
+        if "/_ingest_tmp/" in src and calls["n"] >= 1:
+            raise OSError("injected crash mid-move")
+        if "/_ingest_tmp/" in src:
+            calls["n"] += 1
+        return real_rename(src, dst, spark_)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(fsutil, "rename", crashy):
+        with pytest.raises(OSError, match="injected"):
+            SIM.append_to_ivf_index(batch, path, txn="cpy-b0")
+
+    assert not SIM.txn_committed(path, "cpy-b0")
+    assert calls["n"] == 1  # exactly one file made it before the crash
+
+    # replay with the fault gone: completes the move, commits once
+    SIM.append_to_ivf_index(batch, path, txn="cpy-b0")
+    out = spark.read.parquet(path)
+    assert out.count() == 250
+    assert out.select("neighbor_id").distinct().count() == 250
+    assert SIM.txn_committed(path, "cpy-b0")
+
+
+def test_txn_pq_append_moves_vectors_first(spark, tmp_path):
+    """PQ's two-table append keeps the invisible-crash-state invariant
+    under txn staging: vectors move before codes, so a crash between
+    them leaves vectors-without-codes (invisible to the ADC pass) —
+    never codes whose rerank fetch comes up empty."""
+    import unittest.mock as mock
+
+    import pytest
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+
+    full = _txn_corpus(spark, seed=62)
+    path = str(tmp_path / "pq_txn")
+    SIM.write_pq_index(full.filter(F.col("vec_id") < 200), path, dim=16, m=4, ks=8, seed=42)
+    batch = full.filter(F.col("vec_id") >= 200)
+    n_codes_before = spark.read.parquet(f"{path}/codes").count()
+
+    real_rename = fsutil.rename
+
+    def crash_on_codes(src, dst, spark_=None):
+        if "/_ingest_tmp/" in src and "/codes/" in src:
+            raise OSError("injected crash before codes move")
+        return real_rename(src, dst, spark_)
+
+    with mock.patch.object(fsutil, "rename", crash_on_codes):
+        with pytest.raises(OSError, match="injected"):
+            SIM.append_to_pq_index(batch, path, txn="cpz-b0")
+
+    # crash window: codes table untouched (probe-consistent); any
+    # moved vectors rows are invisible to the ADC candidate pass
+    assert spark.read.parquet(f"{path}/codes").count() == n_codes_before
+
+    SIM.append_to_pq_index(batch, path, txn="cpz-b0")
+    assert spark.read.parquet(f"{path}/codes").count() == 250
+    assert spark.read.parquet(f"{path}/vectors").count() == 250
+    got = SIM.pq_topk_indexed(spark, path, batch.limit(3), k=3, refine=6)
+    assert got.count() == 3 * 3
+
+
+def test_maintain_index_txn_skips_replay_and_retrain_marker_is_atomic(
+    spark, tmp_path
+):
+    """maintain_index under a txn id: a committed APPEND round replays
+    as skipped_replay (rows unchanged), and a RETRAIN round publishes
+    its marker atomically with the swapped index — replaying it cannot
+    re-union the batch into the corpus."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import similarity as SIM
+
+    full = _txn_corpus(spark, seed=63, n=300)
+    path = str(tmp_path / "ivf_maintain_txn")
+    SIM.write_ivf_index(full.filter(F.col("vec_id") < 200), path, n_clusters=8, seed=42)
+
+    batch = full.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250))
+    rep = SIM.maintain_index(spark, path, batch, txn="cpm-b0")
+    assert rep["action"] == "appended"
+    rep2 = SIM.maintain_index(spark, path, batch, txn="cpm-b0")
+    assert rep2["action"] == "skipped_replay"
+    assert spark.read.parquet(path).count() == 250
+
+    import numpy as np
+
+    rng = np.random.RandomState(64)
+    far = spark.createDataFrame(
+        [(3000 + i, (v + 25.0).tolist()) for i, v in enumerate(rng.standard_normal((40, 16)).astype("float32"))],
+        "vec_id long, embedding array<float>",
+    )
+    rep3 = SIM.maintain_index(spark, path, far, txn="cpm-b1")
+    assert rep3["action"] == "retrained"
+    assert SIM.txn_committed(path, "cpm-b1")  # marker rode the swap
+    assert spark.read.parquet(path).count() == 290
+    rep4 = SIM.maintain_index(spark, path, far, txn="cpm-b1")
+    assert rep4["action"] == "skipped_replay"
+    out = spark.read.parquet(path)
+    assert out.count() == 290
+    assert out.select("neighbor_id").distinct().count() == 290
