@@ -36,20 +36,91 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first (r11, executing the rotation VERDICT r10 item 1
-# mandates — COVERAGE.md §"Driver-sample rotation"): ALL 49 benched
-# queries rotate back in — pricing_summary (deferred one round in r10
-# for the emb_ivfpq_pruned registration; green r6, entry()-smoked
-# every round) plus the 48 r8-verified queries sitting exactly at the
-# two-round staleness bound. The 50th slot holds the one r11
-# registration (doc_minhash_against_corpus — new queries sample
-# unconditionally). Benched (rotated out): the r10-verified set — green
-# r10 — which may stay benched through r12 and MUST rotate back in by
-# r13.
+# Sampled first (r12, executing COVERAGE.md §"Round-12 rotation
+# plan"): the 6 NEW r12 registrations (the at-rest incremental family
+# under the driver differential — VERDICT r11 item 1); the 6
+# r11-changed queries whose sampling was deferred one round (VERDICT
+# r11 "What's wrong" item 2 — they sample FIRST, as promised); the 2
+# queries whose code changed post-r11-verify in commit bcef039
+# (compact_small_files via compact_partitioned's new staging,
+# doc_minhash_against_corpus via near_duplicates_against's probe-side
+# recovery — changed queries sample unconditionally); and 36 of the
+# r10-verified benched set. Benched (rotated out): the 49 remaining
+# r11-verified queries (may stay benched through r13, MUST sample by
+# r14) plus 7 deferred r10-verified queries — the 6 streaming gates
+# and orc_roundtrip_stats, each with an independent per-round
+# timing+self-gating artifact (BENCH_STREAM / BENCH_IO) — which MUST
+# sample in r13.
 _VERIFY_FIRST = [
-    # --- deferred one round in r10; green r6, entry()-smoked every round ---
+    # --- NEW in r12: the at-rest incremental family, registered ---
+    "doc_exact_against_corpus",
+    "doc_simhash_against_corpus",
+    "doc_ingest_round",
+    "doc_cc_extend",
+    "emb_ivfpq_append",
+    "emb_index_compact",
+    # --- r11-changed, sampling deferred exactly one round: FIRST ---
+    "doc_simhash_hamming",
+    "emb_ivf_topk",
+    "emb_ivf_largek",
+    "emb_pq_topk",
+    "emb_ivfpq_pruned",
+    "socrata_paged_scan",
+    # --- changed post-r11-verify (commit bcef039): unconditional ---
+    "compact_small_files",
+    "doc_minhash_against_corpus",
+    # --- r10-verified, rotating back from the bench ---
+    "time_features",
+    "whitelist_recode",
+    "emb_lsh_topk",
+    "crash_model_eval",
+    "jobspec_extract",
+    "silver_catalog_validate",
+    "skew_salted_join_agg",
+    "promo_part_star",
+    "doc_winnow_fp",
+    "doc_decontaminate",
+    "emb_quantize_error",
+    "doc_stratified_sample",
+    "doc_pack_bins",
+    "doc_quality_buckets",
+    "doc_pii_scrub",
+    "bucketed_join_agg",
+    "doc_chunk_overlap",
+    "event_props_json",
+    "schema_evolution_merge",
+    "json_malformed_ingest",
+    "partition_overwrite_dynamic",
+    "incremental_agg_merge",
+    "event_funnel_steps",
+    "user_retention_cohorts",
+    "doc_quality_regression",
+    "crash_rule_eval",
+    "doc_training_pipeline",
+    "order_profile",
+    "revenue_by_nation",
+    "doc_tfidf_cosine_pairs",
+    "emb_near_dup_pairs",
+    "crash_clean_chain",
+    "doc_minhash_near_dups",
+    "doc_cap_per_source",
+    "doc_strip_boilerplate",
+    "sql_adhoc_query",
+]
+_ROTATION_BENCHED = [
+    # --- r10-verified, deferred ONE round (each has an independent
+    # per-round timing+self-gating artifact: the 6 streaming gates in
+    # BENCH_STREAM, orc_roundtrip_stats in BENCH_IO); MUST sample r13 ---
+    "event_windowed_counts_stream",
+    "event_error_click_window_stream",
+    "event_dedup_watermark_stream",
+    "event_sessions_stream",
+    "event_first_seen_stream",
+    "streaming_ingest_e2e",
+    "orc_roundtrip_stats",
+    # --- r11-verified (green r11); may stay benched through r13,
+    # MUST rotate back into the sample by r14 ---
     "pricing_summary",
-    # --- r8-verified, at the two-round staleness bound: MUST sample ---
     "eda_day_labels",
     "run_history",
     "value_counts_topk",
@@ -98,62 +169,6 @@ _VERIFY_FIRST = [
     "doc_dup_clusters",
     "emb_semantic_dedup",
     "emb_ivf_pruned",
-    # --- NEW in r11: cross-run dedup against signatures at rest ---
-    "doc_minhash_against_corpus",
-]
-_ROTATION_BENCHED = [
-    # --- r10-verified (green r10); may stay benched through r12,
-    # MUST rotate back into the sample by r13 ---
-    "socrata_paged_scan",
-    "time_features",
-    "whitelist_recode",
-    "emb_ivfpq_pruned",
-    "emb_lsh_topk",
-    "emb_ivf_topk",
-    "emb_ivf_largek",
-    "crash_model_eval",
-    "event_windowed_counts_stream",
-    "jobspec_extract",
-    "silver_catalog_validate",
-    "skew_salted_join_agg",
-    "promo_part_star",
-    "compact_small_files",
-    "event_error_click_window_stream",
-    "doc_winnow_fp",
-    "doc_decontaminate",
-    "emb_quantize_error",
-    "doc_stratified_sample",
-    "doc_pack_bins",
-    "doc_quality_buckets",
-    "doc_pii_scrub",
-    "orc_roundtrip_stats",
-    "bucketed_join_agg",
-    "doc_chunk_overlap",
-    "event_props_json",
-    "schema_evolution_merge",
-    "json_malformed_ingest",
-    "partition_overwrite_dynamic",
-    "incremental_agg_merge",
-    "event_funnel_steps",
-    "user_retention_cohorts",
-    "event_dedup_watermark_stream",
-    "doc_quality_regression",
-    "crash_rule_eval",
-    "doc_training_pipeline",
-    "order_profile",
-    "revenue_by_nation",
-    "doc_tfidf_cosine_pairs",
-    "emb_near_dup_pairs",
-    "streaming_ingest_e2e",
-    "event_sessions_stream",
-    "event_first_seen_stream",
-    "crash_clean_chain",
-    "emb_pq_topk",
-    "doc_minhash_near_dups",
-    "doc_cap_per_source",
-    "doc_strip_boilerplate",
-    "sql_adhoc_query",
-    "doc_simhash_hamming",
 ]
 
 

@@ -63,6 +63,14 @@ SKIP = {
     "socrata_paged_scan",  # loopback-HTTP fixture round-trip — an ingest/IO gate, not query latency (VERDICT r9 item 3)
     "emb_ivfpq_pruned",  # index-at-rest round-trip, same bin as emb_ivf_pruned/emb_pq_pruned
     "doc_minhash_against_corpus",  # r11: signature-table-at-rest round-trip — IO bin
+    # r12: the rest of the at-rest incremental family, registered (was
+    # bench_io IO_EXTRA / pytest-only) — all scratch-table round-trips
+    "doc_exact_against_corpus",
+    "doc_simhash_against_corpus",
+    "doc_ingest_round",
+    "doc_cc_extend",
+    "emb_ivfpq_append",
+    "emb_index_compact",
     "emb_ivf_pruned",
     "emb_pq_pruned",
     "orc_roundtrip_stats",

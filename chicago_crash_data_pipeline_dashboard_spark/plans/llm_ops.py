@@ -2245,3 +2245,571 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_kept") <= F.col("n_distinct_vec")).alias("kept_le_distinct"),
         (F.col("n_kept_ids") == F.col("n_kept")).alias("kept_ids_unique"),
     )
+
+
+# --------------------------------------------------------------------------
+# r12 registrations — the at-rest incremental family under the driver's
+# hard differential (VERDICT r11 item 1: the registration debt). Each
+# gate stages its scratch table/index inside a tempdir, runs the
+# cross-run probe / maintenance path, asserts its planted ground truth
+# in-gate, and returns data the oracle reproduces independently.
+# --------------------------------------------------------------------------
+
+
+def _exact_against_oracle(clone_offset: int) -> str:
+    """DuckDB twin of write_fingerprints + dedup_exact_against over the
+    family's corpus/batch split: survivors are the batch docs whose
+    normalized-content md5 does not appear among the corpus
+    fingerprints. NOT EXISTS, not NOT IN — a NULL-text doc has a NULL
+    fingerprint, never equal to anything in either engine, so it
+    always survives (Spark's left_anti has the same null-key
+    semantics)."""
+    return f"""
+    WITH corpus AS (
+      SELECT {_FPRINT} AS f FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch_docs AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + {clone_offset} AS doc, text FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1
+    ),
+    bf AS (SELECT doc, {_FPRINT} AS f FROM batch_docs)
+    SELECT doc AS doc_id FROM bf b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)
+    """
+
+
+@register(
+    "doc_exact_against_corpus",
+    oracle=_exact_against_oracle(_AGAINST_CLONE_OFFSET),
+    doc="Cross-run EXACT dedup against fingerprints AT REST "
+    "(operators/dedup.py write_fingerprints / dedup_exact_against): the "
+    "corpus persists one (doc, md5-of-normalized-text) row per document, "
+    "partitionBy(part = hash(fingerprint) % parts); the batch prunes the "
+    "corpus scan to its own fingerprint partitions, LEFT-SEMI joins the "
+    "BROADCAST batch (the corpus side never shuffles — a plain batch-"
+    "LEFT-ANTI-corpus would shuffle the 100 TB side), then anti-joins "
+    "the tiny hit set. Gate: batch = held-out 20% plus exact clones of "
+    "corpus docs under new ids; every planted clone must drop (raised "
+    "in-gate) and the survivor set must hash-match the oracle's "
+    "NOT-EXISTS replay.",
+)
+def doc_exact_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    clones = corpus.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + _AGAINST_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(clones)
+    tmp = tempfile.mkdtemp(prefix="ccpd_xfps_")
+    try:
+        path = f"{tmp}/fps"
+        DD.write_fingerprints(corpus, path, "doc_id", "text", parts=16)
+        surv = DD.dedup_exact_against(batch, path, "doc_id", "text").select("doc_id")
+        rows = surv.collect()
+        survived = {r.doc_id for r in rows}
+        planted = {r.doc_id for r in clones.select("doc_id").collect()}
+        leaked = sorted(survived & planted)
+        if leaked:
+            raise AssertionError(
+                f"planted exact clones survived cross-run dedup: {leaked}"
+            )
+        if not planted:
+            raise AssertionError("no clones planted — gate is vacuous")
+        # the fingerprint files vanish with the scratch dir — return data
+        return spark.createDataFrame(rows, surv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _simhash_against_oracle(bits: int, max_distance: int, clone_offset: int) -> str:
+    """DuckDB twin of write_simhash_index + simhash_near_duplicates_against:
+    md5-mode SimHash fingerprints for the corpus and batch sides computed
+    independently, then BRUTE-FORCE joined on popcount(xor) <= d. The
+    Spark side's Manku pigeonhole segment index is complete for any
+    distance <= its segmentation and precision-filtered by the same
+    exact popcount — so segment-probe == brute force, and the oracle
+    checks completeness AND precision at once."""
+    bsums = ", ".join(
+        f"list_sum(list_transform(hvals, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+    WITH cdocs AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    bdocs AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + {clone_offset} AS doc, text FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1
+    ),
+    chv AS (SELECT doc, list_transform({_TOKS}, t -> {_H32.format(s='t')}) AS hvals
+            FROM cdocs),
+    cbs AS (SELECT doc, {bsums} FROM chv),
+    cfp AS (SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM cbs),
+    bhv AS (SELECT doc, list_transform({_TOKS}, t -> {_H32.format(s='t')}) AS hvals
+            FROM bdocs),
+    bbs AS (SELECT doc, {bsums} FROM bhv),
+    bfp AS (SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM bbs)
+    SELECT c.doc AS corpus_doc, b.doc AS batch_doc,
+           CAST(bit_count(xor(c.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM cfp c JOIN bfp b
+      ON bit_count(xor(c.simhash, b.simhash)) <= {max_distance}
+    """
+
+
+@register(
+    "doc_simhash_against_corpus",
+    oracle=_simhash_against_oracle(
+        bits=32, max_distance=3, clone_offset=_AGAINST_CLONE_OFFSET
+    ),
+    doc="Cross-run SimHash near-dup probe against the segment index AT "
+    "REST (operators/dedup.py write_simhash_index / "
+    "simhash_near_duplicates_against): the corpus fingerprints persist "
+    "pre-exploded into Manku pigeonhole segments, partitionBy(part = "
+    "hash(seg, val) % parts); the batch segments itself under the "
+    "INDEX's pinned params, prunes the corpus scan to its own segment "
+    "partitions, broadcast-joins on (seg, val) and verifies candidates "
+    "by exact popcount of the XOR. The oracle brute-forces ALL "
+    "corpus x batch pairs at the same distance — completeness (the "
+    "pigeonhole guarantee) and precision (the popcount filter) are "
+    "both under the differential. Gate: planted clones of corpus docs "
+    "must surface at hamming 0 (raised in-gate).",
+)
+def doc_simhash_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    clones = corpus.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + _AGAINST_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(clones)
+    tmp = tempfile.mkdtemp(prefix="ccpd_xsim_")
+    try:
+        path = f"{tmp}/simhash"
+        DD.write_simhash_index(
+            corpus, path, "doc_id", "text",
+            max_distance=3, bits=32, hash_mode="md5", parts=16,
+        )
+        pairs = DD.simhash_near_duplicates_against(batch, path, "doc_id", "text")
+        rows = pairs.collect()
+        got = {(r.corpus_doc, r.batch_doc): r.hamming for r in rows}
+        planted = [r.doc_id for r in clones.select("doc_id").collect()]
+        missed = [
+            b for b in planted if got.get((b - _AGAINST_CLONE_OFFSET, b)) != 0
+        ]
+        if not planted:
+            raise AssertionError("no clones planted — gate is vacuous")
+        if missed:
+            raise AssertionError(
+                f"planted clones not found at hamming 0 by the segment probe: {missed}"
+            )
+        # the segment files vanish with the scratch dir — return data
+        return spark.createDataFrame(rows, pairs.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ingest_round_oracle(
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+    threshold: float,
+    max_bucket: int,
+    clone_offset: int,
+) -> str:
+    """DuckDB twin of the ENTIRE minhash_ingest_round survivor policy:
+    (1) cross pairs — the corpus banded with its write-time bucket
+    sizes (hot cap on the corpus side only, exactly
+    near_duplicates_against's scan-side filter) joined to the freshly
+    banded batch; (2) within-batch pairs — the batch banded against
+    itself with the hot cap applied to batch-local bucket sizes,
+    exactly minhash_near_duplicates; (3) connected components over the
+    union edge graph via a recursive CTE; (4) the INGEST policy: every
+    component containing corpus content drops ALL its batch members
+    (already-ingested wins, transitively), a corpus-free component
+    keeps exactly its minimum batch member. Survivors are the batch
+    docs not dropped."""
+    rows = num_hashes // bands
+    params = DD._hash_params(num_hashes, seed)
+    mins = ", ".join(
+        f"list_min(list_transform(hvals, h -> ((h % {_P31}) * {a} + {b}) % {_P31}))"
+        for a, b in params
+    )
+
+    def banded(sig_cte: str) -> str:
+        selects = []
+        for i in range(bands):
+            cols = ", ".join(f"signature[{i * rows + j + 1}]" for j in range(rows))
+            selects.append(
+                f"SELECT doc, {i} AS band, concat_ws('_', {cols}) AS bucket "
+                f"FROM {sig_cte}"
+            )
+        return " UNION ALL ".join(selects)
+
+    est = (
+        f"CAST(len(list_filter(range(1, {num_hashes} + 1), "
+        f"i -> sa.signature[i] = sb.signature[i])) AS DOUBLE) / {num_hashes}"
+    )
+    return f"""
+    WITH RECURSIVE corpus_docs AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch_docs AS (
+      SELECT doc_id AS doc, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + {clone_offset} AS doc, text FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 50 = 1
+    ),
+    csh AS (SELECT doc, {_shingles_sql(shingle_n)} AS shingles FROM corpus_docs),
+    chv AS (SELECT doc, list_transform(shingles, s -> {_H32.format(s='s')}) AS hvals FROM csh),
+    csig AS (SELECT doc, [{mins}] AS signature FROM chv),
+    bsh AS (SELECT doc, {_shingles_sql(shingle_n)} AS shingles FROM batch_docs),
+    bhv AS (SELECT doc, list_transform(shingles, s -> {_H32.format(s='s')}) AS hvals FROM bsh),
+    bsig AS (SELECT doc, [{mins}] AS signature FROM bhv),
+    cbanded0 AS ({banded('csig')}),
+    chot AS (SELECT band, bucket FROM cbanded0
+             GROUP BY band, bucket HAVING count(*) > {max_bucket}),
+    cbanded AS (SELECT b.* FROM cbanded0 b
+                WHERE NOT EXISTS (SELECT 1 FROM chot h
+                                  WHERE h.band = b.band AND h.bucket = b.bucket)),
+    bbanded0 AS ({banded('bsig')}),
+    bhot AS (SELECT band, bucket FROM bbanded0
+             GROUP BY band, bucket HAVING count(*) > {max_bucket}),
+    bbanded AS (SELECT b.* FROM bbanded0 b
+                WHERE NOT EXISTS (SELECT 1 FROM bhot h
+                                  WHERE h.band = b.band AND h.bucket = b.bucket)),
+    cross_cand AS (
+      SELECT DISTINCT c.doc AS corpus_doc, b.doc AS batch_doc
+      FROM cbanded c JOIN bbanded0 b USING (band, bucket)
+      WHERE NOT EXISTS (SELECT 1 FROM chot h
+                        WHERE h.band = c.band AND h.bucket = c.bucket)
+    ),
+    cross_pairs AS (
+      SELECT corpus_doc, batch_doc FROM cross_cand
+      JOIN csig sa ON sa.doc = corpus_doc
+      JOIN bsig sb ON sb.doc = batch_doc
+      WHERE {est} >= {threshold}
+    ),
+    within_cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bbanded a JOIN bbanded b USING (band, bucket)
+      WHERE a.doc < b.doc
+    ),
+    within_pairs AS (
+      SELECT doc_a, doc_b FROM within_cand
+      JOIN bsig sa ON sa.doc = doc_a
+      JOIN bsig sb ON sb.doc = doc_b
+      WHERE {est} >= {threshold}
+    ),
+    edges AS (
+      SELECT corpus_doc AS a, batch_doc AS b FROM cross_pairs
+      UNION SELECT batch_doc, corpus_doc FROM cross_pairs
+      UNION SELECT doc_a, doc_b FROM within_pairs
+      UNION SELECT doc_b, doc_a FROM within_pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    tainted AS (
+      SELECT DISTINCT c.comp FROM comp c
+      JOIN (SELECT DISTINCT corpus_doc FROM cross_pairs) x ON c.node = x.corpus_doc
+    ),
+    clustered AS (
+      SELECT c.node, c.comp FROM comp c
+      JOIN batch_docs b ON c.node = b.doc
+    ),
+    keep AS (
+      SELECT min(node) AS node FROM clustered c
+      WHERE NOT EXISTS (SELECT 1 FROM tainted t WHERE t.comp = c.comp)
+      GROUP BY comp
+    ),
+    dropped AS (
+      SELECT node FROM clustered c
+      WHERE NOT EXISTS (SELECT 1 FROM keep k WHERE k.node = c.node)
+    )
+    SELECT doc AS doc_id FROM batch_docs b
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.node = b.doc)
+    """
+
+
+_ROUND_SIG = dict(num_hashes=32, bands=8, shingle_n=3, seed=42, hash_mode="md5")
+
+
+@register(
+    "doc_ingest_round",
+    oracle=_ingest_round_oracle(
+        num_hashes=32, bands=8, shingle_n=3, seed=42, threshold=0.5,
+        max_bucket=1000, clone_offset=_AGAINST_CLONE_OFFSET,
+    ),
+    doc="ONE ingest round of cross-run dedup as one call "
+    "(operators/dedup.py minhash_ingest_round — the highest-frequency "
+    "user path of the at-rest family, VERDICT r11 item 1): probe the "
+    "batch against the corpus signatures AT REST (corpus text never "
+    "read, scan pruned to the batch's bucket partitions), probe the "
+    "batch against itself under the TABLE's pinned params, apply the "
+    "INGEST survivor policy (corpus always wins — transitively: a "
+    "batch doc chained to the corpus only through other batch docs "
+    "drops too; corpus-free components keep their min member), append "
+    "only the survivors' signatures. The oracle replays the WHOLE "
+    "round in SQL: both band-bucket joins with their hot-bucket caps, "
+    "a recursive-CTE connected components over the union edge graph, "
+    "and the survivor policy. Gate: every planted clone of an ingested "
+    "doc must drop (raised in-gate); the survivor id set hash-matches "
+    "the replay.",
+)
+def doc_ingest_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    clones = corpus.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + _AGAINST_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(clones)
+    tmp = tempfile.mkdtemp(prefix="ccpd_round_")
+    try:
+        path = f"{tmp}/sigs"
+        DD.write_minhash_signatures(
+            corpus, path, "doc_id", "text", parts=16, **_ROUND_SIG
+        )
+        rep = DD.minhash_ingest_round(
+            batch, path, "doc_id", "text", threshold=0.5, max_bucket=1000
+        )
+        surv = rep["survivors"].select("doc_id")
+        rows = surv.collect()
+        survived = {r.doc_id for r in rows}
+        planted = {r.doc_id for r in clones.select("doc_id").collect()}
+        leaked = sorted(survived & planted)
+        if leaked:
+            raise AssertionError(f"planted clones survived the ingest round: {leaked}")
+        if not planted:
+            raise AssertionError("no clones planted — gate is vacuous")
+        if rep["n_cross_pairs"] < len(planted):
+            raise AssertionError(
+                f"only {rep['n_cross_pairs']} cross pairs for {len(planted)} "
+                "planted clones — the corpus probe missed plants"
+            )
+        if rep["n_survivors"] == 0:
+            raise AssertionError("round dropped everything — gate is vacuous")
+        # the signature table vanishes with the scratch dir — return data
+        return spark.createDataFrame(rows, surv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "doc_cc_extend",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_ctes(3, 1000)},
+    jp AS (
+      SELECT doc_a, doc_b
+      FROM pairs
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+              UNION SELECT doc_b AS a, doc_a AS b FROM jp),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node, min(comp) AS comp FROM reach GROUP BY node
+    """,
+    doc="Incremental connected components AT REST (operators/graph.py "
+    "write_components / extend_components_at_rest — VERDICT r11 item 1, "
+    "the extend gate): the corpus-only near-dup clusters persist "
+    "comp-hash-partitioned, then one ingest round's NEW edges (every "
+    "exact-Jaccard pair touching a held-out doc) fold in by rewriting "
+    "ONLY the touched components' partitions — touched comps from one "
+    "column-pruned corpus pass, members re-read partition-pruned, "
+    "dynamic partition overwrite with foreign-partition riders carried. "
+    "EXACT by the star-graph property. The oracle recomputes components "
+    "over the FULL edge union via a recursive-CTE transitive closure — "
+    "the incremental result must hash-match a from-scratch recompute; "
+    "the same equality is also asserted in-gate against the Spark "
+    "full-union twin so a divergence names the side that moved.",
+)
+def doc_cc_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.graph import (
+        connected_components,
+        extend_components_at_rest,
+        read_components,
+        write_components,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_bucket=1000, hash_mode="md5"
+    ).select("doc_a", "doc_b")
+    base = pairs.filter((F.col("doc_a") % 5 != 0) & (F.col("doc_b") % 5 != 0))
+    delta = pairs.filter((F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0))
+    if delta.limit(1).count() == 0:
+        raise AssertionError("no edges touch the held-out split — gate is vacuous")
+    tmp = tempfile.mkdtemp(prefix="ccpd_ccext_")
+    try:
+        path = f"{tmp}/components"
+        write_components(
+            connected_components(base, src="doc_a", dst="doc_b"), path, parts=16
+        )
+        extend_components_at_rest(spark, path, delta, src="doc_a", dst="doc_b")
+        ext = read_components(spark, path)
+        rows = sorted(map(tuple, ext.collect()))
+        full = sorted(
+            map(tuple, connected_components(pairs, src="doc_a", dst="doc_b").collect())
+        )
+        if rows != full:
+            raise AssertionError(
+                "incremental extend diverged from the full-union recompute "
+                f"({len(rows)} vs {len(full)} rows)"
+            )
+        # the component table vanishes with the scratch dir — return data
+        return spark.createDataFrame(rows, ext.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_COMPACT_GATE_ORACLE = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 * count(*) AS BIGINT) AS n_results,
+           TRUE AS recall_ok,
+           TRUE AS probe_unchanged
+    FROM embeddings WHERE vec_id < {_NQ}
+    """
+
+
+@register(
+    "emb_ivfpq_append",
+    oracle=_ANN_GATE_ORACLE,
+    doc="O(batch) incremental append to the IVF-PQ index AT REST "
+    "(operators/similarity.py append_to_ivfpq_index — VERDICT r11 "
+    "item 1): the index is built on 80% of the corpus, the held-out "
+    "20% appends under the SAVED quantizers (assign + encode only — "
+    "no k-means, no codebook math, the 1M probe measured 20 s vs "
+    "118-330 s rebuild), and the grown index is probed. Self-gating "
+    "EXACTLY: the grown probe must equal row-for-row the probe of a "
+    "full rebuild under the same quantizers (raised in-gate), so the "
+    "append path provably changes nothing but the rows it adds; the "
+    "returned row is the family's cardinality + recall@5 gate vs the "
+    "brute-force twin.",
+)
+def emb_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")
+    initial = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    q = e.filter(F.col("vec_id") < _NQ)
+    tmp = tempfile.mkdtemp(prefix="ccpd_ivfpq_append_")
+    try:
+        grown = f"{tmp}/grown"
+        cents, cb = SIM.write_ivfpq_index(
+            initial, grown, n_clusters=16, m=16, ks=16, seed=42
+        )
+        SIM.append_to_ivfpq_index(batch, grown)
+        rebuilt = f"{tmp}/rebuilt"
+        SIM.write_ivfpq_index(e, rebuilt, quantizers=(cents, cb))
+        # n_probe=8 (vs the full-build gates' 4): the coarse quantizer is
+        # trained on 80% of a tiny fixture, so cluster geometry is noisier
+        # than a full-corpus build — probing half the clusters restores the
+        # recall margin the family gate expects (measured 0.475 -> 0.725 at
+        # sf0.01); the exact grown==rebuilt equality is probe-independent
+        got = SIM.ivfpq_topk_indexed(spark, grown, q, k=5, n_probe=8, refine=8)
+        want = SIM.ivfpq_topk_indexed(spark, rebuilt, q, k=5, n_probe=8, refine=8)
+        g = sorted(map(tuple, got.collect()))
+        w = sorted(map(tuple, want.collect()))
+        if g != w:
+            raise AssertionError(
+                "append-grown probe diverged from the same-quantizer rebuild"
+            )
+        approx = spark.createDataFrame(g, got.schema)
+        exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+        gate = _ann_recall_gate(approx, exact)
+        # the index files vanish with the scratch dir — return data
+        return spark.createDataFrame(gate.collect(), gate.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "emb_index_compact",
+    oracle=_COMPACT_GATE_ORACLE,
+    doc="Partition-selective index compaction (operators/similarity.py "
+    "compact_index — VERDICT r11 item 1): an IVF index grown by three "
+    "appends accumulates small files per cluster; compact_index "
+    "rewrites ONLY the bloated cluster partitions (zero quantizer "
+    "math, wave-bounded, staged swap with crash recovery through the "
+    "Hadoop FS API). Self-gating: probe results before and after "
+    "compaction must be identical, at least one cluster must actually "
+    "have been rewritten, and every cluster must be back at one file "
+    "(all raised in-gate); the returned row adds the family's "
+    "cardinality + recall@5 gate vs the brute-force twin plus the "
+    "probe_unchanged verdict.",
+)
+def emb_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import fsutil as FS
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _NQ)
+    tmp = tempfile.mkdtemp(prefix="ccpd_compact_")
+    try:
+        path = f"{tmp}/ivf"
+        SIM.write_ivf_index(
+            e.filter(F.col("vec_id") % 10 > 2), path, n_clusters=16, seed=42
+        )
+        for r in (0, 1, 2):
+            SIM.append_to_ivf_index(e.filter(F.col("vec_id") % 10 == r), path)
+        # n_probe=8: quantizer trained on 70% of the tiny fixture — see
+        # emb_ivfpq_append; the before==after equality is probe-independent
+        before = sorted(
+            map(tuple, SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=8).collect())
+        )
+        stats = SIM.compact_index(spark, path, files_per_cluster=1)
+        if stats["clusters_compacted"] < 1:
+            raise AssertionError("appends produced nothing to compact — gate is vacuous")
+        bad = [
+            d for d in FS.glob_paths(f"{path}/_cluster=*")
+            if len(FS.glob_paths(f"{d}/*.parquet")) != 1
+        ]
+        if bad:
+            raise AssertionError(f"clusters above the file bound after compaction: {bad}")
+        got = SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=8)
+        after = sorted(map(tuple, got.collect()))
+        if before != after:
+            raise AssertionError("compaction changed probe results")
+        approx = spark.createDataFrame(after, got.schema)
+        exact = SIM.brute_force_topk(e, q, id_col="vec_id", vec_col="embedding", k=5)
+        gate = _ann_recall_gate(approx, exact).withColumn(
+            "probe_unchanged", F.lit(True)
+        )
+        # the index files vanish with the scratch dir — return data
+        return spark.createDataFrame(gate.collect(), gate.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
