@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "doc_cc_extend",
     "emb_ivfpq_append",
     "emb_index_compact",
+    "doc_ingest_stream",
     # --- r11-changed, sampling deferred exactly one round: FIRST ---
     "doc_simhash_hamming",
     "emb_ivf_topk",
@@ -85,7 +86,6 @@ _VERIFY_FIRST = [
     "doc_pack_bins",
     "doc_quality_buckets",
     "doc_pii_scrub",
-    "bucketed_join_agg",
     "doc_chunk_overlap",
     "event_props_json",
     "schema_evolution_merge",
@@ -118,6 +118,7 @@ _ROTATION_BENCHED = [
     "event_first_seen_stream",
     "streaming_ingest_e2e",
     "orc_roundtrip_stats",
+    "bucketed_join_agg",
     # --- r11-verified (green r11); may stay benched through r13,
     # MUST rotate back into the sample by r14 ---
     "pricing_summary",

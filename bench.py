@@ -80,6 +80,7 @@ SKIP = {
     "partition_overwrite_dynamic",
     "binary_file_ingest",
     "silver_catalog_validate",
+    "doc_ingest_stream",  # r12: streamed ingest round — micro-batch machinery, STREAM bin
     "event_sessions_stream",
     "event_sessions_native_stream",
     "event_first_seen_stream",

@@ -54,6 +54,7 @@ STREAM_QUERIES = [
     "event_dedup_watermark_stream",
     "event_error_click_window_stream",
     "streaming_ingest_e2e",
+    "doc_ingest_stream",  # r12: the streamed cross-run dedup round
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -1276,6 +1276,47 @@ def semantic_dedup(
     )
 
 
+def _ingest_survivor_policy(batch, id_col, vs_corpus, within):
+    """The INGEST survivor policy over one round's (bounded) edge
+    graph — shared by the batch round and its transactional
+    (streaming) twin: any component containing corpus content loses
+    its batch members outright (already ingested wins, transitively),
+    and a corpus-free component keeps exactly its minimum batch
+    member. Returns (survivors, edges); ``survivors`` is
+    localCheckpoint-ed, not persisted — the survivor plan reads the
+    signature TABLE (through ``vs_corpus``), and the caller appends to
+    that table next: an eager checkpoint truncates the lineage so a
+    later recompute (cache eviction, caller materializing after
+    return) can never re-probe the mutated table and see the batch's
+    own just-appended signatures (the probe-before-append rule,
+    enforced structurally)."""
+    from ..operators.graph import connected_components
+
+    edges = vs_corpus.select(
+        F.col("corpus_doc").alias("src"), F.col("batch_doc").alias("dst")
+    ).unionByName(
+        within.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(edges, src="src", dst="dst")
+    corpus_nodes = vs_corpus.select(F.col("corpus_doc").alias("node")).distinct()
+    tainted = comp.join(F.broadcast(corpus_nodes), "node", "left_semi").select(
+        "comp"
+    ).distinct()
+    batch_ids = batch.select(F.col(id_col).alias("node"))
+    clustered = comp.join(F.broadcast(batch_ids), "node", "left_semi")
+    keep_clustered = (
+        clustered.join(F.broadcast(tainted), "comp", "left_anti")
+        .groupBy("comp")
+        .agg(F.min("node").alias("node"))
+        .select("node")
+    )
+    drop_ids = clustered.select("node").exceptAll(keep_clustered)
+    survivors = batch.join(
+        F.broadcast(drop_ids), batch[id_col] == F.col("node"), "left_anti"
+    ).localCheckpoint()
+    return survivors, edges
+
+
 def minhash_ingest_round(
     batch: DataFrame,
     sig_path: str,
@@ -1285,6 +1326,7 @@ def minhash_ingest_round(
     threshold: float = 0.6,
     max_bucket: int | None = None,
     compact_trigger: float = 3.0,
+    txn: str | None = None,
 ) -> dict:
     """One ingest round of cross-run dedup, as ONE call — the dedup
     twin of ``similarity.maintain_index``, packaging the loop the
@@ -1316,10 +1358,32 @@ def minhash_ingest_round(
     else); ``secs`` decomposes the round's wall time per step
     (probe / within / survivors / extend / append / compact), so a
     scale probe or an ops dashboard can localize cost without
-    re-running the pieces."""
+    re-running the pieces.
+
+    ``txn``: an idempotency id for at-least-once callers (the
+    streaming drain — ``streaming.ingest.stream_minhash_ingest``).
+    With one, the WHOLE round runs the staged-move ledger protocol
+    (sources/txn.py): probe + survivor policy + the optional
+    components fold run inside the staging step — strictly before any
+    signature file moves into the table, so a replay can never
+    re-probe a table that already holds some of this batch's
+    signatures and see the batch pair with itself — and the round's
+    survivor ids + stats persist under ``{{sig_path}}/_rounds/{{txn}}``
+    so every replay path reconstructs the same report. The returned
+    dict gains ``action`` ("appended" on a fresh commit,
+    "completed_replay" when a crashed round's frozen staging was
+    finished, "skipped_replay" when the round had already committed
+    — nothing re-runs). Without ``txn`` the behavior is unchanged
+    (the batch caller's contract: don't hand the same batch in
+    twice)."""
+    if txn is not None:
+        return _minhash_ingest_round_txn(
+            batch, sig_path, id_col, text_col, comp_path, threshold,
+            max_bucket, compact_trigger, txn,
+        )
     import time as _time
 
-    from ..operators.graph import connected_components, extend_components_at_rest
+    from ..operators.graph import extend_components_at_rest
 
     secs: dict[str, float] = {}
     t0 = _time.perf_counter()
@@ -1348,37 +1412,7 @@ def minhash_ingest_round(
         _lap("probe")
         n_within = within.count()
         _lap("within")
-        edges = vs_corpus.select(
-            F.col("corpus_doc").alias("src"), F.col("batch_doc").alias("dst")
-        ).unionByName(
-            within.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        )
-
-        # ingest survivor policy over the round's (bounded) edge graph
-        comp = connected_components(edges, src="src", dst="dst")
-        corpus_nodes = vs_corpus.select(F.col("corpus_doc").alias("node")).distinct()
-        tainted = comp.join(F.broadcast(corpus_nodes), "node", "left_semi").select(
-            "comp"
-        ).distinct()
-        batch_ids = batch.select(F.col(id_col).alias("node"))
-        clustered = comp.join(F.broadcast(batch_ids), "node", "left_semi")
-        keep_clustered = (
-            clustered.join(F.broadcast(tainted), "comp", "left_anti")
-            .groupBy("comp")
-            .agg(F.min("node").alias("node"))
-            .select("node")
-        )
-        drop_ids = clustered.select("node").exceptAll(keep_clustered)
-        # localCheckpoint, not persist: the survivor plan reads the
-        # signature TABLE (through vs_corpus), and step 4 appends to
-        # that table — an eager checkpoint truncates the lineage so a
-        # later recompute (cache eviction, caller materializing after
-        # return) can never re-probe the mutated table and see the
-        # batch's own just-appended signatures (the probe-before-
-        # append rule, enforced structurally)
-        survivors = batch.join(
-            F.broadcast(drop_ids), batch[id_col] == F.col("node"), "left_anti"
-        ).localCheckpoint()
+        survivors, edges = _ingest_survivor_policy(batch, id_col, vs_corpus, within)
         n_survivors = survivors.count()
         _lap("survivors")
 
@@ -1394,21 +1428,9 @@ def minhash_ingest_round(
         vs_corpus.unpersist()
         within.unpersist()
 
-    from ..sources import fsutil as FS
-    from ..sources.compact import compact_partitioned
-
-    # ONE globStatus listing over the table for the trigger — Hadoop
-    # FileSystem API, so the same trigger works on file/hdfs/s3a
-    per_part: dict[str, int] = {}
-    for f in FS.glob_paths(f"{sig_path.rstrip('/')}/banded/part=*/*.parquet"):
-        d = f.rsplit("/", 2)[1]
-        per_part[d] = per_part.get(d, 0) + 1
-    worst = max(per_part.values(), default=0)
-    compacted = 0
-    if worst > compact_trigger * p.get("files_per_part", 1):
-        compacted = compact_partitioned(spark, f"{sig_path.rstrip('/')}/banded")[
-            "compacted"
-        ]
+    compacted = _maybe_compact_signatures(
+        spark, sig_path, compact_trigger, p.get("files_per_part", 1)
+    )
     _lap("compact")
     return {
         "survivors": survivors,
@@ -1420,3 +1442,157 @@ def minhash_ingest_round(
         "extended": extended,
         "secs": secs,
     }
+
+def _maybe_compact_signatures(
+    spark, sig_path: str, compact_trigger: float, files_per_part: int
+) -> int:
+    """Compact the signature table when its worst partition exceeds
+    ``compact_trigger`` x the table's files_per_part. ONE globStatus
+    listing over the table for the trigger — Hadoop FileSystem API, so
+    the same trigger works on file/hdfs/s3a."""
+    from ..sources import fsutil as FS
+    from ..sources.compact import compact_partitioned
+
+    per_part: dict[str, int] = {}
+    for f in FS.glob_paths(f"{sig_path.rstrip('/')}/banded/part=*/*.parquet"):
+        d = f.rsplit("/", 2)[1]
+        per_part[d] = per_part.get(d, 0) + 1
+    worst = max(per_part.values(), default=0)
+    if worst > compact_trigger * files_per_part:
+        return compact_partitioned(spark, f"{sig_path.rstrip('/')}/banded")[
+            "compacted"
+        ]
+    return 0
+
+
+def _minhash_ingest_round_txn(
+    batch: DataFrame,
+    sig_path: str,
+    id_col: str,
+    text_col: str,
+    comp_path: str | None,
+    threshold: float,
+    max_bucket: int | None,
+    compact_trigger: float,
+    txn: str,
+) -> dict:
+    """:func:`minhash_ingest_round` under the staged-move ledger
+    (sources/txn.py) — the streaming-safe round. Everything with a
+    read-before-write hazard runs inside ``write_stage``:
+
+    - the probe + within pairs + survivor policy (and the optional
+      components fold) execute strictly before any staged signature
+      file moves into the table, so a replay that finds the frozen
+      manifest never re-probes a table already holding some of this
+      batch's signatures (which would make the batch pair with itself
+      and drop every row);
+    - the survivor ids and round stats are staged alongside the
+      signatures and move to ``{sig_path}/_rounds/{txn}[_stats]``
+      (underscore-prefixed: invisible to partition discovery), so
+      skipped and completed replays reconstruct the identical report
+      without recomputing anything;
+    - the components fold re-runs only on a full restage (crash
+      before the manifest froze — the table is provably untouched
+      then), where min-label idempotence makes re-folding the same
+      edges converge to the same labels.
+
+    Compaction runs after the commit point (it has its own staging +
+    recovery walk in sources/compact.py) and is skipped on replays of
+    an already-committed round."""
+    from ..sources import txn as TXN
+
+    spark = batch.sparkSession
+    root = sig_path.rstrip("/")
+    safe = TXN.txn_safe(txn)
+    rounds_dir = f"{root}/_rounds/{safe}"
+    stats_dir = f"{root}/_rounds/{safe}_stats"
+    state: dict = {"extended": None}
+
+    def _report(action: str, compacted: int) -> dict:
+        st = spark.read.parquet(stats_dir).collect()[0]
+        surv_ids = spark.read.parquet(rounds_dir).select(
+            F.col("doc").alias("__surv_doc")
+        )
+        survivors = batch.join(
+            F.broadcast(surv_ids), batch[id_col] == F.col("__surv_doc"), "left_semi"
+        )
+        return {
+            "action": action,
+            "txn": txn,
+            "survivors": survivors,
+            "n_batch": int(st.n_batch),
+            "n_cross_pairs": int(st.n_cross_pairs),
+            "n_within_pairs": int(st.n_within_pairs),
+            "n_survivors": int(st.n_survivors),
+            "compacted": compacted,
+            "extended": state["extended"],
+        }
+
+    if TXN.txn_committed(root, txn):
+        return _report("skipped_replay", 0)
+
+    p = read_minhash_params(spark, sig_path)
+    files_per_part = p.get("files_per_part", 1)
+
+    def write_stage(stage: str) -> None:
+        from ..operators.graph import extend_components_at_rest
+
+        vs_corpus = near_duplicates_against(
+            batch, sig_path, id_col, text_col,
+            threshold=threshold, max_bucket=max_bucket,
+        ).persist()
+        within = minhash_near_duplicates(
+            batch, id_col, text_col, threshold=threshold, max_bucket=max_bucket,
+            num_hashes=p["num_hashes"], bands=p["bands"],
+            shingle_n=p["shingle_n"], seed=p["seed"], hash_mode=p["hash_mode"],
+        ).persist()
+        try:
+            n_cross = vs_corpus.count()
+            n_within = within.count()
+            survivors, edges = _ingest_survivor_policy(
+                batch, id_col, vs_corpus, within
+            )
+            n_surv = survivors.count()
+            if comp_path is not None:
+                state["extended"] = extend_components_at_rest(
+                    spark, comp_path, edges
+                )
+            survivors.select(F.col(id_col).alias("doc")).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{stage}/survivors")
+            spark.createDataFrame(
+                [(batch.count(), n_cross, n_within, n_surv)],
+                "n_batch long, n_cross_pairs long, n_within_pairs long, "
+                "n_survivors long",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/round_stats")
+            banded = _banded_signatures(
+                survivors, id_col, text_col, p["num_hashes"], p["bands"],
+                p["shingle_n"], p["seed"], p["hash_mode"], p["parts"],
+            )
+            _write_banded(banded, stage, files_per_part, mode="overwrite")
+        finally:
+            vs_corpus.unpersist()
+            within.unpersist()
+
+    pre = TXN.txn_file_prefix(txn)
+
+    def dest_for(rel: str) -> str:
+        top, rest = rel.split("/", 1)
+        if top == "survivors":
+            return f"{rounds_dir}/{rest}"
+        if top == "round_stats":
+            return f"{stats_dir}/{rest}"
+        d, f = rel.rsplit("/", 1)
+        return f"{root}/{d}/{pre}{f}"
+
+    from ..sources import fsutil as FS
+
+    # a frozen manifest before the run means attempt N-1 crashed
+    # mid-move: the protocol completes those moves without re-staging
+    # (and without re-probing) — report that distinctly
+    had_frozen_stage = FS.exists(f"{TXN.txn_paths(root, txn)[1]}/_manifest.json")
+    TXN.idempotent_staged_append(root, txn, write_stage, dest_for)
+    compacted = _maybe_compact_signatures(
+        spark, sig_path, compact_trigger, files_per_part
+    )
+    return _report("completed_replay" if had_frozen_stage else "appended", compacted)

@@ -2813,3 +2813,84 @@ def emb_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(gate.collect(), gate.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "doc_ingest_stream",
+    oracle=_ingest_round_oracle(
+        num_hashes=32, bands=8, shingle_n=3, seed=42, threshold=0.5,
+        max_bucket=1000, clone_offset=_AGAINST_CLONE_OFFSET,
+    ),
+    doc="Cross-run MinHash dedup AS A STREAM (streaming/ingest.py "
+    "stream_minhash_ingest — the dedup twin of stream_maintain_index): "
+    "the batch arrives as a file in a watched directory, one "
+    "availableNow drain runs the full ingest round per micro-batch "
+    "under the table's staged-move transaction ledger (probe + "
+    "survivor policy frozen strictly before any signature file moves "
+    "— a replay can never re-probe a half-appended table and watch "
+    "the batch pair with itself). Gate, all raised in-gate: drain 1 "
+    "runs exactly ONE batch with action=appended and every planted "
+    "clone dropped; a re-drain with no new files runs ZERO batches; a "
+    "manual replay of the drained batch's txn id reports "
+    "skipped_replay with the identical survivor count and leaves the "
+    "signature table's file census untouched. The survivor set (read "
+    "from the stream's survivors sink) hash-matches the same "
+    "full-round SQL replay as doc_ingest_round — one micro-batch IS "
+    "one round, so the oracle is shared.",
+)
+def doc_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import fsutil as FS
+    from ..streaming.ingest import _stream_ledger_id, stream_minhash_ingest
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    clones = corpus.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + _AGAINST_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(clones)
+    n_planted = clones.count()
+    if n_planted == 0:
+        raise AssertionError("no clones planted — gate is vacuous")
+    tmp = tempfile.mkdtemp(prefix="ccpd_ingest_stream_")
+    try:
+        sigs = f"{tmp}/sigs"
+        DD.write_minhash_signatures(
+            corpus, sigs, "doc_id", "text", parts=16, **_ROUND_SIG
+        )
+        batch.coalesce(1).write.parquet(f"{tmp}/src")
+        args = dict(
+            spark=spark, src_dir=f"{tmp}/src", sig_path=sigs,
+            checkpoint_dir=f"{tmp}/ckpt", threshold=0.5, max_bucket=1000,
+            survivors_dir=f"{tmp}/survivors",
+        )
+        reports = stream_minhash_ingest(**args)
+        if len(reports) != 1 or reports[0]["action"] != "appended":
+            raise AssertionError(f"expected one appended batch, got {reports}")
+        if stream_minhash_ingest(**args):  # re-drain: checkpoint dedups input
+            raise AssertionError("re-drain with no new files ran batches")
+        census = len(FS.glob_paths(f"{sigs}/banded/part=*/*.parquet"))
+        replay = DD.minhash_ingest_round(
+            batch, sigs, "doc_id", "text", threshold=0.5, max_bucket=1000,
+            txn=f"{_stream_ledger_id(args['checkpoint_dir'])}-b0",
+        )
+        if replay["action"] != "skipped_replay":
+            raise AssertionError(f"txn replay re-ran the round: {replay['action']}")
+        if replay["n_survivors"] != reports[0]["n_survivors"]:
+            raise AssertionError("replay reconstructed a different survivor count")
+        if len(FS.glob_paths(f"{sigs}/banded/part=*/*.parquet")) != census:
+            raise AssertionError("txn replay changed the signature table")
+        surv = spark.read.parquet(f"{tmp}/survivors/batch=0").select("doc_id")
+        rows = surv.collect()
+        leaked = sorted(
+            {r.doc_id for r in rows}
+            & {r.doc_id for r in clones.select("doc_id").collect()}
+        )
+        if leaked:
+            raise AssertionError(f"planted clones survived the streamed round: {leaked}")
+        # scratch table and sink vanish with the tempdir — return data
+        return spark.createDataFrame(rows, surv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

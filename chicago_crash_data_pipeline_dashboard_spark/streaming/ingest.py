@@ -271,3 +271,88 @@ def stream_maintain_index(
     )
     q.awaitTermination()
     return reports
+
+
+def stream_minhash_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    sig_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    comp_path: str | None = None,
+    threshold: float = 0.6,
+    max_bucket: int | None = None,
+    survivors_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Cross-run MinHash dedup AS A STREAM — the dedup twin of
+    :func:`stream_maintain_index`, completing the at-rest family's
+    streaming story: a 100 TB corpus arrives as files, and each
+    drained micro-batch runs ONE full ingest round
+    (``operators.dedup.minhash_ingest_round``) against the signature
+    table — probe vs the corpus (text never read, scan pruned to the
+    batch's bucket partitions), probe vs itself, the INGEST survivor
+    policy, survivors-only signature append, optional standing-cluster
+    fold (``comp_path``), trigger-gated compaction. Batch N+1's
+    duplicates of batch N's survivors are caught through the table —
+    sequential rounds, exactly the semantics of calling the round per
+    batch by hand (gated in tests/test_streaming.py).
+
+    Delivery contract: the file-source checkpoint deduplicates INPUT
+    (each source file enters exactly one micro-batch across restarts
+    and re-drains — a second drain with no new files runs ZERO
+    batches), and the round itself runs under a per-batch transaction
+    id in the table's staged-move ledger, which here guards more than
+    duplicate rows: the probe-before-append rule. A replayed batch
+    whose first attempt crashed mid-append must NOT re-probe the
+    table (it would find its own half-appended signatures, pair with
+    itself at est_jaccard 1.0, and drop every row) — the ledger's
+    frozen staging skips the re-probe and completes the moves; a
+    replay of a committed round is a no-op that reconstructs the same
+    report from the round's persisted record.
+
+    ``survivors_dir``: optional sink — each batch's surviving rows
+    land under ``{survivors_dir}/batch={batch_id}`` in overwrite mode
+    (replay-idempotent by construction: a replayed batch overwrites
+    its own directory with identical content).
+
+    Returns one report dict per micro-batch (the round's report plus
+    ``batch_id``)."""
+    from ..operators import dedup as DD
+
+    schema = spark.read.parquet(src_dir).schema
+    reports: list[dict] = []
+    ledger = _stream_ledger_id(checkpoint_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(src_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            rep = DD.minhash_ingest_round(
+                batch_df, sig_path, id_col, text_col,
+                comp_path=comp_path, threshold=threshold,
+                max_bucket=max_bucket, txn=f"{ledger}-b{batch_id}",
+            )
+            if survivors_dir is not None:
+                rep["survivors"].write.mode("overwrite").parquet(
+                    f"{survivors_dir}/batch={batch_id}"
+                )
+            rep["batch_id"] = batch_id
+            rep.pop("survivors", None)  # a plan over an unpersisted frame
+            reports.append(rep)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reports

@@ -354,3 +354,175 @@ def test_stream_maintain_index_policy(spark, tmp_path):
     assert reports2[0]["drift_ratio"] > 1.5
     ids = {r.neighbor_id for r in spark.read.parquet(index).select("neighbor_id").collect()}
     assert ids == set(range(250)) | {500 + i for i in range(50)}
+
+
+def _doc_fixture(spark, ids, clone_of=None, seed=17):
+    """Unique high-entropy texts per id (w{n} tokens from a 5000-word
+    space: two independent docs share ~no 3-shingles, so only planted
+    clones pair at high thresholds). ``clone_of`` maps new_id ->
+    source_id whose text is duplicated exactly."""
+    import random
+
+    texts = {}
+    for i in sorted(set(ids) | set((clone_of or {}).values())):
+        rng = random.Random(seed + i)
+        texts[i] = " ".join(f"w{rng.randrange(5000)}" for _ in range(30))
+    rows = [(i, texts[i]) for i in ids]
+    for new_id, src_id in (clone_of or {}).items():
+        rows.append((new_id, texts[src_id]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_SIG = dict(num_hashes=16, bands=4, shingle_n=3, seed=7, parts=8)
+
+
+def test_stream_minhash_ingest_sequential_rounds(spark, tmp_path):
+    """The streamed dedup ingest == calling minhash_ingest_round per
+    batch by hand: batch 2's clone of a batch-1 SURVIVOR drops through
+    the table (cross-run, not within-frame), batch 2's clone of a
+    corpus doc drops, a re-drain runs zero batches, and the final
+    signature table holds exactly corpus + survivors."""
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+    from chicago_crash_data_pipeline_dashboard_spark.streaming.ingest import (
+        stream_minhash_ingest,
+    )
+
+    corpus = _doc_fixture(spark, range(30))
+    b1 = _doc_fixture(spark, range(100, 110), clone_of={200: 3, 201: 100})
+    b2 = _doc_fixture(spark, range(120, 130), clone_of={210: 100, 211: 5})
+
+    sigs = str(tmp_path / "sigs")
+    DD.write_minhash_signatures(corpus, sigs, "doc_id", "text", **_SIG)
+    sigs2 = str(tmp_path / "sigs_manual")
+    DD.write_minhash_signatures(corpus, sigs2, "doc_id", "text", **_SIG)
+
+    src = str(tmp_path / "incoming")
+    args = dict(
+        spark=spark, src_dir=src, sig_path=sigs,
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.9,
+        survivors_dir=str(tmp_path / "surv"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    r1 = stream_minhash_ingest(**args)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    r2 = stream_minhash_ingest(**args)
+
+    assert [r["action"] for r in r1 + r2] == ["appended", "appended"]
+    surv1 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{tmp_path}/surv/batch=0").collect()
+    }
+    surv2 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{tmp_path}/surv/batch=1").collect()
+    }
+    # 200 (corpus clone) and 201 (within-batch clone of 100) drop;
+    # 210 (clone of the batch-1 SURVIVOR 100 — caught through the
+    # table) and 211 (corpus clone) drop
+    assert surv1 == set(range(100, 110))
+    assert surv2 == set(range(120, 130))
+
+    # re-drain: the file-source checkpoint dedups input
+    assert stream_minhash_ingest(**args) == []
+
+    # parity with hand-run sequential rounds on an identical table
+    m1 = DD.minhash_ingest_round(b1, sigs2, "doc_id", "text", threshold=0.9)
+    m2 = DD.minhash_ingest_round(b2, sigs2, "doc_id", "text", threshold=0.9)
+    assert {r.doc_id for r in m1["survivors"].collect()} == surv1
+    assert {r.doc_id for r in m2["survivors"].collect()} == surv2
+    docs = {
+        r.doc for r in spark.read.parquet(f"{sigs}/banded").select("doc").collect()
+    }
+    assert docs == set(range(30)) | surv1 | surv2
+
+
+def test_minhash_ingest_round_txn_replay_and_crash(spark, tmp_path):
+    """The transactional round under the at-least-once contract: a
+    committed txn replays as a no-op with the identical report; a
+    crash AFTER the staged moves but BEFORE the marker replays to
+    completed_replay WITHOUT re-probing — the reconstructed report
+    still shows the first attempt's survivor count (a re-probe would
+    find the batch's own appended signatures, pair every doc with
+    itself, and report zero survivors)."""
+    import unittest.mock as mock
+
+    import pytest
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil as FS
+    from chicago_crash_data_pipeline_dashboard_spark.sources.txn import txn_committed
+
+    corpus = _doc_fixture(spark, range(30))
+    sigs = str(tmp_path / "sigs")
+    DD.write_minhash_signatures(corpus, sigs, "doc_id", "text", **_SIG)
+
+    def census() -> int:
+        return len(FS.glob_paths(f"{sigs}/banded/part=*/*.parquet"))
+
+    b1 = _doc_fixture(spark, range(100, 108), clone_of={200: 3})
+    rep1 = DD.minhash_ingest_round(
+        b1, sigs, "doc_id", "text", threshold=0.9, txn="rt-b0"
+    )
+    assert rep1["action"] == "appended"
+    assert rep1["n_survivors"] == 8
+    assert {r.doc_id for r in rep1["survivors"].collect()} == set(range(100, 108))
+    c1 = census()
+
+    # replay of a committed round: nothing re-runs, identical report
+    rep1r = DD.minhash_ingest_round(
+        b1, sigs, "doc_id", "text", threshold=0.9, txn="rt-b0"
+    )
+    assert rep1r["action"] == "skipped_replay"
+    assert rep1r["n_survivors"] == 8
+    assert {r.doc_id for r in rep1r["survivors"].collect()} == set(range(100, 108))
+    assert census() == c1
+
+    # crash in the window the ledger exists for: moves done, marker lost
+    real_write_text = fsutil.write_text
+
+    def crash_on_marker(p, text, spark_=None):
+        if "/_ledger/" in p:
+            raise OSError("injected crash before marker write")
+        return real_write_text(p, text, spark_)
+
+    b2 = _doc_fixture(spark, range(120, 128), clone_of={210: 100})
+    with mock.patch.object(fsutil, "write_text", crash_on_marker):
+        with pytest.raises(OSError, match="injected"):
+            DD.minhash_ingest_round(
+                b2, sigs, "doc_id", "text", threshold=0.9, txn="rt-b1"
+            )
+    assert not txn_committed(sigs, "rt-b1")
+    c2 = census()
+    assert c2 > c1  # the appends landed before the "crash"
+
+    rep2 = DD.minhash_ingest_round(
+        b2, sigs, "doc_id", "text", threshold=0.9, txn="rt-b1"
+    )
+    assert rep2["action"] == "completed_replay"
+    # NOT zero — the probe did not re-run against the mutated table
+    assert rep2["n_survivors"] == 8
+    assert {r.doc_id for r in rep2["survivors"].collect()} == set(range(120, 128))
+    assert census() == c2  # nothing double-appended
+    assert txn_committed(sigs, "rt-b1")
+
+    # crash BEFORE the manifest froze (mid-staging): the replay
+    # restages from scratch — and may safely re-probe, because no file
+    # of this txn ever moved into the table
+    def crash_on_manifest(p, text, spark_=None):
+        if "/_ingest_tmp/" in p and p.endswith("_manifest.json"):
+            raise OSError("injected crash before manifest freeze")
+        return real_write_text(p, text, spark_)
+
+    b3 = _doc_fixture(spark, range(140, 148), clone_of={220: 120})
+    with mock.patch.object(fsutil, "write_text", crash_on_manifest):
+        with pytest.raises(OSError, match="injected"):
+            DD.minhash_ingest_round(
+                b3, sigs, "doc_id", "text", threshold=0.9, txn="rt-b2"
+            )
+    assert census() == c2  # nothing moved
+    rep3 = DD.minhash_ingest_round(
+        b3, sigs, "doc_id", "text", threshold=0.9, txn="rt-b2"
+    )
+    assert rep3["action"] == "appended"
+    assert {r.doc_id for r in rep3["survivors"].collect()} == set(range(140, 148))
