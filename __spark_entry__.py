@@ -70,6 +70,9 @@ _VERIFY_FIRST = [
     # --- changed post-r11-verify (commit bcef039): unconditional ---
     "compact_small_files",
     "doc_minhash_against_corpus",
+    # --- changed mid-r12 (the 64-bit SimHash wide-hash fix touches
+    # simhash(), under this r11-verified gate): unconditional ---
+    "doc_simhash",
     # --- r10-verified, rotating back from the bench ---
     "time_features",
     "whitelist_recode",
@@ -87,7 +90,6 @@ _VERIFY_FIRST = [
     "doc_quality_buckets",
     "doc_pii_scrub",
     "doc_chunk_overlap",
-    "event_props_json",
     "schema_evolution_merge",
     "json_malformed_ingest",
     "partition_overwrite_dynamic",
@@ -119,6 +121,7 @@ _ROTATION_BENCHED = [
     "streaming_ingest_e2e",
     "orc_roundtrip_stats",
     "bucketed_join_agg",
+    "event_props_json",
     # --- r11-verified (green r11); may stay benched through r13,
     # MUST rotate back into the sample by r14 ---
     "pricing_summary",
@@ -139,7 +142,6 @@ _ROTATION_BENCHED = [
     "doc_min_shingle_fp",
     "doc_exact_dup_stats",
     "doc_dedup_exact_by_source",
-    "doc_simhash",
     "emb_knn_brute",
     "pivot_hour_dow",
     "rate_by_priority",

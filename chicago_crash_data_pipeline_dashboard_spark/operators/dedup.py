@@ -848,6 +848,32 @@ def near_duplicates_against(
     )
 
 
+def _token_hash_wide(col, hash_mode: str, bits: int):
+    """Token hash with at least ``bits`` bits of real entropy, masked
+    to ``bits``. The 32-bit modes (classic murmur3, oracle-portable
+    md5) serve bits <= 32 exactly as before; wider fingerprints hash
+    with xxhash64 (murmur3 mode, up to 64) or the 60-bit md5 slice
+    (md5 mode, up to 60 — 15 hex chars is the widest slice that fits
+    a signed BIGINT in both engines). Found by the r12 1M probe: a
+    32-bit token hash under a 64-bit SimHash leaves fingerprint bits
+    32-63 constant, which doesn't just pad the fingerprint — the
+    Manku segment buckets over those bits each hold the WHOLE corpus,
+    so the candidate join goes quadratic."""
+    if bits <= 32:
+        return _token_hash(col, hash_mode).bitwiseAND(F.lit((1 << bits) - 1))
+    if hash_mode == "murmur3":
+        h = F.xxhash64(col)
+        return h if bits >= 64 else h.bitwiseAND(F.lit((1 << bits) - 1))
+    if hash_mode == "md5":
+        if bits > 60:
+            raise ValueError(
+                "md5 (oracle-portable) mode supports bits <= 60 — 15 md5 hex "
+                "chars = 60 bits; use murmur3 (xxhash64) for 64-bit fingerprints"
+            )
+        return TX.hash60(col).bitwiseAND(F.lit((1 << bits) - 1))
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32, hash_mode: str = "murmur3"
 ) -> DataFrame:
@@ -865,7 +891,7 @@ def simhash(
     recomputed once per bit."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(TX.tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", _token_hash(F.col("tok"), hash_mode).bitwiseAND(F.lit((1 << bits) - 1)))
+    ).withColumn("h", _token_hash_wide(F.col("tok"), hash_mode, bits))
     bit_sums = toks.groupBy("doc").agg(
         *[
             F.sum(
@@ -876,7 +902,12 @@ def simhash(
     )
     fp = None
     for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        # bit 63 of a signed long is the sign bit: setting it means
+        # adding Long.MIN_VALUE (two's complement), not 2^63 (which
+        # overflows the literal) — XOR/popcount treat the result as
+        # the same 64-bit pattern in both engines
+        one = F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+        term = F.when(F.col(f"b{i}") > 0, one).otherwise(F.lit(0)).cast("long")
         fp = term if fp is None else fp + term
     return bit_sums.select("doc", fp.alias("simhash"))
 
@@ -1499,7 +1530,18 @@ def _minhash_ingest_round_txn(
     Compaction runs after the commit point (it has its own staging +
     recovery walk in sources/compact.py) and is skipped on replays of
     an already-committed round."""
+    import time as _time
+
     from ..sources import txn as TXN
+
+    secs: dict[str, float] = {}
+    t0 = _time.perf_counter()
+
+    def _lap(key: str) -> None:
+        nonlocal t0
+        now = _time.perf_counter()
+        secs[key] = round(now - t0, 3)
+        t0 = now
 
     spark = batch.sparkSession
     root = sig_path.rstrip("/")
@@ -1526,6 +1568,7 @@ def _minhash_ingest_round_txn(
             "n_survivors": int(st.n_survivors),
             "compacted": compacted,
             "extended": state["extended"],
+            "secs": dict(secs),
         }
 
     if TXN.txn_committed(root, txn):
@@ -1591,8 +1634,15 @@ def _minhash_ingest_round_txn(
     # mid-move: the protocol completes those moves without re-staging
     # (and without re-probing) — report that distinctly
     had_frozen_stage = FS.exists(f"{TXN.txn_paths(root, txn)[1]}/_manifest.json")
+    _lap("replay_check")
     TXN.idempotent_staged_append(root, txn, write_stage, dest_for)
+    # "ledger" covers the whole staged round: probe + within pairs +
+    # survivor policy + (optional) fold + staging write + moves —
+    # compare against the plain round's probe+within+survivors+append
+    # total to read the exactly-once overhead
+    _lap("ledger")
     compacted = _maybe_compact_signatures(
         spark, sig_path, compact_trigger, files_per_part
     )
+    _lap("compact")
     return _report("completed_replay" if had_frozen_stage else "appended", compacted)

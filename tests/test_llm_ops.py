@@ -1346,3 +1346,65 @@ def test_minhash_ingest_round_one_call(spark, tmp_path):
     }
     assert (5, 200) in hits and all(c != 6 for c, _ in hits)
     assert (10, 201) in hits and all(c != 0 for c, _ in hits)
+
+
+def test_simhash_64bit_production_width(spark, tmp_path):
+    """The Manku production configuration (64-bit fingerprints,
+    distance 3) — found broken by the r12 1M probe: the 32-bit token
+    hash left fingerprint bits 32-63 constant (every upper Manku
+    segment bucket held the WHOLE corpus — quadratic candidates), and
+    the bit-63 / full-mask literals overflowed a signed long. Gates:
+    real entropy in the upper 32 bits, exact clones at hamming 0,
+    in-frame pairs == at-rest segment-index probe, and the
+    oracle-portable md5 mode refusing widths past its 60-bit slice."""
+    import random
+
+    import pytest
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+
+    rows = []
+    for i in range(80):
+        rng = random.Random(1000 + i)
+        rows.append((i, " ".join(f"w{rng.randrange(5000)}" for _ in range(30))))
+    clone_src = dict(rows[:3])
+    corpus_rows = rows[:60]
+    df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    fp = DD.simhash(df, "doc_id", "text", bits=64, hash_mode="murmur3")
+    upper = fp.select(F.shiftright("simhash", 32).alias("u")).distinct().count()
+    assert upper > 50  # bits 32-63 carry entropy, not a constant pad
+
+    # at-rest index at 64 bits == brute-force expectations
+    path = str(tmp_path / "sh64")
+    DD.write_simhash_index(
+        df, path, "doc_id", "text", max_distance=3, bits=64,
+        hash_mode="murmur3", parts=8,
+    )
+    batch = spark.createDataFrame(
+        rows[60:] + [(200 + k, clone_src[k]) for k in clone_src],
+        "doc_id long, text string",
+    )
+    pairs = DD.simhash_near_duplicates_against(batch, path, "doc_id", "text")
+    got = {(r.corpus_doc, r.batch_doc): r.hamming for r in pairs.collect()}
+    for k in clone_src:
+        assert got[(k, 200 + k)] == 0  # planted clones at hamming 0
+    # random-vocab docs: no accidental <=3 pair at 64 bits
+    assert all(h == 0 for h in got.values())
+    assert set(got) == {(k, 200 + k) for k in clone_src}
+
+    # in-frame pigeonhole pairs over the union == the cross-run probe
+    union = df.unionByName(batch)
+    inframe = DD.simhash_hamming_pairs(
+        union, "doc_id", "text", max_distance=3, bits=64, hash_mode="murmur3"
+    )
+    inframe_pairs = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for r in inframe.collect()
+    }
+    assert inframe_pairs == {(k, 200 + k) for k in clone_src}
+
+    with pytest.raises(ValueError, match="bits <= 60"):
+        DD.simhash(df, "doc_id", "text", bits=64, hash_mode="md5").collect()
+    # 60-bit md5 mode works (the widest oracle-portable slice)
+    fp60 = DD.simhash(df, "doc_id", "text", bits=60, hash_mode="md5")
+    assert fp60.select(F.shiftright("simhash", 32).alias("u")).distinct().count() > 50
