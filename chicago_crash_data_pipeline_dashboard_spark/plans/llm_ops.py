@@ -2672,8 +2672,11 @@ def doc_cc_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ccpd_ccext_")
     try:
         path = f"{tmp}/components"
+        # parts=256 honors the operator's measured sizing rule (parts >=
+        # ~20x touched comps) at both driver scales — the gate checks
+        # correctness, not the adversarial-sizing regime
         write_components(
-            connected_components(base, src="doc_a", dst="doc_b"), path, parts=16
+            connected_components(base, src="doc_a", dst="doc_b"), path, parts=256
         )
         extend_components_at_rest(spark, path, delta, src="doc_a", dst="doc_b")
         ext = read_components(spark, path)
