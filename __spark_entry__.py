@@ -60,6 +60,8 @@ _VERIFY_FIRST = [
     "emb_ivfpq_append",
     "emb_index_compact",
     "doc_ingest_stream",
+    "doc_forget_docs",
+    "emb_index_delete",
     # --- r11-changed, sampling deferred exactly one round: FIRST ---
     "doc_simhash_hamming",
     "emb_ivf_topk",
@@ -94,8 +96,6 @@ _VERIFY_FIRST = [
     "json_malformed_ingest",
     "partition_overwrite_dynamic",
     "incremental_agg_merge",
-    "event_funnel_steps",
-    "user_retention_cohorts",
     "doc_quality_regression",
     "crash_rule_eval",
     "doc_training_pipeline",
@@ -122,6 +122,8 @@ _ROTATION_BENCHED = [
     "orc_roundtrip_stats",
     "bucketed_join_agg",
     "event_props_json",
+    "event_funnel_steps",
+    "user_retention_cohorts",
     # --- r11-verified (green r11); may stay benched through r13,
     # MUST rotate back into the sample by r14 ---
     "pricing_summary",

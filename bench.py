@@ -71,6 +71,8 @@ SKIP = {
     "doc_cc_extend",
     "emb_ivfpq_append",
     "emb_index_compact",
+    "doc_forget_docs",
+    "emb_index_delete",
     "emb_ivf_pruned",
     "emb_pq_pruned",
     "orc_roundtrip_stats",

@@ -59,6 +59,9 @@ IO_QUERIES = [
     "doc_cc_extend",
     "emb_ivfpq_append",
     "emb_index_compact",
+    "doc_forget_docs",  # r12: right-to-be-forgotten across both sig tables
+    "emb_index_delete",  # r12: partition-pruned ANN index deletion
+
     # loopback-HTTP Socrata fixture round-trip (r9): the cost is the
     # scripted-server plumbing + paged fetch, an ingest path like the
     # rest of this set — not query latency (VERDICT r9 item 3)

@@ -1646,3 +1646,57 @@ def _minhash_ingest_round_txn(
     )
     _lap("compact")
     return _report("completed_replay" if had_frozen_stage else "appended", compacted)
+
+
+def forget_documents(spark, table_path: str, ids: DataFrame) -> dict:
+    """Right-to-be-forgotten for the cross-run dedup tables: hard-
+    delete every row of the given doc ids from a signature table at
+    rest — MinHash (``banded``), exact fingerprints (``fingerprints``)
+    or SimHash segments (``segments``), layout-sniffed — via the
+    partition-pruned deletion plan (``sources.forget``): one
+    column-pruned key scan finds the partitions holding the docs' rows
+    (for key-hash-partitioned fingerprints that is ≤ |ids| partitions;
+    for the band/segment tables a doc's rows spread across its
+    bands'/segments' partitions), only those rewrite.
+
+    Forgotten docs stop matching future probes IMMEDIATELY (gated in
+    tests and the doc_forget_docs oracle). Write-time ``bucket_size``
+    stats are NOT recomputed — see ``delete_rows_partitioned``'s
+    caveat; rebuild a deletion-heavy table at the next full write.
+    Returns the deletion stats dict plus ``table`` (which layout was
+    hit)."""
+    from ..sources import fsutil as FS
+    from ..sources.compact import ensure_recovered
+    from ..sources.forget import delete_rows_partitioned
+
+    root = table_path.rstrip("/")
+    # quiescence guard: a crashed-but-uncommitted ingest txn holds a
+    # frozen staging manifest whose remaining moves target THESE
+    # partitions — rewriting them now would strand that replay
+    # mid-move. Forget runs on a quiescent table by contract; finish
+    # (re-drain the stream) or discard the staging first.
+    pending = FS.glob_paths(f"{root}/_ingest_tmp/*")
+    if pending:
+        raise RuntimeError(
+            f"{len(pending)} in-flight ingest transaction(s) staged under "
+            f"{root}/_ingest_tmp — re-drain the stream (completing the "
+            "replay) before forgetting, or delete the staging to abandon it"
+        )
+    for sub, params_reader in (
+        ("banded", lambda: read_minhash_params(spark, root)),
+        ("fingerprints", lambda: _fingerprint_params(spark, root)),
+        ("segments", lambda: read_simhash_params(spark, root)),
+    ):
+        if FS.exists(f"{root}/{sub}"):
+            ensure_recovered(f"{root}/{sub}")
+            fpp = params_reader().get("files_per_part", 1)
+            stats = delete_rows_partitioned(
+                spark, f"{root}/{sub}", ids, key_col="doc",
+                partition_col="part", files_per_part=fpp,
+            )
+            stats["table"] = sub
+            return stats
+    raise ValueError(
+        f"{table_path} holds no banded/fingerprints/segments table — "
+        "not a cross-run dedup table root"
+    )

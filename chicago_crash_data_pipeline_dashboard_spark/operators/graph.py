@@ -27,6 +27,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame, Observation
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 def connected_components(
@@ -448,3 +449,119 @@ def dedup_clusters(
             joined_doc_ids("node").alias("doc_ids"),
         )
     )
+
+
+def forget_nodes(spark, path: str, ids: DataFrame) -> dict:
+    """Right-to-be-forgotten for the AT-REST component table: remove
+    every (node, comp) row of the given node ids, RELABELING any
+    component whose canonical id was forgotten — min-label semantics
+    require the label to be a member (the star-graph property
+    :func:`extend_components` depends on: a later extend re-emits
+    ``comp`` as a graph endpoint, so a forgotten node surviving as a
+    label would resurrect it). Same partition discipline as
+    :func:`extend_components_at_rest`: touched comps from one
+    broadcast semi-join, their partitions re-read pruned, relabeled
+    rows carried to their new comp-hash partitions with
+    foreign-partition riders, emptied partitions cleared via the FS
+    API. Untouched components are never read past the key scan.
+
+    **Semantic limit, stated not hidden**: the table stores
+    memberships, not edges, so forgetting a node CANNOT split a
+    component that was connected only through it — survivors keep one
+    cluster (under a surviving min label). Exact splits need the
+    retained edge list (recompute connected_components over edges
+    among survivors); that is a property of incremental CC itself
+    (deletion is famously non-incremental), not of this storage
+    layout. For the dedup use case the conservative direction is
+    documented: over-grouping keeps fewer near-duplicates, never
+    readmits one. Returns {rows_deleted, comps_touched,
+    comps_relabeled, rewritten_parts}."""
+    from pyspark.sql import types as T
+
+    from ..sources import fsutil as FS
+
+    parts = _components_params(spark, path)["parts"]
+    table = spark.read.parquet(f"{path}/assign")
+    key = F.broadcast(ids.select(F.col(ids.columns[0]).alias("node")).distinct())
+
+    touched_rows = (
+        table.join(key, "node", "left_semi")
+        .select("comp")
+        .distinct()
+        .withColumn("part", F.pmod(F.xxhash64("comp"), F.lit(parts)))
+        .collect()
+    )  # bounded by |ids| — each node is in at most one component
+    if not touched_rows:
+        return {
+            "rows_deleted": 0, "comps_touched": 0,
+            "comps_relabeled": 0, "rewritten_parts": 0,
+        }
+    touched_comps = [r["comp"] for r in touched_rows]
+    old_parts = sorted({r["part"] for r in touched_rows})
+    touched_df = spark.createDataFrame(
+        [(c,) for c in touched_comps],
+        T.StructType([T.StructField("comp", table.schema["comp"].dataType)]),
+    )
+    pruned = table.filter(F.col("part").isin(old_parts))
+    affected = pruned.join(F.broadcast(touched_df), "comp", "left_semi").select(
+        "node", "comp"
+    )
+    keep_rows = pruned.join(F.broadcast(touched_df), "comp", "left_anti").select(
+        "node", "comp"
+    )
+    survivors = affected.join(key, "node", "left_anti")
+    # relabel each touched comp to its surviving minimum member
+    relabeled = (
+        survivors.withColumn(
+            "new_comp", F.min("node").over(Window.partitionBy("comp"))
+        )
+        .select("node", F.col("new_comp").alias("comp"))
+    )
+    upd = relabeled.withColumn(
+        "part", F.pmod(F.xxhash64("comp"), F.lit(parts))
+    ).persist()
+    try:
+        n_after = upd.count()
+        n_before = affected.count()
+        new_parts = sorted(
+            {r["part"] for r in upd.select("part").distinct().collect()}
+            - set(old_parts)
+        )
+        carry = (
+            table.filter(F.col("part").isin(new_parts)).select("node", "comp")
+            if new_parts
+            else table.limit(0).select("node", "comp")
+        )
+        n_relabel = (
+            upd.select("comp").distinct()
+            .join(F.broadcast(touched_df), "comp", "left_anti")
+            .count()
+        )
+        out = upd.select("node", "comp").unionByName(keep_rows).unionByName(carry)
+    finally:
+        upd.unpersist()
+    out = out.select(
+        "node", "comp", F.pmod(F.xxhash64("comp"), F.lit(parts)).alias("part")
+    ).repartition(F.col("part")).persist()
+    try:
+        written_parts = {r["part"] for r in out.select("part").distinct().collect()}
+        with_dynamic = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.partitionBy("part").mode("overwrite").parquet(f"{path}/assign")
+        finally:
+            if with_dynamic is not None:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dynamic)
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    finally:
+        out.unpersist()
+    emptied = (set(old_parts) | set(new_parts)) - written_parts
+    for p in emptied:
+        FS.delete(f"{path}/assign/part={p}")
+    return {
+        "rows_deleted": int(n_before - n_after),
+        "comps_touched": len(touched_comps),
+        "comps_relabeled": int(n_relabel),
+        "rewritten_parts": len(written_parts | emptied),
+    }

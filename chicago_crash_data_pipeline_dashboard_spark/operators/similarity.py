@@ -2238,3 +2238,40 @@ def ivfpq_topk_indexed(
     ).collect()
     vectors = data.select("neighbor_id", "cvec", "cn")
     return _indexed_rerank(spark, vectors, cand_rows, q, k)
+
+
+def delete_from_index(spark, path: str, ids: DataFrame) -> dict:
+    """Right-to-be-forgotten for the at-rest ANN indexes: hard-delete
+    vectors by id from an IVF or IVF-PQ index via the partition-pruned
+    deletion plan (``sources.forget``) — one column-pruned
+    (neighbor_id, _cluster) scan finds the deleted vectors' clusters,
+    only those cluster partitions rewrite; probes never see the ids
+    again and ranks of surviving vectors are unchanged (the centroids
+    are untouched — deletion never moves a survivor between clusters).
+    Quantizers deliberately stay as built: cluster geometry fit on
+    more data than remains is still a valid (if slightly stale)
+    coarse quantizer, exactly the append case's mirror image — the
+    drift criterion in ``append_to_ivf_index`` governs retrain timing
+    for both directions.
+
+    PQ's flat codes/vectors tables are refused: they carry no
+    partition column to prune, so deletion there is a filtered rewrite
+    of both tables (compact_dir with a filter) — at 100 TB that is a
+    different operation and silently doing it here would hide an
+    O(table) cost behind a delete call."""
+    from ..sources.forget import delete_rows_partitioned
+
+    has_centroids, has_codebook = _index_layout(path)
+    if not has_centroids:
+        raise ValueError(
+            "delete_from_index supports cluster-partitioned indexes (ivf, "
+            "ivfpq); a flat PQ table needs a filtered rewrite of codes AND "
+            "vectors (compact_dir) — an O(table) operation this API won't hide"
+        )
+    data_dir = f"{path}/data" if has_codebook else path
+    recover_index_compaction(data_dir)  # never trust a mid-swap table
+    stats = delete_rows_partitioned(
+        spark, data_dir, ids, key_col="neighbor_id", partition_col="_cluster"
+    )
+    stats["kind"] = "ivfpq" if has_codebook else "ivf"
+    return stats

@@ -2897,3 +2897,168 @@ def doc_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, surv.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_FORGET_OFFSET = 3_000_000
+
+
+@register(
+    "doc_forget_docs",
+    oracle=f"""
+    WITH kept AS (
+      SELECT {_FPRINT} AS f FROM documents WHERE doc_id % 7 <> 3
+    ),
+    batch_docs AS (
+      SELECT doc_id + {_FORGET_OFFSET} AS doc, text FROM documents
+      WHERE doc_id % 7 = 3 AND doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + {2 * _FORGET_OFFSET} AS doc, text FROM documents
+      WHERE doc_id % 7 <> 3 AND doc_id % 10 = 1
+    ),
+    bf AS (SELECT doc, {_FPRINT} AS f FROM batch_docs)
+    SELECT doc AS doc_id FROM bf b
+    WHERE NOT EXISTS (SELECT 1 FROM kept c WHERE c.f = b.f)
+    """,
+    doc="Right-to-be-forgotten AT REST (sources/forget.py "
+    "delete_rows_partitioned via operators/dedup.py forget_documents): "
+    "the whole corpus is ingested into BOTH cross-run tables (exact "
+    "fingerprints + MinHash signatures), then every doc with "
+    "doc_id % 7 = 3 is hard-deleted from both — one column-pruned key "
+    "scan finds the partitions holding the docs' rows, only those "
+    "rewrite (dynamic partition overwrite; fully-emptied partitions "
+    "cleared through the FS API). Gate: a batch of clones of FORGOTTEN "
+    "docs must now SURVIVE the exact probe (their fingerprints are "
+    "gone) while clones of KEPT docs still drop — the oracle replays "
+    "the probe against corpus-minus-forgotten; the MinHash side is "
+    "asserted in-gate the same way (forgotten-clone pairs gone, "
+    "kept-clone pairs intact at est_jaccard 1.0).",
+)
+def doc_forget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    forget = d.filter(F.col("doc_id") % 7 == 3)
+    forgotten_clones = forget.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + _FORGET_OFFSET).alias("doc_id"), "text"
+    )
+    kept_clones = d.filter(
+        (F.col("doc_id") % 7 != 3) & (F.col("doc_id") % 10 == 1)
+    ).select((F.col("doc_id") + 2 * _FORGET_OFFSET).alias("doc_id"), "text")
+    batch = forgotten_clones.unionByName(kept_clones)
+    n_forgotten = forgotten_clones.count()
+    n_kept = kept_clones.count()
+    if n_forgotten == 0 or n_kept == 0:
+        raise AssertionError("clone plant is vacuous on this fixture")
+    tmp = tempfile.mkdtemp(prefix="ccpd_forget_")
+    try:
+        fps, sigs = f"{tmp}/fps", f"{tmp}/sigs"
+        DD.write_fingerprints(d, fps, "doc_id", "text", parts=16)
+        DD.write_minhash_signatures(d, sigs, "doc_id", "text", parts=16, **_ROUND_SIG)
+        ids = forget.select("doc_id")
+        st_fp = DD.forget_documents(spark, fps, ids)
+        st_sig = DD.forget_documents(spark, sigs, ids)
+        if st_fp["table"] != "fingerprints" or st_sig["table"] != "banded":
+            raise AssertionError(f"layout sniff wrong: {st_fp} / {st_sig}")
+        if st_fp["rows_deleted"] == 0 or st_sig["rows_deleted"] == 0:
+            raise AssertionError("deletion removed nothing — gate is vacuous")
+        # exact probe: forgotten clones survive, kept clones drop
+        surv = DD.dedup_exact_against(batch, fps, "doc_id", "text").select("doc_id")
+        rows = surv.collect()
+        got = {r.doc_id for r in rows}
+        leaked = sorted(
+            {r.doc_id for r in kept_clones.select("doc_id").collect()} & got
+        )
+        if leaked:
+            raise AssertionError(f"kept-doc clones survived the exact probe: {leaked}")
+        # (exact-dup docs inside the forgotten set can shadow each
+        # other through a KEPT twin — the oracle replays exactly that)
+        # minhash probe: no pair may point at a forgotten corpus doc,
+        # and every kept clone still pairs at est_jaccard 1.0
+        pairs = DD.near_duplicates_against(
+            batch, sigs, "doc_id", "text", threshold=0.99
+        )
+        forgot_ids = {r.doc_id for r in forget.select("doc_id").collect()}
+        bad = pairs.filter(F.col("corpus_doc").isin(list(forgot_ids))).count()
+        if bad:
+            raise AssertionError(f"{bad} pairs still reference forgotten docs")
+        kept_hits = {
+            r.batch_doc
+            for r in pairs.filter(F.col("est_jaccard") >= 0.999).collect()
+        }
+        missed = sorted(
+            {r.doc_id for r in kept_clones.select("doc_id").collect()} - kept_hits
+        )
+        if missed:
+            raise AssertionError(f"kept-doc clones lost their signatures: {missed}")
+        # the tables vanish with the scratch dir — return data
+        return spark.createDataFrame(rows, surv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "emb_index_delete",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(5 * count(*) AS BIGINT) AS n_results,
+           TRUE AS recall_ok,
+           TRUE AS delete_clean
+    FROM embeddings WHERE vec_id < {_NQ}
+    """,
+    doc="Right-to-be-forgotten for the at-rest ANN index "
+    "(operators/similarity.py delete_from_index): vectors hard-delete "
+    "from the IVF index by id — one column-pruned (neighbor_id, "
+    "_cluster) scan finds the deleted vectors' clusters, only those "
+    "partitions rewrite; centroids stay as built (deletion never moves "
+    "a survivor between clusters, the mirror image of the append "
+    "case's frozen-quantizer argument). Gate, raised in-gate: the "
+    "post-delete probe equals row-for-row a same-centroid rebuild on "
+    "the surviving corpus, and no deleted id appears; the returned row "
+    "is the family cardinality + recall@5 gate vs brute force over "
+    "the survivors.",
+)
+def emb_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")
+    doomed = e.filter((F.col("vec_id") % 9 == 2) & (F.col("vec_id") >= _NQ))
+    survivors = e.join(
+        doomed.select("vec_id"), "vec_id", "left_anti"
+    )
+    q = e.filter(F.col("vec_id") < _NQ)
+    tmp = tempfile.mkdtemp(prefix="ccpd_idx_del_")
+    try:
+        path = f"{tmp}/ivf"
+        cents = SIM.write_ivf_index(e, path, n_clusters=16, seed=42)
+        stats = SIM.delete_from_index(spark, path, doomed.select("vec_id"))
+        if stats["rows_deleted"] != doomed.count():
+            raise AssertionError(f"deletion count off: {stats}")
+        got = SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=8)
+        rows = sorted(map(tuple, got.collect()))
+        doomed_ids = {r.vec_id for r in doomed.select("vec_id").collect()}
+        leaked = sorted({r[1] for r in rows} & doomed_ids)
+        if leaked:
+            raise AssertionError(f"deleted ids still in top-k: {leaked}")
+        rebuilt = f"{tmp}/rebuilt"
+        SIM.write_ivf_index(survivors, rebuilt, centroids=cents)
+        want = sorted(
+            map(tuple, SIM.ivf_topk_indexed(spark, rebuilt, q, k=5, n_probe=8).collect())
+        )
+        if rows != want:
+            raise AssertionError(
+                "post-delete probe diverged from a same-centroid rebuild "
+                "on the surviving corpus"
+            )
+        approx = spark.createDataFrame(rows, got.schema)
+        exact = SIM.brute_force_topk(
+            survivors, q, id_col="vec_id", vec_col="embedding", k=5
+        )
+        gate = _ann_recall_gate(approx, exact).withColumn(
+            "delete_clean", F.lit(True)
+        )
+        # the index files vanish with the scratch dir — return data
+        return spark.createDataFrame(gate.collect(), gate.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,116 @@
+"""Partition-pruned hard deletion from hive-partitioned lake tables —
+right-to-be-forgotten for the at-rest family (signature tables, ANN
+indexes, component tables). The one lifecycle operation append /
+compact / probe did not cover: removing rows for a key set WITHOUT
+rewriting (or even reading) the rest of a 100 TB table.
+
+Plan shape (the same discipline as ``graph.extend_components_at_rest``):
+
+1. ONE column-pruned scan — key + partition column only, two small
+   values per row — semi-joined with the BROADCAST key set finds the
+   partitions that hold hits (bounded collect: ≤ #partition values);
+2. only those partitions are re-read in full, anti-joined against the
+   keys, and written back with dynamic partition overwrite (surviving
+   rows of a touched partition ride along in the same write);
+3. a partition whose every row matched receives no rows — dynamic
+   overwrite cannot clear it — so those are removed explicitly through
+   the Hadoop FileSystem API (file/hdfs/s3a alike).
+
+Untouched partitions are never read past the pruned key scan and never
+rewritten. Write amplification ≈ touched partitions × partition size —
+for key-hash-partitioned tables (the signature family) a k-key delete
+touches ≤ k partitions; for cluster-partitioned ANN indexes it touches
+the deleted vectors' clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import fsutil as FS
+
+
+def delete_rows_partitioned(
+    spark,
+    data_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_col: str = "part",
+    files_per_part: int = 1,
+) -> dict:
+    """Delete every row of the hive-partitioned parquet table at
+    ``data_dir`` whose ``key_col`` appears in ``keys`` (a one-column
+    DataFrame; broadcast — the key set is the small side by contract,
+    like every forget request). Returns {rows_deleted, parts_touched,
+    parts_emptied, parts_total}.
+
+    Caveat the signature tables inherit: write-time statistics columns
+    (e.g. the MinHash/SimHash ``bucket_size`` hot-bucket cap) are NOT
+    recomputed — after deletion they over-state bucket sizes, so a
+    capped probe may skip a bucket that has shrunk below the cap
+    (missing duplicates, not inventing them, but still a recall loss
+    under aggressive caps). A deletion-heavy table should be rebuilt
+    at the next full write; light forget traffic is fine."""
+    key_set = F.broadcast(keys.select(F.col(keys.columns[0]).alias(key_col)).distinct())
+    table = spark.read.parquet(data_dir)
+    if partition_col not in table.columns:
+        raise ValueError(
+            f"{data_dir} is not partitioned by {partition_col!r} — "
+            "partition-pruned deletion needs a hive partition column; "
+            "rewrite flat tables with a filter instead"
+        )
+    hits = table.select(key_col, partition_col).join(key_set, key_col, "left_semi")
+    # bounded collect: ≤ #partition values by construction
+    touched = sorted(
+        r[partition_col]
+        for r in hits.select(partition_col).distinct().collect()
+    )
+    if not touched:
+        return {
+            "rows_deleted": 0, "parts_touched": 0, "parts_emptied": 0,
+            "parts_total": len(FS.glob_paths(f"{data_dir.rstrip('/')}/{partition_col}=*")),
+        }
+    sub = table.filter(F.col(partition_col).isin(touched))
+    remain = sub.join(key_set, key_col, "left_anti")
+    if files_per_part > 1:
+        salt = F.pmod(F.xxhash64(key_col), F.lit(files_per_part))
+        remain = remain.repartition(F.col(partition_col), salt)
+    else:
+        remain = remain.repartition(F.col(partition_col))
+    remain = remain.persist()
+    try:
+        n_remain = remain.count()
+        n_deleted = sub.count() - n_remain
+        written = {
+            r[partition_col]
+            for r in remain.select(partition_col).distinct().collect()
+        }
+        with_dynamic = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", None
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            remain.write.partitionBy(partition_col).mode("overwrite").parquet(
+                data_dir
+            )
+        finally:
+            if with_dynamic is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", with_dynamic
+                )
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    finally:
+        remain.unpersist()
+    emptied = set(touched) - written
+    for p in emptied:
+        FS.delete(f"{data_dir.rstrip('/')}/{partition_col}={p}")
+    return {
+        "rows_deleted": int(n_deleted),
+        "parts_touched": len(touched),
+        "parts_emptied": len(emptied),
+        "parts_total": len(
+            FS.glob_paths(f"{data_dir.rstrip('/')}/{partition_col}=*")
+        ),
+    }
