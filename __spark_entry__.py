@@ -37,20 +37,25 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (a registration without a matching benched entry raises).
 #
 # Sampled first (r12, executing COVERAGE.md §"Round-12 rotation
-# plan"): the 6 NEW r12 registrations (the at-rest incremental family
-# under the driver differential — VERDICT r11 item 1); the 6
+# plan" — the full audit trail, including the mid-round additions,
+# lives in COVERAGE.md §"Round-12 rotation executed"): the 9 NEW r12
+# registrations (the at-rest incremental family under the driver
+# differential — VERDICT r11 item 1 — plus the mid-round
+# doc_ingest_stream / doc_forget_docs / emb_index_delete); the 6
 # r11-changed queries whose sampling was deferred one round (VERDICT
 # r11 "What's wrong" item 2 — they sample FIRST, as promised); the 2
 # queries whose code changed post-r11-verify in commit bcef039
 # (compact_small_files via compact_partitioned's new staging,
 # doc_minhash_against_corpus via near_duplicates_against's probe-side
-# recovery — changed queries sample unconditionally); and 36 of the
-# r10-verified benched set. Benched (rotated out): the 49 remaining
-# r11-verified queries (may stay benched through r13, MUST sample by
-# r14) plus 7 deferred r10-verified queries — the 6 streaming gates
-# and orc_roundtrip_stats, each with an independent per-round
-# timing+self-gating artifact (BENCH_STREAM / BENCH_IO) — which MUST
-# sample in r13.
+# recovery); doc_simhash (the mid-r12 64-bit wide-hash fix touches
+# simhash() under it — changed queries sample unconditionally); and
+# 32 of the r10-verified benched set. Benched (rotated out): the 48
+# remaining r11-verified queries (may stay benched through r13, MUST
+# sample by r14) plus 11 deferred r10-verified queries — the 6
+# streaming gates and 5 displaced as the mid-round registrations
+# landed, the first 8 chosen for their independent per-round
+# timing+self-gating artifacts (BENCH_STREAM / BENCH_IO) — ALL of
+# which MUST sample in r13.
 _VERIFY_FIRST = [
     # --- NEW in r12: the at-rest incremental family, registered ---
     "doc_exact_against_corpus",

@@ -1547,17 +1547,29 @@ def _minhash_ingest_round_txn(
     root = sig_path.rstrip("/")
     safe = TXN.txn_safe(txn)
     rounds_dir = f"{root}/_rounds/{safe}"
-    stats_dir = f"{root}/_rounds/{safe}_stats"
-    state: dict = {"extended": None}
+    # stats live under their OWN root, not "{safe}_stats" inside
+    # _rounds — a txn literally named "{other}_stats" must not collide
+    # with txn "{other}"'s stats dir
+    stats_dir = f"{root}/_rounds_stats/{safe}"
+    state: dict = {"survivors": None}
 
     def _report(action: str, compacted: int) -> dict:
+        import json as _json
+
         st = spark.read.parquet(stats_dir).collect()[0]
-        surv_ids = spark.read.parquet(rounds_dir).select(
-            F.col("doc").alias("__surv_doc")
-        )
-        survivors = batch.join(
-            F.broadcast(surv_ids), batch[id_col] == F.col("__surv_doc"), "left_semi"
-        )
+        if state["survivors"] is not None:
+            # fresh path: the checkpointed frame write_stage computed —
+            # no need to re-read the record it just staged
+            survivors = state["survivors"]
+        else:
+            surv_ids = spark.read.parquet(rounds_dir).select(
+                F.col("doc").alias("__surv_doc")
+            )
+            survivors = batch.join(
+                F.broadcast(surv_ids),
+                batch[id_col] == F.col("__surv_doc"),
+                "left_semi",
+            )
         return {
             "action": action,
             "txn": txn,
@@ -1567,7 +1579,11 @@ def _minhash_ingest_round_txn(
             "n_within_pairs": int(st.n_within_pairs),
             "n_survivors": int(st.n_survivors),
             "compacted": compacted,
-            "extended": state["extended"],
+            # staged with the round record, so replays reconstruct the
+            # fold activity too (None = no comp_path was configured)
+            "extended": _json.loads(st.extended_json)
+            if st.extended_json is not None
+            else None,
             "secs": dict(secs),
         }
 
@@ -1592,21 +1608,26 @@ def _minhash_ingest_round_txn(
         try:
             n_cross = vs_corpus.count()
             n_within = within.count()
+            import json as _json
+
             survivors, edges = _ingest_survivor_policy(
                 batch, id_col, vs_corpus, within
             )
             n_surv = survivors.count()
+            extended = None
             if comp_path is not None:
-                state["extended"] = extend_components_at_rest(
-                    spark, comp_path, edges
-                )
+                extended = extend_components_at_rest(spark, comp_path, edges)
+            state["survivors"] = survivors
             survivors.select(F.col(id_col).alias("doc")).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(f"{stage}/survivors")
             spark.createDataFrame(
-                [(batch.count(), n_cross, n_within, n_surv)],
+                [(
+                    batch.count(), n_cross, n_within, n_surv,
+                    _json.dumps(extended) if extended is not None else None,
+                )],
                 "n_batch long, n_cross_pairs long, n_within_pairs long, "
-                "n_survivors long",
+                "n_survivors long, extended_json string",
             ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/round_stats")
             banded = _banded_signatures(
                 survivors, id_col, text_col, p["num_hashes"], p["bands"],
@@ -1695,6 +1716,35 @@ def forget_documents(spark, table_path: str, ids: DataFrame) -> dict:
                 partition_col="part", files_per_part=fpp,
             )
             stats["table"] = sub
+            # hard delete means the whole ROOT: the per-txn survivor
+            # records under _rounds/ also hold doc ids — scrub them
+            # too (filtered copy + swap, with recovery for a crashed
+            # swap), so nothing about a forgotten doc survives at
+            # rest. _rounds_stats/ holds counts only, never ids.
+            for tmp_rec in FS.glob_paths(f"{root}/_rounds/*__scrub_tmp"):
+                orig = tmp_rec[: -len("__scrub_tmp")]
+                if FS.exists(orig):
+                    FS.delete(tmp_rec)  # crashed before the old record dropped
+                else:
+                    FS.rename(tmp_rec, orig)  # crashed mid-swap
+            scrubbed = 0
+            forget_ids = F.broadcast(
+                ids.select(F.col(ids.columns[0]).alias("doc")).distinct()
+            )
+            for rec in FS.glob_paths(f"{root}/_rounds/*"):
+                record = spark.read.parquet(rec)
+                n_hit = record.join(forget_ids, "doc", "left_semi").count()
+                if n_hit == 0:
+                    continue
+                tmp_rec = f"{rec}__scrub_tmp"
+                FS.delete(tmp_rec)
+                record.join(forget_ids, "doc", "left_anti").coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(tmp_rec)
+                FS.delete(rec)
+                FS.rename(tmp_rec, rec)
+                scrubbed += n_hit
+            stats["round_records_scrubbed"] = int(scrubbed)
             return stats
     raise ValueError(
         f"{table_path} holds no banded/fingerprints/segments table — "

@@ -384,21 +384,12 @@ def extend_components_at_rest(
     out = out.select(
         "node", "comp", F.pmod(F.xxhash64("comp"), F.lit(parts)).alias("part")
     )
+    from ..sources.forget import dynamic_partition_overwrite
+
     out = out.repartition(F.col("part")).persist()
     try:
         n_updated = out.count()
-        written_parts = {
-            r["part"] for r in out.select("part").distinct().collect()
-        }
-        with_dynamic = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            out.write.partitionBy("part").mode("overwrite").parquet(f"{path}/assign")
-        finally:
-            if with_dynamic is not None:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dynamic)
-            else:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        written_parts = dynamic_partition_overwrite(out, f"{path}/assign", "part")
     finally:
         out.unpersist()
     emptied = set(old_parts) - written_parts
@@ -474,8 +465,17 @@ def forget_nodes(spark, path: str, ids: DataFrame) -> dict:
     (deletion is famously non-incremental), not of this storage
     layout. For the dedup use case the conservative direction is
     documented: over-grouping keeps fewer near-duplicates, never
-    readmits one. Returns {rows_deleted, comps_touched,
-    comps_relabeled, rewritten_parts}."""
+    readmits one.
+
+    **Quiescence contract** (same as ``dedup.forget_documents``, which
+    enforces it mechanically on its own root): run forgets only while
+    no ingest round that folds into THIS table is in flight — a
+    crashed-pre-manifest streamed round restages on restart and
+    re-folds its edge set, which still names the forgotten node as an
+    endpoint and would re-insert its membership. This table cannot see
+    the signature table's staging, so the ordering is operational:
+    drain (or abandon) the stream, forget, resume. Returns
+    {rows_deleted, comps_touched, comps_relabeled, rewritten_parts}."""
     from pyspark.sql import types as T
 
     from ..sources import fsutil as FS
@@ -540,20 +540,13 @@ def forget_nodes(spark, path: str, ids: DataFrame) -> dict:
         out = upd.select("node", "comp").unionByName(keep_rows).unionByName(carry)
     finally:
         upd.unpersist()
+    from ..sources.forget import dynamic_partition_overwrite
+
     out = out.select(
         "node", "comp", F.pmod(F.xxhash64("comp"), F.lit(parts)).alias("part")
     ).repartition(F.col("part")).persist()
     try:
-        written_parts = {r["part"] for r in out.select("part").distinct().collect()}
-        with_dynamic = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            out.write.partitionBy("part").mode("overwrite").parquet(f"{path}/assign")
-        finally:
-            if with_dynamic is not None:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dynamic)
-            else:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        written_parts = dynamic_partition_overwrite(out, f"{path}/assign", "part")
     finally:
         out.unpersist()
     emptied = (set(old_parts) | set(new_parts)) - written_parts

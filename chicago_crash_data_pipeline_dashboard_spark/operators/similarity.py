@@ -2269,6 +2269,18 @@ def delete_from_index(spark, path: str, ids: DataFrame) -> dict:
             "vectors (compact_dir) — an O(table) operation this API won't hide"
         )
     data_dir = f"{path}/data" if has_codebook else path
+    # quiescence guard (same contract as dedup.forget_documents): a
+    # crashed-but-uncommitted streamed append holds a frozen staging
+    # whose remaining moves target these cluster partitions —
+    # rewriting them now would let the replay re-move already-merged
+    # files (duplicating rows, or resurrecting the ids deleted here)
+    pending = FS.glob_paths(f"{path.rstrip('/')}/_ingest_tmp/*")
+    if pending:
+        raise RuntimeError(
+            f"{len(pending)} in-flight append transaction(s) staged under "
+            f"{path}/_ingest_tmp — re-drain the stream (completing the "
+            "replay) before deleting, or delete the staging to abandon it"
+        )
     recover_index_compaction(data_dir)  # never trust a mid-swap table
     stats = delete_rows_partitioned(
         spark, data_dir, ids, key_col="neighbor_id", partition_col="_cluster"

@@ -31,6 +31,31 @@ from pyspark.sql import functions as F
 from . import fsutil as FS
 
 
+def dynamic_partition_overwrite(df: DataFrame, data_dir: str, partition_col: str):
+    """Write ``df`` with dynamic partition overwrite (replacing ONLY
+    the partitions it carries rows for) and return the set of
+    partition values written — the save/set/restore of
+    ``spark.sql.sources.partitionOverwriteMode`` plus the
+    written-partitions collect that every at-rest rewrite needs
+    (extend_components_at_rest / forget_nodes / deletion). Emptied
+    partitions (a value the caller expected but df doesn't carry) are
+    the caller's to clear: dynamic overwrite cannot delete them."""
+    spark = df.sparkSession
+    written = {
+        r[partition_col] for r in df.select(partition_col).distinct().collect()
+    }
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.partitionBy(partition_col).mode("overwrite").parquet(data_dir)
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    return written
+
+
 def delete_rows_partitioned(
     spark,
     data_dir: str,
@@ -78,29 +103,12 @@ def delete_rows_partitioned(
         remain = remain.repartition(F.col(partition_col), salt)
     else:
         remain = remain.repartition(F.col(partition_col))
+    # rows_deleted from the already-required pruned key scan — not a
+    # second full read of the touched partitions
+    n_deleted = hits.count()
     remain = remain.persist()
     try:
-        n_remain = remain.count()
-        n_deleted = sub.count() - n_remain
-        written = {
-            r[partition_col]
-            for r in remain.select(partition_col).distinct().collect()
-        }
-        with_dynamic = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", None
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            remain.write.partitionBy(partition_col).mode("overwrite").parquet(
-                data_dir
-            )
-        finally:
-            if with_dynamic is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", with_dynamic
-                )
-            else:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        written = dynamic_partition_overwrite(remain, data_dir, partition_col)
     finally:
         remain.unpersist()
     emptied = set(touched) - written

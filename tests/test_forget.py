@@ -220,3 +220,36 @@ def test_forget_refuses_inflight_txn(spark, tmp_path):
     fsutil.delete(f"{path}/_ingest_tmp")
     st = DD.forget_documents(spark, path, docs.filter(F.col("doc_id") < 3).select("doc_id"))
     assert st["rows_deleted"] == 3 * 4  # bands rows per doc
+
+
+def test_forget_scrubs_round_records(spark, tmp_path):
+    """forget_documents hard-deletes from the WHOLE table root: the
+    per-txn survivor records under _rounds/ hold doc ids too, and a
+    forgotten id must not survive there (nor reappear in a replayed
+    round's reconstructed survivors)."""
+    docs = _docs(spark, n=30)
+    path = str(tmp_path / "sigs")
+    DD.write_minhash_signatures(
+        docs.filter(F.col("doc_id") < 20), path, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, seed=7, parts=8,
+    )
+    batch = docs.filter(F.col("doc_id") >= 20)
+    rep = DD.minhash_ingest_round(
+        batch, path, "doc_id", "text", threshold=0.9, txn="scrub-b0"
+    )
+    assert rep["n_survivors"] == 10
+
+    st = DD.forget_documents(
+        spark, path, spark.createDataFrame([(25,), (27,)], "doc_id long")
+    )
+    assert st["round_records_scrubbed"] == 2
+    rec = {r.doc for r in spark.read.parquet(f"{path}/_rounds/scrub-b0").collect()}
+    assert rec == set(range(20, 30)) - {25, 27}
+    # a replay of the committed round reconstructs survivors WITHOUT
+    # the forgotten ids
+    rep2 = DD.minhash_ingest_round(
+        batch, path, "doc_id", "text", threshold=0.9, txn="scrub-b0"
+    )
+    assert rep2["action"] == "skipped_replay"
+    got = {r.doc_id for r in rep2["survivors"].collect()}
+    assert got == set(range(20, 30)) - {25, 27}
