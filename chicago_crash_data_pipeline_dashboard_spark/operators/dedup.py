@@ -608,21 +608,9 @@ def write_fingerprints(
     partitions its own fingerprints hash into. The table holds a hash
     per doc, never text — at 100 TB it is ~1/1000th of the corpus and
     the thing every ingest batch anti-joins before appending."""
-    fps = df.select(
-        F.col(id_col).alias("doc"),
-        TX.fingerprint(F.col(text_col)).alias("fingerprint"),
-    ).withColumn("part", F.pmod(F.xxhash64("fingerprint"), F.lit(parts)).cast("int"))
-    if files_per_part > 1:
-        salt = F.pmod(F.xxhash64("doc"), F.lit(files_per_part))
-        fps = fps.repartition(F.col("part"), salt)
-    else:
-        fps = fps.repartition(F.col("part"))
-    (
-        fps.sortWithinPartitions("part", "fingerprint")
-        .write.partitionBy("part")
-        .mode("overwrite")
-        .parquet(f"{path}/fingerprints")
-    )
+    _fingerprint_rows(df, id_col, text_col, parts, files_per_part).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(f"{path}/fingerprints")
     df.sparkSession.createDataFrame(
         [(parts, files_per_part)], "parts int, files_per_part int"
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_params")
@@ -639,22 +627,12 @@ def _fingerprint_params(spark, path: str) -> dict:
     }
 
 
-def append_fingerprints(
-    batch: DataFrame,
-    path: str,
-    id_col: str,
-    text_col: str,
-    files_per_part: int | None = None,
-) -> None:
-    """Append a (deduped) batch's fingerprints — the ingest step after
-    ``dedup_exact_against``. ``parts`` (and, unless overridden,
-    ``files_per_part``) come from the table's ``_params``, never the
-    caller."""
-    spark = batch.sparkSession
-    p = _fingerprint_params(spark, path)
-    parts = p["parts"]
-    if files_per_part is None:
-        files_per_part = p["files_per_part"]
+def _fingerprint_rows(
+    batch: DataFrame, id_col: str, text_col: str, parts: int, files_per_part: int
+) -> DataFrame:
+    """(doc, fingerprint, part) rows in the table's layout — part-
+    aligned repartition + within-partition sort, shared by the initial
+    write, the plain append, and the staged (transactional) append."""
     fps = batch.select(
         F.col(id_col).alias("doc"),
         TX.fingerprint(F.col(text_col)).alias("fingerprint"),
@@ -664,11 +642,49 @@ def append_fingerprints(
         fps = fps.repartition(F.col("part"), salt)
     else:
         fps = fps.repartition(F.col("part"))
-    (
-        fps.sortWithinPartitions("part", "fingerprint")
-        .write.partitionBy("part")
-        .mode("append")
-        .parquet(f"{path}/fingerprints")
+    return fps.sortWithinPartitions("part", "fingerprint")
+
+
+def append_fingerprints(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    files_per_part: int | None = None,
+    txn: str | None = None,
+) -> None:
+    """Append a (deduped) batch's fingerprints — the ingest step after
+    ``dedup_exact_against``. ``parts`` (and, unless overridden,
+    ``files_per_part``) come from the table's ``_params``, never the
+    caller.
+
+    ``txn``: an idempotency id for at-least-once callers (streaming
+    drains) — the same staged-move ledger protocol (sources/txn.py) as
+    the MinHash and ANN appends, closing the replay-duplication hazard
+    for this family too (txn.py's "every at-rest table" contract).
+    Without one, a plain append-mode write (the batch caller's
+    contract: don't hand the same batch in twice). For the full
+    probe-before-append replay safety use
+    :func:`fingerprint_ingest_round` with ``txn``."""
+    spark = batch.sparkSession
+    p = _fingerprint_params(spark, path)
+    fps = _fingerprint_rows(
+        batch, id_col, text_col, p["parts"],
+        p["files_per_part"] if files_per_part is None else files_per_part,
+    )
+    if txn is None:
+        fps.write.partitionBy("part").mode("append").parquet(f"{path}/fingerprints")
+        return
+    from ..sources import txn as TXN
+
+    pre = TXN.txn_file_prefix(txn)
+    TXN.idempotent_staged_append(
+        path,
+        txn,
+        lambda stage: fps.write.partitionBy("part")
+        .mode("overwrite")
+        .parquet(f"{stage}/fingerprints"),
+        lambda rel: f"{path}/{rel.rsplit('/', 1)[0]}/{pre}{rel.rsplit('/', 1)[1]}",
     )
 
 
@@ -1099,22 +1115,13 @@ def simhash_near_duplicates_against(
     )
 
 
-def append_simhash_index(
-    batch: DataFrame,
-    path: str,
-    id_col: str,
-    text_col: str,
-    files_per_part: int | None = None,
-) -> None:
-    """Append a (deduped) batch's segments under the INDEX's params —
-    same per-segment bucket_size posture as
-    ``append_minhash_signatures`` (sizes are per write segment; the
-    cap bounds each segment's contribution independently).
-    ``files_per_part`` defaults to the index's own pinned value."""
-    spark = batch.sparkSession
-    p = read_simhash_params(spark, path)
-    if files_per_part is None:
-        files_per_part = p.get("files_per_part", 1)
+def _simhash_segment_rows(
+    batch: DataFrame, id_col: str, text_col: str, p: dict, files_per_part: int
+) -> DataFrame:
+    """(doc, simhash, seg, val, bucket_size, part) rows in the index's
+    layout under its pinned params — per-write-segment bucket_size,
+    part-aligned repartition, within-partition sort; shared by the
+    plain and staged (transactional) appends."""
     segs = _simhash_segments(p["max_distance"], p["bits"])
     fp = simhash(batch, id_col, text_col, p["bits"], p["hash_mode"])
     exploded = (
@@ -1132,11 +1139,46 @@ def append_simhash_index(
         exploded = exploded.repartition(F.col("part"), salt)
     else:
         exploded = exploded.repartition(F.col("part"))
-    (
-        exploded.sortWithinPartitions("part", "seg", "val")
-        .write.partitionBy("part")
-        .mode("append")
-        .parquet(f"{path}/segments")
+    return exploded.sortWithinPartitions("part", "seg", "val")
+
+
+def append_simhash_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    files_per_part: int | None = None,
+    txn: str | None = None,
+) -> None:
+    """Append a (deduped) batch's segments under the INDEX's params —
+    same per-segment bucket_size posture as
+    ``append_minhash_signatures`` (sizes are per write segment; the
+    cap bounds each segment's contribution independently).
+    ``files_per_part`` defaults to the index's own pinned value.
+
+    ``txn``: an idempotency id for at-least-once callers (streaming
+    drains) — the same staged-move ledger protocol (sources/txn.py) as
+    the MinHash and ANN appends. Without one, a plain append-mode
+    write. For the full probe-before-append replay safety use
+    :func:`simhash_ingest_round` with ``txn``."""
+    spark = batch.sparkSession
+    p = read_simhash_params(spark, path)
+    if files_per_part is None:
+        files_per_part = p.get("files_per_part", 1)
+    exploded = _simhash_segment_rows(batch, id_col, text_col, p, files_per_part)
+    if txn is None:
+        exploded.write.partitionBy("part").mode("append").parquet(f"{path}/segments")
+        return
+    from ..sources import txn as TXN
+
+    pre = TXN.txn_file_prefix(txn)
+    TXN.idempotent_staged_append(
+        path,
+        txn,
+        lambda stage: exploded.write.partitionBy("part")
+        .mode("overwrite")
+        .parquet(f"{stage}/segments"),
+        lambda rel: f"{path}/{rel.rsplit('/', 1)[0]}/{pre}{rel.rsplit('/', 1)[1]}",
     )
 
 
@@ -1459,8 +1501,8 @@ def minhash_ingest_round(
         vs_corpus.unpersist()
         within.unpersist()
 
-    compacted = _maybe_compact_signatures(
-        spark, sig_path, compact_trigger, p.get("files_per_part", 1)
+    compacted = _maybe_compact_subdir(
+        spark, sig_path, "banded", compact_trigger, p.get("files_per_part", 1)
     )
     _lap("compact")
     return {
@@ -1474,10 +1516,11 @@ def minhash_ingest_round(
         "secs": secs,
     }
 
-def _maybe_compact_signatures(
-    spark, sig_path: str, compact_trigger: float, files_per_part: int
+def _maybe_compact_subdir(
+    spark, root: str, sub: str, compact_trigger: float, files_per_part: int
 ) -> int:
-    """Compact the signature table when its worst partition exceeds
+    """Compact a signature-family data subdir (``banded`` /
+    ``fingerprints`` / ``segments``) when its worst partition exceeds
     ``compact_trigger`` x the table's files_per_part. ONE globStatus
     listing over the table for the trigger — Hadoop FileSystem API, so
     the same trigger works on file/hdfs/s3a."""
@@ -1485,15 +1528,166 @@ def _maybe_compact_signatures(
     from ..sources.compact import compact_partitioned
 
     per_part: dict[str, int] = {}
-    for f in FS.glob_paths(f"{sig_path.rstrip('/')}/banded/part=*/*.parquet"):
+    for f in FS.glob_paths(f"{root.rstrip('/')}/{sub}/part=*/*.parquet"):
         d = f.rsplit("/", 2)[1]
         per_part[d] = per_part.get(d, 0) + 1
     worst = max(per_part.values(), default=0)
     if worst > compact_trigger * files_per_part:
-        return compact_partitioned(spark, f"{sig_path.rstrip('/')}/banded")[
+        return compact_partitioned(spark, f"{root.rstrip('/')}/{sub}")[
             "compacted"
         ]
     return 0
+
+
+def _round_record_paths(root: str, txn: str) -> tuple[str, str]:
+    """(survivor-record dir, stats dir) for a committed ingest round.
+    Stats live under their OWN root, not ``{safe}_stats`` inside
+    ``_rounds`` — a txn literally named "{other}_stats" must not
+    collide with txn "{other}"'s stats dir."""
+    from ..sources import txn as TXN
+
+    safe = TXN.txn_safe(txn)
+    return f"{root}/_rounds/{safe}", f"{root}/_rounds_stats/{safe}"
+
+
+def _reconstruct_round_survivors(spark, batch, id_col: str, rounds_dir: str):
+    """Replay-side rebuild of a committed round's survivors frame from
+    its persisted record. Finishes a ``forget_documents`` scrub swap
+    that crashed between delete(rec) and rename(tmp, rec) — the
+    reader-side twin of forget's own recovery walk — and returns the
+    survivor count FROM the record: a later forget legitimately shrinks
+    it, while the staged stats hold only the write-time value."""
+    from ..sources import fsutil as FS
+
+    tmp_rec = f"{rounds_dir}__scrub_tmp"
+    if FS.exists(tmp_rec) and not FS.exists(rounds_dir):
+        FS.rename(tmp_rec, rounds_dir)
+    surv_ids = spark.read.parquet(rounds_dir).select(
+        F.col("doc").alias("__surv_doc")
+    )
+    survivors = batch.join(
+        F.broadcast(surv_ids), batch[id_col] == F.col("__surv_doc"), "left_semi"
+    )
+    return survivors, surv_ids.count()
+
+
+def _stage_round_record(spark, stage, survivors, id_col, values, schema) -> None:
+    """Stage the round's survivor ids + one-row stats frame next to its
+    data files — they move to ``_rounds``/``_rounds_stats`` in the same
+    txn, so every replay path reconstructs the identical report without
+    recomputing anything."""
+    survivors.select(F.col(id_col).alias("doc")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/survivors")
+    spark.createDataFrame([values], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/round_stats")
+
+
+def _txn_ingest_round(
+    batch: DataFrame,
+    root: str,
+    id_col: str,
+    txn: str,
+    write_stage,
+    stats_extract: dict,
+    after_commit,
+) -> dict:
+    """Shared transactional-round skeleton for the cross-run ingest
+    families (MinHash / exact fingerprints / SimHash): the staged-move
+    ledger protocol (sources/txn.py) wrapped around ONE family-specific
+    staging step.
+
+    ``write_stage(stage, state)`` runs the round STRICTLY BEFORE any
+    staged file moves into the table (the probe-before-append rule —
+    a replay that finds the frozen manifest skips straight to
+    completing the moves and never re-probes a table already holding
+    some of this batch's rows, which would make the batch pair with
+    itself and drop every row). It must compute the survivors (setting
+    ``state["survivors"]``), stage them + the stats row via
+    ``_stage_round_record``, and write the table's data files under a
+    stage subdir matching the table's data subdir name.
+
+    ``stats_extract`` maps report keys to extractors over the staged
+    stats row. ``n_survivors`` is handled here: on replay paths it
+    derives from the reconstructed record (which a later
+    ``forget_documents`` legitimately shrinks), never the write-time
+    stats. ``after_commit()`` returns the compaction count; it is
+    skipped entirely on an already-committed replay."""
+    import time as _time
+
+    from ..sources import fsutil as FS
+    from ..sources import txn as TXN
+
+    secs: dict[str, float] = {}
+    t0 = _time.perf_counter()
+
+    def _lap(key: str) -> None:
+        nonlocal t0
+        now = _time.perf_counter()
+        secs[key] = round(now - t0, 3)
+        t0 = now
+
+    spark = batch.sparkSession
+    rounds_dir, stats_dir = _round_record_paths(root, txn)
+    state: dict = {"survivors": None}
+
+    def _report(action: str, compacted: int) -> dict:
+        st = spark.read.parquet(stats_dir).collect()[0]
+        if state["survivors"] is not None:
+            # fresh path: the checkpointed frame write_stage computed —
+            # no need to re-read the record it just staged
+            survivors = state["survivors"]
+            n_surv = int(st.n_survivors)
+        else:
+            survivors, n_surv = _reconstruct_round_survivors(
+                spark, batch, id_col, rounds_dir
+            )
+        rep = {"action": action, "txn": txn, "survivors": survivors}
+        for key, extract in stats_extract.items():
+            rep[key] = extract(st)
+        rep["n_survivors"] = n_surv
+        rep["compacted"] = compacted
+        rep["secs"] = dict(secs)
+        return rep
+
+    if TXN.txn_committed(root, txn):
+        # a crash between the marker write and the staging cleanup
+        # (protocol step 4) leaves an orphaned _ingest_tmp/{txn} dir;
+        # idempotent_staged_append's own short-circuit would clear it,
+        # but this return runs first — clean it here too, or it
+        # permanently trips the forget paths' quiescence guards on a
+        # table that is actually quiescent
+        FS.delete(TXN.txn_paths(root, txn)[1])
+        return _report("skipped_replay", 0)
+
+    pre = TXN.txn_file_prefix(txn)
+
+    def dest_for(rel: str) -> str:
+        top, rest = rel.split("/", 1)
+        if top == "survivors":
+            return f"{rounds_dir}/{rest}"
+        if top == "round_stats":
+            return f"{stats_dir}/{rest}"
+        d, f = rel.rsplit("/", 1)
+        return f"{root}/{d}/{pre}{f}"
+
+    # a frozen manifest before the run means attempt N-1 crashed
+    # mid-move: the protocol completes those moves without re-staging
+    # (and without re-probing) — report that distinctly
+    had_frozen_stage = FS.exists(f"{TXN.txn_paths(root, txn)[1]}/_manifest.json")
+    _lap("replay_check")
+    TXN.idempotent_staged_append(
+        root, txn, lambda stage: write_stage(stage, state), dest_for
+    )
+    # "ledger" covers the whole staged round: probe + survivor policy +
+    # (optional) fold + staging write + moves — compare against the
+    # plain round's probe+within+survivors+append total to read the
+    # exactly-once overhead
+    _lap("ledger")
+    compacted = after_commit()
+    _lap("compact")
+    return _report("completed_replay" if had_frozen_stage else "appended", compacted)
 
 
 def _minhash_ingest_round_txn(
@@ -1507,93 +1701,24 @@ def _minhash_ingest_round_txn(
     compact_trigger: float,
     txn: str,
 ) -> dict:
-    """:func:`minhash_ingest_round` under the staged-move ledger
-    (sources/txn.py) — the streaming-safe round. Everything with a
-    read-before-write hazard runs inside ``write_stage``:
-
-    - the probe + within pairs + survivor policy (and the optional
-      components fold) execute strictly before any staged signature
-      file moves into the table, so a replay that finds the frozen
-      manifest never re-probes a table already holding some of this
-      batch's signatures (which would make the batch pair with itself
-      and drop every row);
-    - the survivor ids and round stats are staged alongside the
-      signatures and move to ``{sig_path}/_rounds/{txn}[_stats]``
-      (underscore-prefixed: invisible to partition discovery), so
-      skipped and completed replays reconstruct the identical report
-      without recomputing anything;
-    - the components fold re-runs only on a full restage (crash
-      before the manifest froze — the table is provably untouched
-      then), where min-label idempotence makes re-folding the same
-      edges converge to the same labels.
-
-    Compaction runs after the commit point (it has its own staging +
-    recovery walk in sources/compact.py) and is skipped on replays of
-    an already-committed round."""
-    import time as _time
-
-    from ..sources import txn as TXN
-
-    secs: dict[str, float] = {}
-    t0 = _time.perf_counter()
-
-    def _lap(key: str) -> None:
-        nonlocal t0
-        now = _time.perf_counter()
-        secs[key] = round(now - t0, 3)
-        t0 = now
+    """:func:`minhash_ingest_round` under the staged-move ledger — the
+    streaming-safe round, built on :func:`_txn_ingest_round`: the probe
+    + within pairs + survivor policy (and the optional components fold)
+    execute strictly before any staged signature file moves into the
+    table; the components fold re-runs only on a full restage (crash
+    before the manifest froze — the table is provably untouched then),
+    where min-label idempotence makes re-folding the same edges
+    converge to the same labels. Compaction runs after the commit point
+    (it has its own staging + recovery walk in sources/compact.py) and
+    is skipped on replays of an already-committed round."""
+    import json as _json
 
     spark = batch.sparkSession
     root = sig_path.rstrip("/")
-    safe = TXN.txn_safe(txn)
-    rounds_dir = f"{root}/_rounds/{safe}"
-    # stats live under their OWN root, not "{safe}_stats" inside
-    # _rounds — a txn literally named "{other}_stats" must not collide
-    # with txn "{other}"'s stats dir
-    stats_dir = f"{root}/_rounds_stats/{safe}"
-    state: dict = {"survivors": None}
-
-    def _report(action: str, compacted: int) -> dict:
-        import json as _json
-
-        st = spark.read.parquet(stats_dir).collect()[0]
-        if state["survivors"] is not None:
-            # fresh path: the checkpointed frame write_stage computed —
-            # no need to re-read the record it just staged
-            survivors = state["survivors"]
-        else:
-            surv_ids = spark.read.parquet(rounds_dir).select(
-                F.col("doc").alias("__surv_doc")
-            )
-            survivors = batch.join(
-                F.broadcast(surv_ids),
-                batch[id_col] == F.col("__surv_doc"),
-                "left_semi",
-            )
-        return {
-            "action": action,
-            "txn": txn,
-            "survivors": survivors,
-            "n_batch": int(st.n_batch),
-            "n_cross_pairs": int(st.n_cross_pairs),
-            "n_within_pairs": int(st.n_within_pairs),
-            "n_survivors": int(st.n_survivors),
-            "compacted": compacted,
-            # staged with the round record, so replays reconstruct the
-            # fold activity too (None = no comp_path was configured)
-            "extended": _json.loads(st.extended_json)
-            if st.extended_json is not None
-            else None,
-            "secs": dict(secs),
-        }
-
-    if TXN.txn_committed(root, txn):
-        return _report("skipped_replay", 0)
-
     p = read_minhash_params(spark, sig_path)
     files_per_part = p.get("files_per_part", 1)
 
-    def write_stage(stage: str) -> None:
+    def write_stage(stage: str, state: dict) -> None:
         from ..operators.graph import extend_components_at_rest
 
         vs_corpus = near_duplicates_against(
@@ -1608,8 +1733,6 @@ def _minhash_ingest_round_txn(
         try:
             n_cross = vs_corpus.count()
             n_within = within.count()
-            import json as _json
-
             survivors, edges = _ingest_survivor_policy(
                 batch, id_col, vs_corpus, within
             )
@@ -1618,17 +1741,15 @@ def _minhash_ingest_round_txn(
             if comp_path is not None:
                 extended = extend_components_at_rest(spark, comp_path, edges)
             state["survivors"] = survivors
-            survivors.select(F.col(id_col).alias("doc")).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{stage}/survivors")
-            spark.createDataFrame(
-                [(
+            _stage_round_record(
+                spark, stage, survivors, id_col,
+                (
                     batch.count(), n_cross, n_within, n_surv,
                     _json.dumps(extended) if extended is not None else None,
-                )],
+                ),
                 "n_batch long, n_cross_pairs long, n_within_pairs long, "
                 "n_survivors long, extended_json string",
-            ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/round_stats")
+            )
             banded = _banded_signatures(
                 survivors, id_col, text_col, p["num_hashes"], p["bands"],
                 p["shingle_n"], p["seed"], p["hash_mode"], p["parts"],
@@ -1638,35 +1759,259 @@ def _minhash_ingest_round_txn(
             vs_corpus.unpersist()
             within.unpersist()
 
-    pre = TXN.txn_file_prefix(txn)
+    return _txn_ingest_round(
+        batch, root, id_col, txn, write_stage,
+        stats_extract={
+            "n_batch": lambda st: int(st.n_batch),
+            "n_cross_pairs": lambda st: int(st.n_cross_pairs),
+            "n_within_pairs": lambda st: int(st.n_within_pairs),
+            # staged with the round record, so replays reconstruct the
+            # fold activity too (None = no comp_path was configured)
+            "extended": lambda st: _json.loads(st.extended_json)
+            if st.extended_json is not None
+            else None,
+        },
+        after_commit=lambda: _maybe_compact_subdir(
+            spark, sig_path, "banded", compact_trigger, files_per_part
+        ),
+    )
 
-    def dest_for(rel: str) -> str:
-        top, rest = rel.split("/", 1)
-        if top == "survivors":
-            return f"{rounds_dir}/{rest}"
-        if top == "round_stats":
-            return f"{stats_dir}/{rest}"
-        d, f = rel.rsplit("/", 1)
-        return f"{root}/{d}/{pre}{f}"
 
-    from ..sources import fsutil as FS
+def fingerprint_ingest_round(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    compact_trigger: float = 3.0,
+    txn: str | None = None,
+) -> dict:
+    """One cross-run EXACT-dedup ingest round, as ONE call — the exact
+    sibling of :func:`minhash_ingest_round`, same lifecycle over the
+    fingerprint table written by :func:`write_fingerprints`:
 
-    # a frozen manifest before the run means attempt N-1 crashed
-    # mid-move: the protocol completes those moves without re-staging
-    # (and without re-probing) — report that distinctly
-    had_frozen_stage = FS.exists(f"{TXN.txn_paths(root, txn)[1]}/_manifest.json")
-    _lap("replay_check")
-    TXN.idempotent_staged_append(root, txn, write_stage, dest_for)
-    # "ledger" covers the whole staged round: probe + within pairs +
-    # survivor policy + (optional) fold + staging write + moves —
-    # compare against the plain round's probe+within+survivors+append
-    # total to read the exactly-once overhead
-    _lap("ledger")
-    compacted = _maybe_compact_signatures(
-        spark, sig_path, compact_trigger, files_per_part
+    1. collapse within-batch exact duplicates (:func:`dedup_exact` —
+       keep min id per identical-content group);
+    2. probe the remainder against the at-rest corpus fingerprints
+       (:func:`dedup_exact_against` — corpus scan pruned to the batch's
+       fingerprint partitions, never shuffled);
+    3. append ONLY the survivors' fingerprints and compact the table
+       when its worst partition exceeds ``compact_trigger`` x the
+       table's files_per_part.
+
+    Returns {survivors, n_batch, n_within_dups, n_corpus_hits,
+    n_survivors, compacted, secs}. ``txn``: same contract as
+    :func:`minhash_ingest_round` — the whole round runs the staged-move
+    ledger, probe strictly before any staged fingerprint moves into the
+    table (a replay of a half-appended batch must not see its own
+    fingerprints and drop every row), survivor record + stats persisted
+    under ``_rounds``/``_rounds_stats``, and the report gains
+    ``action``."""
+    spark = batch.sparkSession
+    p = _fingerprint_params(spark, path)
+    fpp = p["files_per_part"]
+    if txn is not None:
+        def write_stage(stage: str, state: dict) -> None:
+            deduped = dedup_exact(batch, id_col, text_col)
+            survivors = dedup_exact_against(
+                deduped, path, id_col, text_col
+            ).localCheckpoint()
+            n_batch = batch.count()
+            n_ded = deduped.count()
+            n_surv = survivors.count()
+            state["survivors"] = survivors
+            _stage_round_record(
+                spark, stage, survivors, id_col,
+                (n_batch, n_batch - n_ded, n_ded - n_surv, n_surv),
+                "n_batch long, n_within_dups long, n_corpus_hits long, "
+                "n_survivors long",
+            )
+            _fingerprint_rows(
+                survivors, id_col, text_col, p["parts"], fpp
+            ).write.partitionBy("part").mode("overwrite").parquet(
+                f"{stage}/fingerprints"
+            )
+
+        return _txn_ingest_round(
+            batch, path.rstrip("/"), id_col, txn, write_stage,
+            stats_extract={
+                "n_batch": lambda st: int(st.n_batch),
+                "n_within_dups": lambda st: int(st.n_within_dups),
+                "n_corpus_hits": lambda st: int(st.n_corpus_hits),
+            },
+            after_commit=lambda: _maybe_compact_subdir(
+                spark, path, "fingerprints", compact_trigger, fpp
+            ),
+        )
+    import time as _time
+
+    secs: dict[str, float] = {}
+    t0 = _time.perf_counter()
+
+    def _lap(key: str) -> None:
+        nonlocal t0
+        now = _time.perf_counter()
+        secs[key] = round(now - t0, 3)
+        t0 = now
+
+    deduped = dedup_exact(batch, id_col, text_col)
+    n_batch = batch.count()
+    n_ded = deduped.count()
+    _lap("within")
+    # localCheckpoint: the survivor plan reads the fingerprint TABLE
+    # (through dedup_exact_against), and the append below mutates it —
+    # eager truncation enforces probe-before-append structurally
+    survivors = dedup_exact_against(deduped, path, id_col, text_col).localCheckpoint()
+    n_surv = survivors.count()
+    _lap("probe")
+    append_fingerprints(survivors, path, id_col, text_col)
+    _lap("append")
+    compacted = _maybe_compact_subdir(
+        spark, path, "fingerprints", compact_trigger, fpp
     )
     _lap("compact")
-    return _report("completed_replay" if had_frozen_stage else "appended", compacted)
+    return {
+        "survivors": survivors,
+        "n_batch": n_batch,
+        "n_within_dups": n_batch - n_ded,
+        "n_corpus_hits": n_ded - n_surv,
+        "n_survivors": n_surv,
+        "compacted": compacted,
+        "secs": secs,
+    }
+
+
+def simhash_ingest_round(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    max_distance: int | None = None,
+    max_bucket: int | None = None,
+    compact_trigger: float = 3.0,
+    txn: str | None = None,
+) -> dict:
+    """One cross-run SIMHASH ingest round, as ONE call — the Hamming-
+    tolerant sibling of :func:`minhash_ingest_round`, same lifecycle
+    over the segment index written by :func:`write_simhash_index`:
+
+    1. probe the batch against the corpus segments
+       (:func:`simhash_near_duplicates_against` — corpus text never
+       read, scan pruned to the batch's segment partitions) and against
+       itself (:func:`simhash_hamming_pairs` under the INDEX's pinned
+       params, so both edge sets share one fingerprinting);
+    2. pick survivors with the shared INGEST policy
+       (:func:`_ingest_survivor_policy` — corpus wins transitively,
+       corpus-free components keep their min batch member);
+    3. append ONLY the survivors' segments and compact on the same
+       worst-partition trigger as the rest of the family.
+
+    ``max_distance`` may be lowered below the index's stored value
+    (pigeonhole still complete); raising it is rejected by the probe.
+    Returns {survivors, n_batch, n_cross_pairs, n_within_pairs,
+    n_survivors, compacted, secs}; with ``txn``, the staged-move ledger
+    round (probe strictly before append under replay) plus
+    ``action``."""
+    spark = batch.sparkSession
+    p = read_simhash_params(spark, path)
+    fpp = p.get("files_per_part", 1)
+    d = p["max_distance"] if max_distance is None else max_distance
+
+    def _within_pairs() -> DataFrame:
+        if d >= 1:
+            return simhash_hamming_pairs(
+                batch, id_col, text_col, max_distance=d,
+                bits=p["bits"], hash_mode=p["hash_mode"], max_bucket=max_bucket,
+            )
+        # distance 0: identical-fingerprint pairs (the bucket form)
+        fp = simhash(batch, id_col, text_col, p["bits"], p["hash_mode"])
+        return (
+            fp.select(F.col("doc").alias("doc_a"), "simhash")
+            .join(fp.select(F.col("doc").alias("doc_b"), "simhash"), "simhash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+
+    if txn is not None:
+        def write_stage(stage: str, state: dict) -> None:
+            vs_corpus = simhash_near_duplicates_against(
+                batch, path, id_col, text_col,
+                max_distance=max_distance, max_bucket=max_bucket,
+            ).persist()
+            within = _within_pairs().persist()
+            try:
+                n_cross = vs_corpus.count()
+                n_within = within.count()
+                survivors, _ = _ingest_survivor_policy(
+                    batch, id_col, vs_corpus, within
+                )
+                n_surv = survivors.count()
+                state["survivors"] = survivors
+                _stage_round_record(
+                    spark, stage, survivors, id_col,
+                    (batch.count(), n_cross, n_within, n_surv),
+                    "n_batch long, n_cross_pairs long, n_within_pairs long, "
+                    "n_survivors long",
+                )
+                _simhash_segment_rows(
+                    survivors, id_col, text_col, p, fpp
+                ).write.partitionBy("part").mode("overwrite").parquet(
+                    f"{stage}/segments"
+                )
+            finally:
+                vs_corpus.unpersist()
+                within.unpersist()
+
+        return _txn_ingest_round(
+            batch, path.rstrip("/"), id_col, txn, write_stage,
+            stats_extract={
+                "n_batch": lambda st: int(st.n_batch),
+                "n_cross_pairs": lambda st: int(st.n_cross_pairs),
+                "n_within_pairs": lambda st: int(st.n_within_pairs),
+            },
+            after_commit=lambda: _maybe_compact_subdir(
+                spark, path, "segments", compact_trigger, fpp
+            ),
+        )
+    import time as _time
+
+    secs: dict[str, float] = {}
+    t0 = _time.perf_counter()
+
+    def _lap(key: str) -> None:
+        nonlocal t0
+        now = _time.perf_counter()
+        secs[key] = round(now - t0, 3)
+        t0 = now
+
+    vs_corpus = simhash_near_duplicates_against(
+        batch, path, id_col, text_col,
+        max_distance=max_distance, max_bucket=max_bucket,
+    ).persist()
+    within = _within_pairs().persist()
+    try:
+        n_cross = vs_corpus.count()
+        _lap("probe")
+        n_within = within.count()
+        _lap("within")
+        survivors, _ = _ingest_survivor_policy(batch, id_col, vs_corpus, within)
+        n_surv = survivors.count()
+        _lap("survivors")
+        append_simhash_index(survivors, path, id_col, text_col)
+        _lap("append")
+    finally:
+        vs_corpus.unpersist()
+        within.unpersist()
+    compacted = _maybe_compact_subdir(spark, path, "segments", compact_trigger, fpp)
+    _lap("compact")
+    return {
+        "survivors": survivors,
+        "n_batch": batch.count(),
+        "n_cross_pairs": n_cross,
+        "n_within_pairs": n_within,
+        "n_survivors": n_surv,
+        "compacted": compacted,
+        "secs": secs,
+    }
 
 
 def forget_documents(spark, table_path: str, ids: DataFrame) -> dict:
@@ -1682,10 +2027,12 @@ def forget_documents(spark, table_path: str, ids: DataFrame) -> dict:
 
     Forgotten docs stop matching future probes IMMEDIATELY (gated in
     tests and the doc_forget_docs oracle). Write-time ``bucket_size``
-    stats are NOT recomputed — see ``delete_rows_partitioned``'s
-    caveat; rebuild a deletion-heavy table at the next full write.
-    Returns the deletion stats dict plus ``table`` (which layout was
-    hit)."""
+    stats ARE recomputed over the touched partitions' surviving rows
+    inside the rewrite (r13, VERDICT r12 item 5 — previously a capped
+    probe could skip a bucket that had shrunk below the cap), so the
+    hot-bucket cap stays faithful under deletion; untouched partitions
+    keep their per-write-segment values. Returns the deletion stats
+    dict plus ``table`` (which layout was hit)."""
     from ..sources import fsutil as FS
     from ..sources.compact import ensure_recovered
     from ..sources.forget import delete_rows_partitioned
@@ -1695,25 +2042,35 @@ def forget_documents(spark, table_path: str, ids: DataFrame) -> dict:
     # frozen staging manifest whose remaining moves target THESE
     # partitions — rewriting them now would strand that replay
     # mid-move. Forget runs on a quiescent table by contract; finish
-    # (re-drain the stream) or discard the staging first.
-    pending = FS.glob_paths(f"{root}/_ingest_tmp/*")
+    # (re-drain the stream) or discard the staging first. Staging
+    # litter from an already-COMMITTED txn (crash between marker and
+    # cleanup) is cleared by pending_txns itself, not counted.
+    from ..sources.txn import pending_txns
+
+    pending = pending_txns(root)
     if pending:
         raise RuntimeError(
             f"{len(pending)} in-flight ingest transaction(s) staged under "
             f"{root}/_ingest_tmp — re-drain the stream (completing the "
             "replay) before forgetting, or delete the staging to abandon it"
         )
-    for sub, params_reader in (
-        ("banded", lambda: read_minhash_params(spark, root)),
-        ("fingerprints", lambda: _fingerprint_params(spark, root)),
-        ("segments", lambda: read_simhash_params(spark, root)),
+    for sub, params_reader, refresh in (
+        ("banded", lambda: read_minhash_params(spark, root),
+         ("bucket_size", ["band", "bucket"])),
+        ("fingerprints", lambda: _fingerprint_params(spark, root), None),
+        ("segments", lambda: read_simhash_params(spark, root),
+         ("bucket_size", ["seg", "val"])),
     ):
         if FS.exists(f"{root}/{sub}"):
             ensure_recovered(f"{root}/{sub}")
             fpp = params_reader().get("files_per_part", 1)
+            # refresh_stats: the hot-bucket cap column recomputes over
+            # the touched partitions' survivors inside the rewrite, so
+            # a capped probe no longer under-recalls on a shrunk bucket
             stats = delete_rows_partitioned(
                 spark, f"{root}/{sub}", ids, key_col="doc",
                 partition_col="part", files_per_part=fpp,
+                refresh_stats=refresh,
             )
             stats["table"] = sub
             # hard delete means the whole ROOT: the per-txn survivor

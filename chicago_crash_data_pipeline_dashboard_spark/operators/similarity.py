@@ -2273,8 +2273,12 @@ def delete_from_index(spark, path: str, ids: DataFrame) -> dict:
     # crashed-but-uncommitted streamed append holds a frozen staging
     # whose remaining moves target these cluster partitions —
     # rewriting them now would let the replay re-move already-merged
-    # files (duplicating rows, or resurrecting the ids deleted here)
-    pending = FS.glob_paths(f"{path.rstrip('/')}/_ingest_tmp/*")
+    # files (duplicating rows, or resurrecting the ids deleted here).
+    # Litter from a COMMITTED txn (crash between marker and cleanup)
+    # is cleared by pending_txns itself, not counted.
+    from ..sources.txn import pending_txns
+
+    pending = pending_txns(path)
     if pending:
         raise RuntimeError(
             f"{len(pending)} in-flight append transaction(s) staged under "

@@ -25,7 +25,7 @@ the deleted vectors' clusters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import fsutil as FS
@@ -63,20 +63,27 @@ def delete_rows_partitioned(
     key_col: str,
     partition_col: str = "part",
     files_per_part: int = 1,
+    refresh_stats: tuple[str, list[str]] | None = None,
 ) -> dict:
     """Delete every row of the hive-partitioned parquet table at
     ``data_dir`` whose ``key_col`` appears in ``keys`` (a one-column
     DataFrame; broadcast — the key set is the small side by contract,
     like every forget request). Returns {rows_deleted, parts_touched,
-    parts_emptied, parts_total}.
+    parts_emptied, parts_total, stats_refreshed}.
 
-    Caveat the signature tables inherit: write-time statistics columns
-    (e.g. the MinHash/SimHash ``bucket_size`` hot-bucket cap) are NOT
-    recomputed — after deletion they over-state bucket sizes, so a
-    capped probe may skip a bucket that has shrunk below the cap
-    (missing duplicates, not inventing them, but still a recall loss
-    under aggressive caps). A deletion-heavy table should be rebuilt
-    at the next full write; light forget traffic is fine."""
+    ``refresh_stats=(stats_col, bucket_key_cols)``: recompute a
+    write-time bucket-count statistics column (the MinHash/SimHash
+    ``bucket_size`` hot-bucket cap) over the SURVIVING rows of the
+    touched partitions, inside the rewrite the deletion already pays
+    for. Without it, stale stats over-state bucket sizes after a
+    delete, so a capped probe may skip a bucket that has shrunk below
+    the cap — a recall loss (VERDICT r12 item 5). Sound because every
+    bucket lives entirely in one partition (part = hash(bucket key) %
+    parts), so a touched partition holds each of its buckets in full;
+    the refreshed value is the bucket's TRUE current size, which may
+    exceed the per-write-segment values untouched partitions keep —
+    the cap only becomes more faithful there, never less. Tables
+    without the column (exact fingerprints) pass None."""
     key_set = F.broadcast(keys.select(F.col(keys.columns[0]).alias(key_col)).distinct())
     table = spark.read.parquet(data_dir)
     if partition_col not in table.columns:
@@ -95,9 +102,19 @@ def delete_rows_partitioned(
         return {
             "rows_deleted": 0, "parts_touched": 0, "parts_emptied": 0,
             "parts_total": len(FS.glob_paths(f"{data_dir.rstrip('/')}/{partition_col}=*")),
+            "stats_refreshed": False,
         }
     sub = table.filter(F.col(partition_col).isin(touched))
     remain = sub.join(key_set, key_col, "left_anti")
+    refreshed = False
+    if refresh_stats is not None:
+        stats_col, bucket_keys = refresh_stats
+        if stats_col in table.columns:
+            remain = remain.withColumn(
+                stats_col,
+                F.count(F.lit(1)).over(Window.partitionBy(*bucket_keys)),
+            )
+            refreshed = True
     if files_per_part > 1:
         salt = F.pmod(F.xxhash64(key_col), F.lit(files_per_part))
         remain = remain.repartition(F.col(partition_col), salt)
@@ -121,4 +138,5 @@ def delete_rows_partitioned(
         "parts_total": len(
             FS.glob_paths(f"{data_dir.rstrip('/')}/{partition_col}=*")
         ),
+        "stats_refreshed": refreshed,
     }

@@ -321,6 +321,99 @@ def stream_minhash_ingest(
     ``batch_id``)."""
     from ..operators import dedup as DD
 
+    return _stream_ingest_rounds(
+        spark, src_dir, checkpoint_dir,
+        lambda batch_df, txn: DD.minhash_ingest_round(
+            batch_df, sig_path, id_col, text_col,
+            comp_path=comp_path, threshold=threshold,
+            max_bucket=max_bucket, txn=txn,
+        ),
+        survivors_dir=survivors_dir,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def stream_fingerprint_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    fp_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    survivors_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Cross-run EXACT dedup AS A STREAM — :func:`stream_minhash_ingest`
+    for the fingerprint table (``operators.dedup.write_fingerprints``):
+    each drained micro-batch runs one full
+    ``fingerprint_ingest_round`` — within-batch exact dedup, probe
+    against the at-rest corpus fingerprints (pruned scan, corpus never
+    shuffled), survivors-only append, trigger-gated compaction — under
+    the same per-batch staged-move ledger, so a foreachBatch replay
+    never re-probes a half-appended table (which would pair the batch
+    with itself and drop every row) and never duplicates fingerprint
+    rows. Same delivery contract and report shape as the MinHash
+    stream; within-batch duplicate IDs across source files remain the
+    upstream contract."""
+    from ..operators import dedup as DD
+
+    return _stream_ingest_rounds(
+        spark, src_dir, checkpoint_dir,
+        lambda batch_df, txn: DD.fingerprint_ingest_round(
+            batch_df, fp_path, id_col, text_col, txn=txn
+        ),
+        survivors_dir=survivors_dir,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def stream_simhash_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int | None = None,
+    max_bucket: int | None = None,
+    survivors_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Cross-run SIMHASH dedup AS A STREAM — :func:`stream_minhash_ingest`
+    for the segment index (``operators.dedup.write_simhash_index``):
+    each drained micro-batch runs one full ``simhash_ingest_round``
+    (probe vs corpus segments + Hamming pairs vs itself under the
+    index's pinned params, ingest survivor policy, survivors-only
+    segment append, trigger-gated compaction) under the same per-batch
+    staged-move ledger — exactly-once against foreachBatch replays,
+    probe strictly before append. Same delivery contract and report
+    shape as the MinHash stream."""
+    from ..operators import dedup as DD
+
+    return _stream_ingest_rounds(
+        spark, src_dir, checkpoint_dir,
+        lambda batch_df, txn: DD.simhash_ingest_round(
+            batch_df, index_path, id_col, text_col,
+            max_distance=max_distance, max_bucket=max_bucket, txn=txn,
+        ),
+        survivors_dir=survivors_dir,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def _stream_ingest_rounds(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    run_round,
+    survivors_dir: str | None,
+    max_files_per_trigger: int | None,
+) -> list[dict]:
+    """Shared availableNow drain for the cross-run dedup streams: one
+    transactional ingest round per micro-batch (``run_round(batch_df,
+    txn) -> report``), per-batch txn ids keyed on this stream's
+    checkpoint, optional per-batch survivors sink (overwrite mode —
+    replay-idempotent by construction)."""
     schema = spark.read.parquet(src_dir).schema
     reports: list[dict] = []
     ledger = _stream_ledger_id(checkpoint_dir)
@@ -333,11 +426,7 @@ def stream_minhash_ingest(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
-            rep = DD.minhash_ingest_round(
-                batch_df, sig_path, id_col, text_col,
-                comp_path=comp_path, threshold=threshold,
-                max_bucket=max_bucket, txn=f"{ledger}-b{batch_id}",
-            )
+            rep = run_round(batch_df, f"{ledger}-b{batch_id}")
             if survivors_dir is not None:
                 rep["survivors"].write.mode("overwrite").parquet(
                     f"{survivors_dir}/batch={batch_id}"

@@ -253,3 +253,125 @@ def test_forget_scrubs_round_records(spark, tmp_path):
     assert rep2["action"] == "skipped_replay"
     got = {r.doc_id for r in rep2["survivors"].collect()}
     assert got == set(range(20, 30)) - {25, 27}
+    # the replayed report's count must agree with its own survivors
+    # frame (post-scrub), not echo the pre-forget staged stats
+    assert rep2["n_survivors"] == 8
+
+
+def test_quiescence_guard_ignores_committed_txn_litter(spark, tmp_path):
+    """A crash between the committed-marker write and the staging
+    cleanup (txn protocol step 4) leaves an orphaned _ingest_tmp/{txn}
+    dir. That txn is NOT in flight — the quiescence guards must clear
+    the litter and proceed, not refuse forever on a quiescent table."""
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+
+    docs = _docs(spark, n=20)
+    path = str(tmp_path / "sigs")
+    DD.write_minhash_signatures(
+        docs, path, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, seed=7, parts=8,
+    )
+    # committed marker + leftover staging = post-commit litter
+    fsutil.write_text(f"{path}/_ledger/cpz-b4", '{"txn": "cpz-b4"}')
+    fsutil.write_text(f"{path}/_ingest_tmp/cpz-b4/_manifest.json", "[]")
+    st = DD.forget_documents(
+        spark, path, docs.filter(F.col("doc_id") < 2).select("doc_id")
+    )
+    assert st["rows_deleted"] == 2 * 4
+    assert not fsutil.exists(f"{path}/_ingest_tmp/cpz-b4")
+    # an UNcommitted staging alongside still refuses
+    import pytest
+
+    fsutil.write_text(f"{path}/_ingest_tmp/cpz-b5/_manifest.json", "[]")
+    with pytest.raises(RuntimeError, match="in-flight ingest"):
+        DD.forget_documents(spark, path, docs.limit(1).select("doc_id"))
+
+
+def test_skipped_replay_clears_committed_stage_litter(spark, tmp_path):
+    """The txn-round replay short-circuit must also clear post-commit
+    staging litter (it returns before idempotent_staged_append's own
+    marker branch would) — otherwise a checkpoint-deduped re-drain
+    runs zero batches, never replays, and the litter trips the forget
+    guards forever."""
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+
+    docs = _docs(spark, n=30)
+    path = str(tmp_path / "sigs")
+    DD.write_minhash_signatures(
+        docs.filter(F.col("doc_id") < 20), path, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, seed=7, parts=8,
+    )
+    batch = docs.filter(F.col("doc_id") >= 20)
+    DD.minhash_ingest_round(batch, path, "doc_id", "text", threshold=0.9, txn="lit-b0")
+    # simulate the crash window: marker written, staging not yet dropped
+    fsutil.write_text(f"{path}/_ingest_tmp/lit-b0/_manifest.json", "[]")
+    rep = DD.minhash_ingest_round(
+        batch, path, "doc_id", "text", threshold=0.9, txn="lit-b0"
+    )
+    assert rep["action"] == "skipped_replay"
+    assert not fsutil.exists(f"{path}/_ingest_tmp/lit-b0")
+
+
+def test_replay_recovers_crashed_scrub_swap(spark, tmp_path):
+    """forget_documents' _rounds scrub swap is delete(rec) then
+    rename(tmp, rec); a crash between the two leaves the record absent
+    until the next forget's recovery walk. A txn replay reading the
+    record in that window must finish the swap itself, not fail on the
+    missing path."""
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+
+    docs = _docs(spark, n=30)
+    path = str(tmp_path / "sigs")
+    DD.write_minhash_signatures(
+        docs.filter(F.col("doc_id") < 20), path, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, seed=7, parts=8,
+    )
+    batch = docs.filter(F.col("doc_id") >= 20)
+    DD.minhash_ingest_round(batch, path, "doc_id", "text", threshold=0.9, txn="swp-b0")
+    # simulate the crash: the scrubbed copy sits at the tmp name, the
+    # original record is gone
+    rec = f"{path}/_rounds/swp-b0"
+    fsutil.rename(rec, f"{rec}__scrub_tmp")
+    rep = DD.minhash_ingest_round(
+        batch, path, "doc_id", "text", threshold=0.9, txn="swp-b0"
+    )
+    assert rep["action"] == "skipped_replay"
+    assert fsutil.exists(rec) and not fsutil.exists(f"{rec}__scrub_tmp")
+    assert rep["n_survivors"] == 10
+    assert {r.doc_id for r in rep["survivors"].collect()} == set(range(20, 30))
+
+
+def test_forget_refreshes_bucket_size_stats(spark, tmp_path):
+    """After a forget shrinks a hot bucket below the probe cap, the
+    capped probe must FIND pairs in it again: the rewrite recomputes
+    ``bucket_size`` over the touched partitions' survivors (VERDICT
+    r12 item 5 — stale write-time stats previously kept the bucket
+    skipped forever, a silent recall loss)."""
+    base = _docs(spark, n=6)
+    text = base.filter(F.col("doc_id") == 0).collect()[0].text
+    # six exact clones: every banded bucket they share has size 6
+    corpus = base.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(100 + i, text) for i in range(6)],
+                              "doc_id long, text string")
+    ).filter(F.col("doc_id") >= 100)
+    path = str(tmp_path / "sigs")
+    DD.write_minhash_signatures(
+        corpus, path, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, seed=7, parts=8,
+    )
+    probe = spark.createDataFrame([(999, text)], "doc_id long, text string")
+    # cap 4 < bucket size 6: the probe skips the clones' buckets
+    before = DD.near_duplicates_against(
+        probe, path, "doc_id", "text", threshold=0.9, max_bucket=4
+    ).count()
+    assert before == 0
+    st = DD.forget_documents(
+        spark, path, spark.createDataFrame([(100,), (101,), (102,)], "doc_id long")
+    )
+    assert st["stats_refreshed"] is True
+    # bucket shrank to 3 <= cap AND the stats were refreshed in the
+    # rewrite — the probe recalls the surviving clones again
+    pairs = DD.near_duplicates_against(
+        probe, path, "doc_id", "text", threshold=0.9, max_bucket=4
+    )
+    assert {r.corpus_doc for r in pairs.collect()} == {103, 104, 105}

@@ -526,3 +526,194 @@ def test_minhash_ingest_round_txn_replay_and_crash(spark, tmp_path):
     )
     assert rep3["action"] == "appended"
     assert {r.doc_id for r in rep3["survivors"].collect()} == set(range(140, 148))
+
+
+def test_stream_fingerprint_ingest_rounds_and_replay(spark, tmp_path):
+    """Exactly-once streamed EXACT dedup — the fingerprint family under
+    the same ledger contract test_stream_minhash_ingest pins: cross-run
+    catches through the table (a batch-2 clone of a batch-1 survivor
+    drops), a re-drain runs zero batches, a committed txn replays to
+    skipped_replay with identical report and untouched file census, and
+    a crash between the staged moves and the marker replays to
+    completed_replay WITHOUT re-probing (a re-probe would find the
+    batch's own appended fingerprints and drop every row)."""
+    import unittest.mock as mock
+
+    import pytest
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil as FS
+    from chicago_crash_data_pipeline_dashboard_spark.sources.txn import txn_committed
+    from chicago_crash_data_pipeline_dashboard_spark.streaming.ingest import (
+        stream_fingerprint_ingest,
+    )
+
+    corpus = _doc_fixture(spark, range(30))
+    fps = str(tmp_path / "fps")
+    DD.write_fingerprints(corpus, fps, "doc_id", "text", parts=8)
+
+    def census() -> int:
+        return len(FS.glob_paths(f"{fps}/fingerprints/part=*/*.parquet"))
+
+    def n_rows() -> int:
+        return spark.read.parquet(f"{fps}/fingerprints").count()
+
+    src = str(tmp_path / "incoming")
+    args = dict(
+        spark=spark, src_dir=src, fp_path=fps,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        survivors_dir=str(tmp_path / "surv"),
+    )
+    # 200 = corpus clone (drops vs table), 201 = clone of 100 (within)
+    b1 = _doc_fixture(spark, range(100, 110), clone_of={200: 3, 201: 100})
+    b1.coalesce(1).write.mode("append").parquet(src)
+    r1 = stream_fingerprint_ingest(**args)
+    # 210 = clone of the batch-1 SURVIVOR 100 — caught through the table
+    b2 = _doc_fixture(spark, range(120, 130), clone_of={210: 100, 211: 5})
+    b2.coalesce(1).write.mode("append").parquet(src)
+    r2 = stream_fingerprint_ingest(**args)
+
+    assert [r["action"] for r in r1 + r2] == ["appended", "appended"]
+    surv1 = {r.doc_id for r in spark.read.parquet(f"{tmp_path}/surv/batch=0").collect()}
+    surv2 = {r.doc_id for r in spark.read.parquet(f"{tmp_path}/surv/batch=1").collect()}
+    assert surv1 == set(range(100, 110))
+    assert surv2 == set(range(120, 130))
+    assert r1[0]["n_within_dups"] == 1 and r1[0]["n_corpus_hits"] == 1
+    assert r2[0]["n_corpus_hits"] == 2  # 210 via the table, 211 via corpus
+    assert stream_fingerprint_ingest(**args) == []  # checkpoint dedups input
+    docs = {
+        r.doc
+        for r in spark.read.parquet(f"{fps}/fingerprints").select("doc").collect()
+    }
+    assert docs == set(range(30)) | surv1 | surv2
+
+    # committed-txn manual replay: no-op, identical report, same census
+    from chicago_crash_data_pipeline_dashboard_spark.streaming.ingest import (
+        _stream_ledger_id,
+    )
+
+    txn_b0 = f"{_stream_ledger_id(args['checkpoint_dir'])}-b0"
+    c1 = census()
+    rep = DD.fingerprint_ingest_round(b1, fps, "doc_id", "text", txn=txn_b0)
+    assert rep["action"] == "skipped_replay"
+    assert rep["n_survivors"] == 10
+    assert {r.doc_id for r in rep["survivors"].collect()} == surv1
+    assert census() == c1
+
+    # crash after moves, before marker: replay completes WITHOUT re-probe
+    real_write_text = fsutil.write_text
+
+    def crash_on_marker(p, text, spark_=None):
+        if "/_ledger/" in p:
+            raise OSError("injected crash before marker write")
+        return real_write_text(p, text, spark_)
+
+    b3 = _doc_fixture(spark, range(140, 148), clone_of={220: 120})
+    with mock.patch.object(fsutil, "write_text", crash_on_marker):
+        with pytest.raises(OSError, match="injected"):
+            DD.fingerprint_ingest_round(b3, fps, "doc_id", "text", txn="fp-b3")
+    assert not txn_committed(fps, "fp-b3")
+    r2_rows = n_rows()
+    assert census() > c1  # the appends landed before the "crash"
+    rep3 = DD.fingerprint_ingest_round(b3, fps, "doc_id", "text", txn="fp-b3")
+    assert rep3["action"] == "completed_replay"
+    assert rep3["n_survivors"] == 8  # NOT zero: no re-probe of mutated table
+    assert {r.doc_id for r in rep3["survivors"].collect()} == set(range(140, 148))
+    # nothing double-appended: ROW count unchanged (post-commit
+    # compaction may legitimately merge files, so the file census is
+    # not the duplication signal here)
+    assert n_rows() == r2_rows
+    assert txn_committed(fps, "fp-b3")
+
+
+def test_stream_simhash_ingest_rounds_and_replay(spark, tmp_path):
+    """Exactly-once streamed SIMHASH dedup — same ledger contract as
+    the MinHash and fingerprint streams: cross-run catches through the
+    segment index, zero-batch re-drain, skipped_replay with identical
+    report and census, completed_replay without re-probe."""
+    import unittest.mock as mock
+
+    import pytest
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import dedup as DD
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil as FS
+    from chicago_crash_data_pipeline_dashboard_spark.sources.txn import txn_committed
+    from chicago_crash_data_pipeline_dashboard_spark.streaming.ingest import (
+        stream_simhash_ingest,
+    )
+
+    corpus = _doc_fixture(spark, range(30))
+    idx = str(tmp_path / "simhash")
+    DD.write_simhash_index(
+        corpus, idx, "doc_id", "text", max_distance=3, bits=64, parts=8
+    )
+
+    def census() -> int:
+        return len(FS.glob_paths(f"{idx}/segments/part=*/*.parquet"))
+
+    def n_rows() -> int:
+        return spark.read.parquet(f"{idx}/segments").count()
+
+    src = str(tmp_path / "incoming")
+    args = dict(
+        spark=spark, src_dir=src, index_path=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        survivors_dir=str(tmp_path / "surv"),
+    )
+    b1 = _doc_fixture(spark, range(100, 110), clone_of={200: 3, 201: 100})
+    b1.coalesce(1).write.mode("append").parquet(src)
+    r1 = stream_simhash_ingest(**args)
+    b2 = _doc_fixture(spark, range(120, 130), clone_of={210: 100, 211: 5})
+    b2.coalesce(1).write.mode("append").parquet(src)
+    r2 = stream_simhash_ingest(**args)
+
+    assert [r["action"] for r in r1 + r2] == ["appended", "appended"]
+    surv1 = {r.doc_id for r in spark.read.parquet(f"{tmp_path}/surv/batch=0").collect()}
+    surv2 = {r.doc_id for r in spark.read.parquet(f"{tmp_path}/surv/batch=1").collect()}
+    assert surv1 == set(range(100, 110))
+    assert surv2 == set(range(120, 130))
+    assert stream_simhash_ingest(**args) == []  # checkpoint dedups input
+    docs = {
+        r.doc for r in spark.read.parquet(f"{idx}/segments").select("doc").collect()
+    }
+    assert docs == set(range(30)) | surv1 | surv2
+
+    # committed-txn manual replay: no-op, identical report, same census
+    from chicago_crash_data_pipeline_dashboard_spark.streaming.ingest import (
+        _stream_ledger_id,
+    )
+
+    txn_b0 = f"{_stream_ledger_id(args['checkpoint_dir'])}-b0"
+    c1 = census()
+    rep = DD.simhash_ingest_round(b1, idx, "doc_id", "text", txn=txn_b0)
+    assert rep["action"] == "skipped_replay"
+    assert rep["n_survivors"] == 10
+    assert {r.doc_id for r in rep["survivors"].collect()} == surv1
+    assert census() == c1
+
+    # crash after moves, before marker: replay completes WITHOUT re-probe
+    real_write_text = fsutil.write_text
+
+    def crash_on_marker(p, text, spark_=None):
+        if "/_ledger/" in p:
+            raise OSError("injected crash before marker write")
+        return real_write_text(p, text, spark_)
+
+    b3 = _doc_fixture(spark, range(140, 148), clone_of={220: 120})
+    with mock.patch.object(fsutil, "write_text", crash_on_marker):
+        with pytest.raises(OSError, match="injected"):
+            DD.simhash_ingest_round(b3, idx, "doc_id", "text", txn="sh-b3")
+    assert not txn_committed(idx, "sh-b3")
+    r2_rows = n_rows()
+    assert census() > c1
+    rep3 = DD.simhash_ingest_round(b3, idx, "doc_id", "text", txn="sh-b3")
+    assert rep3["action"] == "completed_replay"
+    assert rep3["n_survivors"] == 8  # NOT zero: no re-probe of mutated table
+    assert {r.doc_id for r in rep3["survivors"].collect()} == set(range(140, 148))
+    # nothing double-appended: ROW count unchanged (post-commit
+    # compaction may legitimately merge files, so the file census is
+    # not the duplication signal here)
+    assert n_rows() == r2_rows
+    assert txn_committed(idx, "sh-b3")
