@@ -36,51 +36,108 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first (r12, executing COVERAGE.md §"Round-12 rotation
-# plan" — the full audit trail, including the mid-round additions,
-# lives in COVERAGE.md §"Round-12 rotation executed"): the 9 NEW r12
-# registrations (the at-rest incremental family under the driver
-# differential — VERDICT r11 item 1 — plus the mid-round
-# doc_ingest_stream / doc_forget_docs / emb_index_delete); the 6
-# r11-changed queries whose sampling was deferred one round (VERDICT
-# r11 "What's wrong" item 2 — they sample FIRST, as promised); the 2
-# queries whose code changed post-r11-verify in commit bcef039
-# (compact_small_files via compact_partitioned's new staging,
-# doc_minhash_against_corpus via near_duplicates_against's probe-side
-# recovery); doc_simhash (the mid-r12 64-bit wide-hash fix touches
-# simhash() under it — changed queries sample unconditionally); and
-# 32 of the r10-verified benched set. Benched (rotated out): the 48
-# remaining r11-verified queries (may stay benched through r13, MUST
-# sample by r14) plus 11 deferred r10-verified queries — the 6
-# streaming gates and 5 displaced as the mid-round registrations
-# landed, the first 8 chosen for their independent per-round
-# timing+self-gating artifacts (BENCH_STREAM / BENCH_IO) — ALL of
-# which MUST sample in r13.
+# Sampled first (r13, executing COVERAGE.md §"Round-13 rotation
+# plan"): the 11 r10-verified queries deferred two rounds — at the
+# staleness bound, they MUST sample now; the 2 NEW r13 registrations
+# (the txn ledger extended to the exact-fingerprint and SimHash
+# families — VERDICT r12 item 3); the 6 queries whose code changed in
+# r13 (the ADVICE lifecycle fixes + the shared txn-round refactor +
+# the forget stats refresh — changed queries sample unconditionally);
+# and the first 31 of the 48 r11-verified benched queries. Benched
+# (rotated out): the 44 r12-verified queries not re-sampled by a
+# change (fresh green last round; may stay benched through r14) plus
+# the 17 remaining r11-verified queries, which MUST sample in r14.
 _VERIFY_FIRST = [
-    # --- NEW in r12: the at-rest incremental family, registered ---
+    # --- r10-verified, deferred two rounds: staleness bound, MUST sample ---
+    "event_windowed_counts_stream",
+    "event_error_click_window_stream",
+    "event_dedup_watermark_stream",
+    "event_sessions_stream",
+    "event_first_seen_stream",
+    "streaming_ingest_e2e",
+    "orc_roundtrip_stats",
+    "bucketed_join_agg",
+    "event_props_json",
+    "event_funnel_steps",
+    "user_retention_cohorts",
+    # --- NEW in r13: streamed exact/SimHash ingest under the txn ledger ---
+    "doc_exact_ingest_stream",
+    "doc_simhash_ingest_stream",
+    # --- changed in r13 (ADVICE fixes, txn-round refactor, append
+    # factoring, forget stats refresh): sample unconditionally ---
+    "doc_ingest_stream",
+    "doc_ingest_round",
     "doc_exact_against_corpus",
     "doc_simhash_against_corpus",
-    "doc_ingest_round",
-    "doc_cc_extend",
-    "emb_ivfpq_append",
-    "emb_index_compact",
-    "doc_ingest_stream",
     "doc_forget_docs",
     "emb_index_delete",
-    # --- r11-changed, sampling deferred exactly one round: FIRST ---
+    # --- r11-verified, rotating back from the bench (first 31 of 48) ---
+    "pricing_summary",
+    "eda_day_labels",
+    "run_history",
+    "value_counts_topk",
+    "unpivot_daily_events",
+    "hash_sample_stats",
+    "dedup_keep_first",
+    "price_bins",
+    "order_key_setops",
+    "semi_join_discounted",
+    "null_profile",
+    "corr_stats",
+    "crash_hit_run_rate_by_weather",
+    "doc_lang_confusion",
+    "doc_text_stats",
+    "doc_min_shingle_fp",
+    "doc_exact_dup_stats",
+    "doc_dedup_exact_by_source",
+    "emb_knn_brute",
+    "pivot_hour_dow",
+    "rate_by_priority",
+    "running_customer_revenue",
+    "sliding_event_counts",
+    "event_error_click_window",
+    "event_asof_last_click",
+    "event_sessions",
+    "event_zorder_keys",
+    "anti_join_new_keys",
+    "topk_orders_by_revenue",
+    "quantiles",
+    "revenue_rollup",
+]
+_ROTATION_BENCHED = [
+    # --- r11-verified (green r11); the 17 NOT sampled this round —
+    # at the staleness bound, they MUST sample in r14 ---
+    "approx_sketch_stats",
+    "customer_orders_wide",
+    "doc_repetition_stats",
+    "media_frame_plan",
+    "binary_file_ingest",
+    "media_feature_stats",
+    "pipeline_e2e",
+    "value_counts_approx_topk",
+    "emb_pq_pruned",
+    "event_sessions_native",
+    "event_props_variant",
+    "event_sessions_native_stream",
+    "doc_curation_pipeline",
+    "doc_jaccard_pairs",
+    "doc_dup_clusters",
+    "emb_semantic_dedup",
+    "emb_ivf_pruned",
+    # --- r12-verified (green r12 driver rows, unchanged in r13); may
+    # stay benched through r14 ---
     "doc_simhash_hamming",
     "emb_ivf_topk",
     "emb_ivf_largek",
     "emb_pq_topk",
     "emb_ivfpq_pruned",
     "socrata_paged_scan",
-    # --- changed post-r11-verify (commit bcef039): unconditional ---
     "compact_small_files",
     "doc_minhash_against_corpus",
-    # --- changed mid-r12 (the 64-bit SimHash wide-hash fix touches
-    # simhash(), under this r11-verified gate): unconditional ---
     "doc_simhash",
-    # --- r10-verified, rotating back from the bench ---
+    "doc_cc_extend",
+    "emb_ivfpq_append",
+    "emb_index_compact",
     "time_features",
     "whitelist_recode",
     "emb_lsh_topk",
@@ -113,72 +170,6 @@ _VERIFY_FIRST = [
     "doc_cap_per_source",
     "doc_strip_boilerplate",
     "sql_adhoc_query",
-]
-_ROTATION_BENCHED = [
-    # --- r10-verified, deferred ONE round (each has an independent
-    # per-round timing+self-gating artifact: the 6 streaming gates in
-    # BENCH_STREAM, orc_roundtrip_stats in BENCH_IO); MUST sample r13 ---
-    "event_windowed_counts_stream",
-    "event_error_click_window_stream",
-    "event_dedup_watermark_stream",
-    "event_sessions_stream",
-    "event_first_seen_stream",
-    "streaming_ingest_e2e",
-    "orc_roundtrip_stats",
-    "bucketed_join_agg",
-    "event_props_json",
-    "event_funnel_steps",
-    "user_retention_cohorts",
-    # --- r11-verified (green r11); may stay benched through r13,
-    # MUST rotate back into the sample by r14 ---
-    "pricing_summary",
-    "eda_day_labels",
-    "run_history",
-    "value_counts_topk",
-    "unpivot_daily_events",
-    "hash_sample_stats",
-    "dedup_keep_first",
-    "price_bins",
-    "order_key_setops",
-    "semi_join_discounted",
-    "null_profile",
-    "corr_stats",
-    "crash_hit_run_rate_by_weather",
-    "doc_lang_confusion",
-    "doc_text_stats",
-    "doc_min_shingle_fp",
-    "doc_exact_dup_stats",
-    "doc_dedup_exact_by_source",
-    "emb_knn_brute",
-    "pivot_hour_dow",
-    "rate_by_priority",
-    "running_customer_revenue",
-    "sliding_event_counts",
-    "event_error_click_window",
-    "event_asof_last_click",
-    "event_sessions",
-    "event_zorder_keys",
-    "anti_join_new_keys",
-    "topk_orders_by_revenue",
-    "quantiles",
-    "revenue_rollup",
-    "approx_sketch_stats",
-    "customer_orders_wide",
-    "doc_repetition_stats",
-    "media_frame_plan",
-    "binary_file_ingest",
-    "media_feature_stats",
-    "pipeline_e2e",
-    "value_counts_approx_topk",
-    "emb_pq_pruned",
-    "event_sessions_native",
-    "event_props_variant",
-    "event_sessions_native_stream",
-    "doc_curation_pipeline",
-    "doc_jaccard_pairs",
-    "doc_dup_clusters",
-    "emb_semantic_dedup",
-    "emb_ivf_pruned",
 ]
 
 

@@ -83,6 +83,10 @@ SKIP = {
     "binary_file_ingest",
     "silver_catalog_validate",
     "doc_ingest_stream",  # r12: streamed ingest round — micro-batch machinery, STREAM bin
+    # r13: the txn ledger extended to the fingerprint + SimHash
+    # families — their streamed rounds, same STREAM bin
+    "doc_exact_ingest_stream",
+    "doc_simhash_ingest_stream",
     "event_sessions_stream",
     "event_sessions_native_stream",
     "event_first_seen_stream",

@@ -55,6 +55,10 @@ STREAM_QUERIES = [
     "event_error_click_window_stream",
     "streaming_ingest_e2e",
     "doc_ingest_stream",  # r12: the streamed cross-run dedup round
+    # r13: the txn ledger extended to the fingerprint + SimHash
+    # families — their streamed rounds
+    "doc_exact_ingest_stream",
+    "doc_simhash_ingest_stream",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

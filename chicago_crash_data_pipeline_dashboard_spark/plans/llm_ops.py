@@ -2899,6 +2899,236 @@ def doc_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _exact_ingest_round_oracle(clone_offset: int) -> str:
+    """DuckDB twin of one fingerprint_ingest_round: within-batch exact
+    dedup keeps the min id per identical-content group, then every
+    batch doc whose fingerprint exists in the corpus drops — one
+    streamed micro-batch IS one round, so the stream gate shares it."""
+    return f"""
+    WITH fpt AS (SELECT doc_id AS doc, {_FPRINT} AS f FROM documents),
+    corpus AS (SELECT f FROM fpt WHERE doc % 5 <> 0),
+    bf AS (
+      SELECT doc, f FROM fpt WHERE doc % 5 = 0
+      UNION ALL
+      SELECT doc + {clone_offset} AS doc, f FROM fpt
+      WHERE doc % 5 <> 0 AND doc % 50 = 1
+    ),
+    dedup AS (
+      SELECT doc, f FROM (
+        SELECT doc, f, row_number() OVER (PARTITION BY f ORDER BY doc) AS rn
+        FROM bf
+      ) WHERE rn = 1
+    )
+    SELECT doc AS doc_id FROM dedup b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)
+    """
+
+
+def _simhash_ingest_round_oracle(
+    bits: int, max_distance: int, clone_offset: int
+) -> str:
+    """DuckDB twin of one simhash_ingest_round: brute-force popcount
+    pairs (cross AND within — the Spark side's pigeonhole probe is
+    complete for d <= the index segmentation and precision-filtered by
+    the same popcount), recursive-CTE connected components over the
+    union edge graph, then the shared INGEST survivor policy (corpus
+    wins transitively; corpus-free components keep their min batch
+    member). Clones share their source's text, hence its fingerprint —
+    the batch side reuses the corpus fp rows at the shifted ids."""
+    return f"""
+    WITH RECURSIVE {_simhash_fp_ctes(bits)},
+    cfp AS (SELECT doc, simhash FROM fp WHERE doc % 5 <> 0),
+    bfp AS (
+      SELECT doc, simhash FROM fp WHERE doc % 5 = 0
+      UNION ALL
+      SELECT doc + {clone_offset} AS doc, simhash FROM fp
+      WHERE doc % 5 <> 0 AND doc % 50 = 1
+    ),
+    cross_pairs AS (
+      SELECT c.doc AS corpus_doc, b.doc AS batch_doc
+      FROM cfp c JOIN bfp b
+        ON bit_count(xor(c.simhash, b.simhash)) <= {max_distance}
+    ),
+    within_pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM bfp a JOIN bfp b
+        ON a.doc < b.doc
+       AND bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+    ),
+    edges AS (
+      SELECT corpus_doc AS a, batch_doc AS b FROM cross_pairs
+      UNION SELECT batch_doc, corpus_doc FROM cross_pairs
+      UNION SELECT doc_a, doc_b FROM within_pairs
+      UNION SELECT doc_b, doc_a FROM within_pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    tainted AS (
+      SELECT DISTINCT c.comp FROM comp c
+      JOIN (SELECT DISTINCT corpus_doc FROM cross_pairs) x ON c.node = x.corpus_doc
+    ),
+    clustered AS (
+      SELECT c.node, c.comp FROM comp c JOIN bfp b ON c.node = b.doc
+    ),
+    keep AS (
+      SELECT min(node) AS node FROM clustered c
+      WHERE NOT EXISTS (SELECT 1 FROM tainted t WHERE t.comp = c.comp)
+      GROUP BY comp
+    ),
+    dropped AS (
+      SELECT node FROM clustered c
+      WHERE NOT EXISTS (SELECT 1 FROM keep k WHERE k.node = c.node)
+    )
+    SELECT doc AS doc_id FROM bfp b
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.node = b.doc)
+    """
+
+
+def _streamed_round_gate(
+    spark,
+    sf_dir: str,
+    write_corpus,
+    run_stream,
+    run_replay,
+    census_glob: str,
+):
+    """Shared body of the three streamed cross-run dedup gates: plant
+    clones of corpus docs into the held-out batch, drain it as ONE
+    availableNow micro-batch, and raise in-gate unless (a) exactly one
+    batch ran with action=appended, (b) a re-drain with no new files
+    runs ZERO batches, (c) a manual replay of the drained batch's txn
+    id reports skipped_replay with the identical survivor count and an
+    untouched data-file census, (d) every planted clone dropped.
+    Returns the survivors frame read back from the stream's sink."""
+    import shutil
+    import tempfile
+
+    from ..sources import fsutil as FS
+    from ..streaming.ingest import _stream_ledger_id
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    clones = corpus.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + _AGAINST_CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(clones)
+    if clones.count() == 0:
+        raise AssertionError("no clones planted — gate is vacuous")
+    tmp = tempfile.mkdtemp(prefix="ccpd_fam_stream_")
+    try:
+        table = f"{tmp}/table"
+        write_corpus(corpus, table)
+        batch.coalesce(1).write.parquet(f"{tmp}/src")
+        ckpt = f"{tmp}/ckpt"
+        reports = run_stream(f"{tmp}/src", table, ckpt, f"{tmp}/survivors")
+        if len(reports) != 1 or reports[0]["action"] != "appended":
+            raise AssertionError(f"expected one appended batch, got {reports}")
+        if run_stream(f"{tmp}/src", table, ckpt, f"{tmp}/survivors"):
+            raise AssertionError("re-drain with no new files ran batches")
+        census = len(FS.glob_paths(f"{table}/{census_glob}"))
+        replay = run_replay(batch, table, f"{_stream_ledger_id(ckpt)}-b0")
+        if replay["action"] != "skipped_replay":
+            raise AssertionError(f"txn replay re-ran the round: {replay['action']}")
+        if replay["n_survivors"] != reports[0]["n_survivors"]:
+            raise AssertionError("replay reconstructed a different survivor count")
+        if len(FS.glob_paths(f"{table}/{census_glob}")) != census:
+            raise AssertionError("txn replay changed the at-rest table")
+        surv = spark.read.parquet(f"{tmp}/survivors/batch=0").select("doc_id")
+        rows = surv.collect()
+        leaked = sorted(
+            {r.doc_id for r in rows}
+            & {r.doc_id for r in clones.select("doc_id").collect()}
+        )
+        if leaked:
+            raise AssertionError(f"planted clones survived the streamed round: {leaked}")
+        # scratch table and sink vanish with the tempdir — return data
+        return spark.createDataFrame(rows, surv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "doc_exact_ingest_stream",
+    oracle=_exact_ingest_round_oracle(_AGAINST_CLONE_OFFSET),
+    doc="Cross-run EXACT dedup AS A STREAM (streaming/ingest.py "
+    "stream_fingerprint_ingest over operators/dedup.py "
+    "fingerprint_ingest_round — r13: the staged-move transaction "
+    "ledger extended from the MinHash/ANN families to the fingerprint "
+    "table, fulfilling sources/txn.py's every-at-rest-table contract): "
+    "each availableNow micro-batch collapses within-batch exact dups "
+    "(keep min id), probes the at-rest corpus fingerprints (pruned "
+    "scan, corpus never shuffled), and appends only the survivors — "
+    "probe + survivor policy frozen strictly before any staged "
+    "fingerprint file moves, so a foreachBatch replay can never "
+    "re-probe a half-appended table and drop every row. Gate (all "
+    "raised in-gate): one appended batch, zero-batch re-drain, "
+    "skipped_replay manual txn replay with identical survivor count "
+    "and untouched file census, every planted clone dropped. The "
+    "oracle replays the round's policy in SQL: window-dedup then "
+    "NOT-EXISTS against the corpus fingerprints.",
+)
+def doc_exact_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_fingerprint_ingest
+
+    return _streamed_round_gate(
+        spark, sf_dir,
+        write_corpus=lambda corpus, table: DD.write_fingerprints(
+            corpus, table, "doc_id", "text", parts=16
+        ),
+        run_stream=lambda src, table, ckpt, sink: stream_fingerprint_ingest(
+            spark, src, table, ckpt, survivors_dir=sink
+        ),
+        run_replay=lambda batch, table, txn: DD.fingerprint_ingest_round(
+            batch, table, "doc_id", "text", txn=txn
+        ),
+        census_glob="fingerprints/part=*/*.parquet",
+    )
+
+
+@register(
+    "doc_simhash_ingest_stream",
+    oracle=_simhash_ingest_round_oracle(
+        bits=32, max_distance=3, clone_offset=_AGAINST_CLONE_OFFSET
+    ),
+    doc="Cross-run SIMHASH dedup AS A STREAM (streaming/ingest.py "
+    "stream_simhash_ingest over operators/dedup.py simhash_ingest_round "
+    "— r13: the transaction ledger extended to the segment index, "
+    "completing the signature family's exactly-once streaming story): "
+    "each availableNow micro-batch probes the corpus segments (Manku "
+    "pigeonhole, scan pruned to the batch's segment partitions) and "
+    "itself under the index's pinned params, applies the shared INGEST "
+    "survivor policy (corpus wins transitively), and appends only the "
+    "survivors' segments — all strictly before any staged file moves. "
+    "Gate: one appended batch, zero-batch re-drain, skipped_replay "
+    "manual txn replay with identical count and census, every planted "
+    "clone dropped. The oracle replays the WHOLE round: brute-force "
+    "popcount pairs both ways, recursive-CTE connected components, the "
+    "survivor policy.",
+)
+def doc_simhash_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_simhash_ingest
+
+    return _streamed_round_gate(
+        spark, sf_dir,
+        write_corpus=lambda corpus, table: DD.write_simhash_index(
+            corpus, table, "doc_id", "text",
+            max_distance=3, bits=32, hash_mode="md5", parts=16,
+        ),
+        run_stream=lambda src, table, ckpt, sink: stream_simhash_ingest(
+            spark, src, table, ckpt, survivors_dir=sink
+        ),
+        run_replay=lambda batch, table, txn: DD.simhash_ingest_round(
+            batch, table, "doc_id", "text", txn=txn
+        ),
+        census_glob="segments/part=*/*.parquet",
+    )
+
+
 _FORGET_OFFSET = 3_000_000
 
 
