@@ -40,13 +40,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # plan"): the 11 r10-verified queries deferred two rounds — at the
 # staleness bound, they MUST sample now; the 2 NEW r13 registrations
 # (the txn ledger extended to the exact-fingerprint and SimHash
-# families — VERDICT r12 item 3); the 6 queries whose code changed in
+# families — VERDICT r12 item 3); the 9 queries whose code changed in
 # r13 (the ADVICE lifecycle fixes + the shared txn-round refactor +
-# the forget stats refresh — changed queries sample unconditionally);
-# and the first 31 of the 48 r11-verified benched queries. Benched
-# (rotated out): the 44 r12-verified queries not re-sampled by a
-# change (fresh green last round; may stay benched through r14) plus
-# the 17 remaining r11-verified queries, which MUST sample in r14.
+# the forget stats refresh + the per-phase bench instrumentation —
+# changed queries sample unconditionally); and the first 28 of the 48
+# r11-verified benched queries. Benched (rotated out): the 41
+# r12-verified queries not re-sampled by a change (fresh green last
+# round; may stay benched through r14) plus the 20 remaining
+# r11-verified queries, which MUST sample in r14.
 _VERIFY_FIRST = [
     # --- r10-verified, deferred two rounds: staleness bound, MUST sample ---
     "event_windowed_counts_stream",
@@ -64,14 +65,18 @@ _VERIFY_FIRST = [
     "doc_exact_ingest_stream",
     "doc_simhash_ingest_stream",
     # --- changed in r13 (ADVICE fixes, txn-round refactor, append
-    # factoring, forget stats refresh): sample unconditionally ---
+    # factoring, forget stats refresh, per-phase bench instrumentation):
+    # sample unconditionally ---
     "doc_ingest_stream",
     "doc_ingest_round",
     "doc_exact_against_corpus",
     "doc_simhash_against_corpus",
     "doc_forget_docs",
     "emb_index_delete",
-    # --- r11-verified, rotating back from the bench (first 31 of 48) ---
+    "emb_ivfpq_append",
+    "emb_index_compact",
+    "compact_small_files",
+    # --- r11-verified, rotating back from the bench (first 28 of 48) ---
     "pricing_summary",
     "eda_day_labels",
     "run_history",
@@ -100,13 +105,13 @@ _VERIFY_FIRST = [
     "event_sessions",
     "event_zorder_keys",
     "anti_join_new_keys",
+]
+_ROTATION_BENCHED = [
+    # --- r11-verified (green r11); the 20 NOT sampled this round —
+    # at the staleness bound, they MUST sample in r14 ---
     "topk_orders_by_revenue",
     "quantiles",
     "revenue_rollup",
-]
-_ROTATION_BENCHED = [
-    # --- r11-verified (green r11); the 17 NOT sampled this round —
-    # at the staleness bound, they MUST sample in r14 ---
     "approx_sketch_stats",
     "customer_orders_wide",
     "doc_repetition_stats",
@@ -132,12 +137,9 @@ _ROTATION_BENCHED = [
     "emb_pq_topk",
     "emb_ivfpq_pruned",
     "socrata_paged_scan",
-    "compact_small_files",
     "doc_minhash_against_corpus",
     "doc_simhash",
     "doc_cc_extend",
-    "emb_ivfpq_append",
-    "emb_index_compact",
     "time_features",
     "whitelist_recode",
     "emb_lsh_topk",

@@ -100,11 +100,24 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Per-phase split for the composite at-rest gates (VERDICT r11
+    # items 6-7 / r12 item 4): the gates stash their LAST run's
+    # phase wall-times (plans/llm_ops.LAST_PHASE_SECS), so a total's
+    # growth is attributable to the timed OPERATOR vs the gate's own
+    # oracle scaffolding (index build, rebuild twin, double probe,
+    # brute-force recall gate) from the artifact alone.
+    notes: dict[str, dict] = {
+        name: dict(phases)
+        for name, phases in llm_ops.LAST_PHASE_SECS.items()
+        if name in timings
+    }
+
     out = {
         "metric": "io_total_median_query_seconds",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "notes": notes,
         "sf": sf,
         "runs": RUNS,
         "n_queries": len(timings),

@@ -67,12 +67,27 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="ccpd_bench_stream")
-    spark.read.parquet(f"{sf_dir}/events.parquet").count()  # JVM warm-up
 
+    # Per-gate FRESH session (VERDICT r11 item 7 / r12 item 4): the r11
+    # decomposition proved per-gate costs in one long-lived session are
+    # dominated by session accumulation (12.3 s benched vs 3.6-4.2 s
+    # fresh for the same gate), so a real plan regression could hide in
+    # the session-noise band and round-to-round numbers weren't
+    # comparable. Each gate now gets its own SparkSession (stopped and
+    # rebuilt, state stores and codegen caches cleared), warmed by one
+    # parquet count; the recorded median is the gate's own cost, not
+    # its position in the run order. session_split records the fresh
+    # first run vs the warm in-session median so the remaining
+    # warm-up share stays visible per gate.
     timings: dict[str, float] = {}
+    session_split: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    spark = None
     for name in STREAM_QUERIES:
+        if spark is not None:
+            spark.stop()
+        spark = get_spark(app_name=f"ccpd_bench_stream_{name}")
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()  # warm-up
         samples = []
         try:
             for _ in range(RUNS):
@@ -81,6 +96,10 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(samples), 4)
+            session_split[name] = {
+                "fresh_first_run": round(samples[0], 4),
+                "warm_median": round(statistics.median(samples[1:] or samples), 4),
+            }
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -88,7 +107,17 @@ def main() -> None:
     # rows/s so the artifact explains itself (VERDICT r7 item 7: the
     # ~16 s streaming_ingest_e2e reading is dominated by three
     # stream start/stops + checkpoint IO, not by data volume)
-    notes: dict[str, dict] = {}
+    notes: dict[str, dict] = {
+        "methodology": {
+            "per_gate_fresh_session": True,
+            "note": "each gate timed in its own SparkSession (r13): "
+            "medians are the gate's own cost, comparable round-to-round; "
+            "pre-r13 artifacts ran all gates in one long-lived session "
+            "and carried accumulation, so compare r13+ numbers only "
+            "within the fresh-session era",
+        },
+        "session_split": session_split,
+    }
     try:
         from chicago_crash_data_pipeline_dashboard_spark.plans.crash_ops import (
             streaming_ingest_throughput_probe,

@@ -301,13 +301,17 @@ def silver_catalog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.compact import compact_partitioned, dir_stats
+    from .llm_ops import _PhaseTimer
 
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    t = _PhaseTimer("compact_small_files")
     with _scratch_dir("ccpd_compact_") as tmp:
         base = f"{tmp}/events"
         ev.repartition(8).write.partitionBy("event_type").parquet(base)
         before = dir_stats(base)
+        t.lap("write_fixture")
         totals = compact_partitioned(spark, base, target_bytes=256 * 1024 * 1024)
+        t.lap("compact")  # <- the OPERATOR under test
         after = dir_stats(base)
         ok = bool(
             totals["compacted"] >= 1
@@ -325,7 +329,9 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("compacted_ok", F.lit(ok))
         )
-        return _materialize(spark, out)
+        res = _materialize(spark, out)
+        t.lap("readback_agg")
+        return res
 
 
 @register(

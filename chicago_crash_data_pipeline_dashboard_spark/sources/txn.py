@@ -1,7 +1,9 @@
 """Idempotent (transactional) appends — the streaming-replay ledger,
-shared by every at-rest table that ingests from ``foreachBatch``
-(operators/similarity.py ANN indexes, operators/dedup.py signature
-tables).
+shared by every at-rest table that ingests from ``foreachBatch``:
+the three ANN index kinds (operators/similarity.py — IVF, IVF-PQ, PQ)
+and the three signature families (operators/dedup.py — MinHash banded,
+exact fingerprints, SimHash segments; the latter two joined in r13,
+closing the contract this sentence states).
 
 foreachBatch is AT-LEAST-ONCE: a crash after an append succeeds but
 before the stream checkpoint commits replays the same micro-batch on
