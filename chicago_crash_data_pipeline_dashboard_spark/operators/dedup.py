@@ -672,19 +672,20 @@ def append_fingerprints(
         batch, id_col, text_col, p["parts"],
         p["files_per_part"] if files_per_part is None else files_per_part,
     )
+    root = path.rstrip("/")
     if txn is None:
-        fps.write.partitionBy("part").mode("append").parquet(f"{path}/fingerprints")
+        fps.write.partitionBy("part").mode("append").parquet(f"{root}/fingerprints")
         return
     from ..sources import txn as TXN
 
     pre = TXN.txn_file_prefix(txn)
     TXN.idempotent_staged_append(
-        path,
+        root,
         txn,
         lambda stage: fps.write.partitionBy("part")
         .mode("overwrite")
         .parquet(f"{stage}/fingerprints"),
-        lambda rel: f"{path}/{rel.rsplit('/', 1)[0]}/{pre}{rel.rsplit('/', 1)[1]}",
+        lambda rel: f"{root}/{rel.rsplit('/', 1)[0]}/{pre}{rel.rsplit('/', 1)[1]}",
     )
 
 
@@ -1166,19 +1167,20 @@ def append_simhash_index(
     if files_per_part is None:
         files_per_part = p.get("files_per_part", 1)
     exploded = _simhash_segment_rows(batch, id_col, text_col, p, files_per_part)
+    root = path.rstrip("/")
     if txn is None:
-        exploded.write.partitionBy("part").mode("append").parquet(f"{path}/segments")
+        exploded.write.partitionBy("part").mode("append").parquet(f"{root}/segments")
         return
     from ..sources import txn as TXN
 
     pre = TXN.txn_file_prefix(txn)
     TXN.idempotent_staged_append(
-        path,
+        root,
         txn,
         lambda stage: exploded.write.partitionBy("part")
         .mode("overwrite")
         .parquet(f"{stage}/segments"),
-        lambda rel: f"{path}/{rel.rsplit('/', 1)[0]}/{pre}{rel.rsplit('/', 1)[1]}",
+        lambda rel: f"{root}/{rel.rsplit('/', 1)[0]}/{pre}{rel.rsplit('/', 1)[1]}",
     )
 
 
@@ -1349,6 +1351,22 @@ def semantic_dedup(
     )
 
 
+def _lap_timer():
+    """(secs dict, lap(key)) wall-time lap recorder — one shared shape
+    for every ingest round's per-step ``secs`` decomposition."""
+    import time as _time
+
+    secs: dict[str, float] = {}
+    state = {"t0": _time.perf_counter()}
+
+    def lap(key: str) -> None:
+        now = _time.perf_counter()
+        secs[key] = round(now - state["t0"], 3)
+        state["t0"] = now
+
+    return secs, lap
+
+
 def _ingest_survivor_policy(batch, id_col, vs_corpus, within):
     """The INGEST survivor policy over one round's (bounded) edge
     graph — shared by the batch round and its transactional
@@ -1454,20 +1472,12 @@ def minhash_ingest_round(
             batch, sig_path, id_col, text_col, comp_path, threshold,
             max_bucket, compact_trigger, txn,
         )
-    import time as _time
-
     from ..operators.graph import extend_components_at_rest
 
-    secs: dict[str, float] = {}
-    t0 = _time.perf_counter()
-
-    def _lap(key: str) -> None:
-        nonlocal t0
-        now = _time.perf_counter()
-        secs[key] = round(now - t0, 3)
-        t0 = now
+    secs, _lap = _lap_timer()
 
     spark = batch.sparkSession
+    n_batch = batch.count()
     p = read_minhash_params(spark, sig_path)
     sig_kwargs = dict(
         num_hashes=p["num_hashes"], bands=p["bands"], shingle_n=p["shingle_n"],
@@ -1507,7 +1517,7 @@ def minhash_ingest_round(
     _lap("compact")
     return {
         "survivors": survivors,
-        "n_batch": batch.count(),
+        "n_batch": n_batch,
         "n_cross_pairs": n_cross,
         "n_within_pairs": n_within,
         "n_survivors": n_survivors,
@@ -1614,19 +1624,10 @@ def _txn_ingest_round(
     ``forget_documents`` legitimately shrinks), never the write-time
     stats. ``after_commit()`` returns the compaction count; it is
     skipped entirely on an already-committed replay."""
-    import time as _time
-
     from ..sources import fsutil as FS
     from ..sources import txn as TXN
 
-    secs: dict[str, float] = {}
-    t0 = _time.perf_counter()
-
-    def _lap(key: str) -> None:
-        nonlocal t0
-        now = _time.perf_counter()
-        secs[key] = round(now - t0, 3)
-        t0 = now
+    secs, _lap = _lap_timer()
 
     spark = batch.sparkSession
     rounds_dir, stats_dir = _round_record_paths(root, txn)
@@ -1842,16 +1843,7 @@ def fingerprint_ingest_round(
                 spark, path, "fingerprints", compact_trigger, fpp
             ),
         )
-    import time as _time
-
-    secs: dict[str, float] = {}
-    t0 = _time.perf_counter()
-
-    def _lap(key: str) -> None:
-        nonlocal t0
-        now = _time.perf_counter()
-        secs[key] = round(now - t0, 3)
-        t0 = now
+    secs, _lap = _lap_timer()
 
     deduped = dedup_exact(batch, id_col, text_col)
     n_batch = batch.count()
@@ -1972,17 +1964,9 @@ def simhash_ingest_round(
                 spark, path, "segments", compact_trigger, fpp
             ),
         )
-    import time as _time
+    secs, _lap = _lap_timer()
 
-    secs: dict[str, float] = {}
-    t0 = _time.perf_counter()
-
-    def _lap(key: str) -> None:
-        nonlocal t0
-        now = _time.perf_counter()
-        secs[key] = round(now - t0, 3)
-        t0 = now
-
+    n_batch = batch.count()
     vs_corpus = simhash_near_duplicates_against(
         batch, path, id_col, text_col,
         max_distance=max_distance, max_bucket=max_bucket,
@@ -2005,7 +1989,7 @@ def simhash_ingest_round(
     _lap("compact")
     return {
         "survivors": survivors,
-        "n_batch": batch.count(),
+        "n_batch": n_batch,
         "n_cross_pairs": n_cross,
         "n_within_pairs": n_within,
         "n_survivors": n_surv,
@@ -2027,10 +2011,11 @@ def forget_documents(spark, table_path: str, ids: DataFrame) -> dict:
 
     Forgotten docs stop matching future probes IMMEDIATELY (gated in
     tests and the doc_forget_docs oracle). Write-time ``bucket_size``
-    stats ARE recomputed over the touched partitions' surviving rows
-    inside the rewrite (r13, VERDICT r12 item 5 — previously a capped
-    probe could skip a bucket that had shrunk below the cap), so the
-    hot-bucket cap stays faithful under deletion; untouched partitions
+    stats are refreshed to ``least(old, remaining total)`` over the
+    touched partitions' surviving rows inside the rewrite (r13,
+    VERDICT r12 item 5 — previously a capped probe could skip a bucket
+    that had shrunk below the cap; least() keeps the per-write-segment
+    cap promise, see ``delete_rows_partitioned``). Untouched partitions
     keep their per-write-segment values. Returns the deletion stats
     dict plus ``table`` (which layout was hit)."""
     from ..sources import fsutil as FS

@@ -71,18 +71,24 @@ def delete_rows_partitioned(
     like every forget request). Returns {rows_deleted, parts_touched,
     parts_emptied, parts_total, stats_refreshed}.
 
-    ``refresh_stats=(stats_col, bucket_key_cols)``: recompute a
+    ``refresh_stats=(stats_col, bucket_key_cols)``: refresh a
     write-time bucket-count statistics column (the MinHash/SimHash
     ``bucket_size`` hot-bucket cap) over the SURVIVING rows of the
     touched partitions, inside the rewrite the deletion already pays
     for. Without it, stale stats over-state bucket sizes after a
     delete, so a capped probe may skip a bucket that has shrunk below
-    the cap — a recall loss (VERDICT r12 item 5). Sound because every
-    bucket lives entirely in one partition (part = hash(bucket key) %
-    parts), so a touched partition holds each of its buckets in full;
-    the refreshed value is the bucket's TRUE current size, which may
-    exceed the per-write-segment values untouched partitions keep —
-    the cap only becomes more faithful there, never less. Tables
+    the cap — a recall loss (VERDICT r12 item 5). The refreshed value
+    is ``least(old value, bucket's remaining total)`` — NOT the bare
+    total: the family's cap semantics are per WRITE SEGMENT (a bucket
+    hot only across segments is deliberately not dropped), and a
+    multi-segment bucket's total can exceed every per-segment value,
+    so writing the total would let a forget newly exclude buckets it
+    never targeted. least() is monotone non-increasing per row (no
+    bucket newly drops) while still falling below the cap when
+    deletion actually shrinks the bucket (the un-drop the refresh
+    exists for); sound because every bucket lives entirely in one
+    partition (part = hash(bucket key) % parts), so the touched
+    partition holds the bucket in full and the total is exact. Tables
     without the column (exact fingerprints) pass None."""
     key_set = F.broadcast(keys.select(F.col(keys.columns[0]).alias(key_col)).distinct())
     table = spark.read.parquet(data_dir)
@@ -112,7 +118,10 @@ def delete_rows_partitioned(
         if stats_col in table.columns:
             remain = remain.withColumn(
                 stats_col,
-                F.count(F.lit(1)).over(Window.partitionBy(*bucket_keys)),
+                F.least(
+                    F.col(stats_col),
+                    F.count(F.lit(1)).over(Window.partitionBy(*bucket_keys)),
+                ),
             )
             refreshed = True
     if files_per_part > 1:

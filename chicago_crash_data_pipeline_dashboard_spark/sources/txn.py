@@ -64,22 +64,25 @@ def txn_committed(table_root: str, txn: str) -> bool:
     return FS.exists(txn_paths(table_root, txn)[0])
 
 
-def pending_txns(table_root: str) -> list[str]:
+def pending_txns(table_root: str, reap_committed: bool = True) -> list[str]:
     """Txn ids staged under ``_ingest_tmp`` that have NOT committed —
     the quiescence signal the forget/delete paths guard on (a genuinely
     in-flight staging's remaining moves target the partitions a delete
     would rewrite). A staging dir whose committed marker exists is NOT
     in-flight: it is litter from a crash between the marker write and
     the staging cleanup (protocol step 4), and every replay path
-    removes it on sight — so this helper does too, instead of letting
-    it permanently trip the guards on a table that is actually
-    quiescent."""
+    removes it on sight — so, MUTATING BY DEFAULT, this helper deletes
+    such litter too (``reap_committed=True``, what the quiescence
+    guards want: a table that is actually quiescent must not trip them
+    forever). Pass ``reap_committed=False`` for a read-only probe
+    (diagnostics, dry runs, tests asserting on staging state)."""
     root = table_root.rstrip("/")
     pending: list[str] = []
     for stage in FS.glob_paths(f"{root}/_ingest_tmp/*"):
         name = stage.rsplit("/", 1)[-1]
         if FS.exists(f"{root}/_ledger/{name}"):
-            FS.delete(stage)  # committed: litter, not in-flight
+            if reap_committed:
+                FS.delete(stage)  # committed: litter, not in-flight
         else:
             pending.append(name)
     return pending

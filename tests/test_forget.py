@@ -375,3 +375,91 @@ def test_forget_refreshes_bucket_size_stats(spark, tmp_path):
         probe, path, "doc_id", "text", threshold=0.9, max_bucket=4
     )
     assert {r.corpus_doc for r in pairs.collect()} == {103, 104, 105}
+
+
+def test_bucket_size_refresh_never_newly_drops_multi_segment_buckets(spark, tmp_path):
+    """The refresh is least(old, remaining total), NOT the bare total:
+    the cap's semantics are per WRITE SEGMENT (a bucket hot only across
+    segments is deliberately kept), so a forget touching a partition
+    must never push an untargeted bucket over the cap by merging its
+    segments' counts."""
+    base = _docs(spark, n=4)
+    text = base.filter(F.col("doc_id") == 0).collect()[0].text
+    seg1 = spark.createDataFrame(
+        [(100 + i, text) for i in range(3)], "doc_id long, text string"
+    )
+    seg2 = spark.createDataFrame(
+        [(103 + i, text) for i in range(3)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "sigs")
+    DD.write_minhash_signatures(
+        seg1, path, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, seed=7, parts=8,
+    )
+    DD.append_minhash_signatures(seg2, path, "doc_id", "text")
+    probe = spark.createDataFrame([(999, text)], "doc_id long, text string")
+    # each segment's rows store bucket_size=3 <= cap 4: all 6 probed,
+    # even though the bucket's TOTAL (6) exceeds the cap
+    before = DD.near_duplicates_against(
+        probe, path, "doc_id", "text", threshold=0.9, max_bucket=4
+    )
+    assert {r.corpus_doc for r in before.collect()} == set(range(100, 106))
+    # forget ONE clone: remaining total 5 still exceeds the cap, but
+    # least(3, 5) = 3 keeps every surviving row under it — a bare-total
+    # refresh would write 5 and silently drop the whole bucket
+    st = DD.forget_documents(
+        spark, path, spark.createDataFrame([(100,)], "doc_id long")
+    )
+    assert st["stats_refreshed"] is True
+    after = DD.near_duplicates_against(
+        probe, path, "doc_id", "text", threshold=0.9, max_bucket=4
+    )
+    assert {r.corpus_doc for r in after.collect()} == set(range(101, 106))
+
+
+def test_pending_txns_readonly_probe(spark, tmp_path):
+    """pending_txns mutates by default (the guards' contract: committed
+    litter must not trip quiescence forever) but offers a read-only
+    probe for diagnostics."""
+    from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
+    from chicago_crash_data_pipeline_dashboard_spark.sources.txn import pending_txns
+
+    root = str(tmp_path / "t")
+    fsutil.write_text(f"{root}/_ledger/done-b0", "{}")
+    fsutil.write_text(f"{root}/_ingest_tmp/done-b0/_manifest.json", "[]")
+    fsutil.write_text(f"{root}/_ingest_tmp/live-b1/_manifest.json", "[]")
+    # read-only: reports only the uncommitted txn, deletes nothing
+    assert pending_txns(root, reap_committed=False) == ["live-b1"]
+    assert fsutil.exists(f"{root}/_ingest_tmp/done-b0")
+    # default: reaps the committed litter, still reports the live one
+    assert pending_txns(root) == ["live-b1"]
+    assert not fsutil.exists(f"{root}/_ingest_tmp/done-b0")
+    assert fsutil.exists(f"{root}/_ingest_tmp/live-b1")
+
+
+def test_bare_txn_appends_replay_idempotent(spark, tmp_path):
+    """append_fingerprints / append_simhash_index with a txn id: a
+    replayed call is a no-op (row counts unchanged), a fresh txn
+    appends, and trailing-slash table roots normalize."""
+    corpus = _docs(spark, n=20)
+    batch = _docs(spark, n=30).filter(F.col("doc_id") >= 20)
+
+    fps_root = str(tmp_path / "fps")
+    DD.write_fingerprints(corpus, fps_root, "doc_id", "text", parts=8)
+    DD.append_fingerprints(batch, fps_root + "/", "doc_id", "text", txn="a-b0")
+    n1 = spark.read.parquet(f"{fps_root}/fingerprints").count()
+    assert n1 == 30
+    DD.append_fingerprints(batch, fps_root + "/", "doc_id", "text", txn="a-b0")
+    assert spark.read.parquet(f"{fps_root}/fingerprints").count() == n1
+    DD.append_fingerprints(batch, fps_root, "doc_id", "text", txn="a-b1")
+    assert spark.read.parquet(f"{fps_root}/fingerprints").count() == 40
+
+    sh_root = str(tmp_path / "sh")
+    DD.write_simhash_index(
+        corpus, sh_root, "doc_id", "text", max_distance=3, bits=64, parts=8
+    )
+    DD.append_simhash_index(batch, sh_root + "/", "doc_id", "text", txn="s-b0")
+    n1 = spark.read.parquet(f"{sh_root}/segments").count()
+    assert n1 == 30 * 4  # (d+1) segment rows per doc
+    DD.append_simhash_index(batch, sh_root + "/", "doc_id", "text", txn="s-b0")
+    assert spark.read.parquet(f"{sh_root}/segments").count() == n1
