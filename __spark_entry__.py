@@ -38,15 +38,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #
 # Sampled first (r13, executing COVERAGE.md §"Round-13 rotation
 # plan"): the 11 r10-verified queries deferred two rounds — at the
-# staleness bound, they MUST sample now; the 2 NEW r13 registrations
+# staleness bound, they MUST sample now; the 3 NEW r13 registrations
 # (the txn ledger extended to the exact-fingerprint and SimHash
-# families — VERDICT r12 item 3); the 9 queries whose code changed in
+# families — VERDICT r12 item 3 — plus cross-run semantic dedup
+# against the at-rest ANN index); the 9 queries whose code changed in
 # r13 (the ADVICE lifecycle fixes + the shared txn-round refactor +
 # the forget stats refresh + the per-phase bench instrumentation —
-# changed queries sample unconditionally); and the first 28 of the 48
+# changed queries sample unconditionally); and the first 27 of the 48
 # r11-verified benched queries. Benched (rotated out): the 41
 # r12-verified queries not re-sampled by a change (fresh green last
-# round; may stay benched through r14) plus the 20 remaining
+# round; may stay benched through r14) plus the 21 remaining
 # r11-verified queries, which MUST sample in r14.
 _VERIFY_FIRST = [
     # --- r10-verified, deferred two rounds: staleness bound, MUST sample ---
@@ -61,9 +62,11 @@ _VERIFY_FIRST = [
     "event_props_json",
     "event_funnel_steps",
     "user_retention_cohorts",
-    # --- NEW in r13: streamed exact/SimHash ingest under the txn ledger ---
+    # --- NEW in r13: streamed exact/SimHash ingest under the txn
+    # ledger; cross-run semantic dedup against the at-rest ANN index ---
     "doc_exact_ingest_stream",
     "doc_simhash_ingest_stream",
+    "emb_semantic_dedup_against",
     # --- changed in r13 (ADVICE fixes, txn-round refactor, append
     # factoring, forget stats refresh, per-phase bench instrumentation):
     # sample unconditionally ---
@@ -76,7 +79,7 @@ _VERIFY_FIRST = [
     "emb_ivfpq_append",
     "emb_index_compact",
     "compact_small_files",
-    # --- r11-verified, rotating back from the bench (first 28 of 48) ---
+    # --- r11-verified, rotating back from the bench (first 27 of 48) ---
     "pricing_summary",
     "eda_day_labels",
     "run_history",
@@ -104,11 +107,11 @@ _VERIFY_FIRST = [
     "event_asof_last_click",
     "event_sessions",
     "event_zorder_keys",
-    "anti_join_new_keys",
 ]
 _ROTATION_BENCHED = [
-    # --- r11-verified (green r11); the 20 NOT sampled this round —
+    # --- r11-verified (green r11); the 21 NOT sampled this round —
     # at the staleness bound, they MUST sample in r14 ---
+    "anti_join_new_keys",
     "topk_orders_by_revenue",
     "quantiles",
     "revenue_rollup",

@@ -73,6 +73,7 @@ SKIP = {
     "emb_index_compact",
     "doc_forget_docs",
     "emb_index_delete",
+    "emb_semantic_dedup_against",  # r13: scratch-index round-trip — IO bin
     "emb_ivf_pruned",
     "emb_pq_pruned",
     "orc_roundtrip_stats",

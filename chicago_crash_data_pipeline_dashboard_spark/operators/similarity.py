@@ -2240,6 +2240,85 @@ def ivfpq_topk_indexed(
     return _indexed_rerank(spark, vectors, cand_rows, q, k)
 
 
+def semantic_dedup_against(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_probe: int = 4,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Rows of ``batch`` whose cosine similarity to EVERY vector
+    already in the at-rest IVF / IVF-PQ index stays BELOW ``threshold``
+    — cross-run SEMANTIC dedup (SemDeDup's keep/drop decision against
+    an ingested corpus instead of an in-frame clustering), completing
+    the against-corpus family: exact fingerprints
+    (``dedup_exact_against``), MinHash (``near_duplicates_against``),
+    SimHash (``simhash_near_duplicates_against``), and now embeddings.
+
+    Plan shape (the family's): each batch vector computes its
+    ``n_probe`` nearest SAVED centroids (plan-constant HOF under the
+    index's own quantizer — never retrained), the index scan prunes to
+    exactly those cluster partitions (``PartitionFilters`` on
+    ``_cluster``, from a bounded ≤ n_clusters collect), EXACT cosine
+    verifies candidates (the corpus side reuses its stored norms; the
+    batch side is broadcast — pass ``broadcast_batch=False`` for
+    backfill-sized batches), and the batch anti-joins the hit ids.
+    Corpus vectors never shuffle; work is O(batch × probed-cluster
+    rows).
+
+    Recall contract, stated not hidden: a qualifying corpus partner
+    outside a batch vector's ``n_probe`` clusters is missed — the
+    standard IVF probe trade. An EXACT duplicate is always found at any
+    ``n_probe`` ≥ 1 (identical vectors share a nearest-centroid list);
+    for near-threshold pairs raise ``n_probe`` (``= n_clusters`` probes
+    exhaustively and matches brute force). Probe BEFORE appending the
+    survivors (``append_to_ivf_index`` / ``append_to_ivfpq_index``), or
+    each batch vector pairs with its own just-appended copy."""
+    spark = batch.sparkSession
+    has_centroids, has_codebook = _index_layout(path)
+    if not has_centroids:
+        raise ValueError(
+            "semantic_dedup_against needs a cluster-partitioned index "
+            "(ivf, ivfpq) — a flat PQ table has no coarse quantizer to "
+            "prune with"
+        )
+    data_dir = f"{path.rstrip('/')}/data" if has_codebook else path.rstrip("/")
+    recover_index_compaction(data_dir)  # never trust a mid-swap table
+    centroids = read_ivf_centroids(spark, path)
+    n_probe = min(n_probe, len(centroids))
+    b = (
+        batch.select(
+            F.col(id_col).alias("__sem_id"), F.col(vec_col).alias("__sem_vec")
+        )
+        .withColumn("__sem_n", VX.norm(F.col("__sem_vec")))
+        .withColumn(
+            "_cluster",
+            F.explode(_probe_clusters(F.col("__sem_vec"), centroids, n_probe)),
+        )
+    )
+    # bounded collect: at most n_clusters values by construction
+    mods = sorted(r._cluster for r in b.select("_cluster").distinct().collect())
+    corpus = spark.read.parquet(data_dir).filter(F.col("_cluster").isin(mods))
+    bside = F.broadcast(b) if broadcast_batch else b
+    hits = (
+        corpus.select("_cluster", "cvec", "cn")
+        .join(bside, "_cluster")
+        .filter(
+            VX.cosine_with_norms(
+                F.col("cvec"), F.col("__sem_vec"), F.col("cn"), F.col("__sem_n")
+            )
+            >= threshold
+        )
+        .select("__sem_id")
+        .distinct()
+    )
+    return batch.join(
+        F.broadcast(hits), batch[id_col] == F.col("__sem_id"), "left_anti"
+    )
+
+
 def delete_from_index(spark, path: str, ids: DataFrame) -> dict:
     """Right-to-be-forgotten for the at-rest ANN indexes: hard-delete
     vectors by id from an IVF or IVF-PQ index via the partition-pruned

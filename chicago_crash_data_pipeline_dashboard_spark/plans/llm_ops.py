@@ -2858,6 +2858,86 @@ def emb_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_semantic_dedup_against",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    batch AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + {_AGAINST_CLONE_OFFSET} AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 50 = 1
+    ),
+    hits AS (
+      -- plain join, not correlated NOT EXISTS: DuckDB cannot bind an
+      -- outer column inside a list_transform lambda
+      SELECT DISTINCT vec_id FROM (
+        SELECT b.vec_id,
+               {_cosine_sql('c.embedding', 'b.embedding', _DIM)} AS cos
+        FROM batch b, corpus c
+      ) WHERE cos >= 0.9
+    )
+    SELECT vec_id FROM batch
+    WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+    """,
+    doc="Cross-run SEMANTIC dedup against the at-rest ANN index "
+    "(operators/similarity.py semantic_dedup_against — r13, completing "
+    "the against-corpus family: exact fingerprints / MinHash / SimHash "
+    "/ embeddings): the batch probes its n_probe nearest saved-centroid "
+    "clusters (scan pruned to those partitions, corpus never shuffled), "
+    "exact cosine with stored corpus norms verifies candidates, and "
+    "rows matching any ingested vector at >= threshold drop. The gate "
+    "probes EXHAUSTIVELY (n_probe = n_clusters), so the survivor set "
+    "is exact and the oracle is a brute-force NOT-EXISTS cosine replay; "
+    "the pruned probe (n_probe=4) is asserted in-gate to still drop "
+    "every planted exact clone (identical vectors share a "
+    "nearest-centroid list — the IVF recall trade only touches "
+    "near-threshold pairs).",
+)
+def emb_semantic_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    clones = corpus.filter(F.col("vec_id") % 50 == 1).select(
+        (F.col("vec_id") + _AGAINST_CLONE_OFFSET).alias("vec_id"), "embedding"
+    )
+    batch = e.filter(F.col("vec_id") % 5 == 0).unionByName(clones)
+    planted = {r.vec_id for r in clones.select("vec_id").collect()}
+    if not planted:
+        raise AssertionError("no clones planted — gate is vacuous")
+    tmp = tempfile.mkdtemp(prefix="ccpd_semdd_")
+    try:
+        idx = f"{tmp}/ivf"
+        SIM.write_ivf_index(corpus, idx, n_clusters=16, seed=42)
+        # exhaustive probe (n_probe = n_clusters) == brute force: the
+        # differential is exact end-to-end
+        surv = SIM.semantic_dedup_against(
+            batch, idx, threshold=0.9, n_probe=16
+        ).select("vec_id")
+        rows = surv.collect()
+        leaked = sorted({r.vec_id for r in rows} & planted)
+        if leaked:
+            raise AssertionError(f"planted exact clones survived: {leaked}")
+        # pruned probe: exact duplicates must STILL all drop
+        pruned = {
+            r.vec_id
+            for r in SIM.semantic_dedup_against(batch, idx, threshold=0.9, n_probe=4)
+            .select("vec_id")
+            .collect()
+        }
+        leaked4 = sorted(pruned & planted)
+        if leaked4:
+            raise AssertionError(f"pruned probe missed exact clones: {leaked4}")
+        # the index vanishes with the scratch dir — return data
+        return spark.createDataFrame(rows, surv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "doc_ingest_stream",
     oracle=_ingest_round_oracle(
         num_hashes=32, bands=8, shingle_n=3, seed=42, threshold=0.5,

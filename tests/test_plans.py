@@ -1505,3 +1505,70 @@ def test_maintain_index_txn_skips_replay_and_retrain_marker_is_atomic(
     out = spark.read.parquet(path)
     assert out.count() == 290
     assert out.select("neighbor_id").distinct().count() == 290
+
+
+def test_semantic_dedup_against_index(spark, tmp_path):
+    """Cross-run semantic dedup vs the at-rest IVF index: exhaustive
+    probe equals brute force (drops exactly the rows with a >=threshold
+    corpus partner), the pruned probe still drops every EXACT clone
+    (identical vectors share a nearest-centroid list), the non-broadcast
+    path agrees, and flat PQ tables are refused."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chicago_crash_data_pipeline_dashboard_spark.operators import (
+        similarity as SIM,
+    )
+
+    rng = np.random.RandomState(7)
+    corpus_rows = [
+        (i, v.tolist())
+        for i, v in enumerate(rng.standard_normal((300, 16)).astype("float32"))
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    SIM.write_ivf_index(corpus, path, n_clusters=8, seed=42)
+
+    fresh = [
+        (1000 + i, v.tolist())
+        for i, v in enumerate(rng.standard_normal((20, 16)).astype("float32"))
+    ]
+    clones = [(2000 + i, corpus_rows[i][1]) for i in range(5)]
+    batch = spark.createDataFrame(
+        fresh + clones, "vec_id long, embedding array<float>"
+    )
+
+    surv = SIM.semantic_dedup_against(batch, path, threshold=0.99, n_probe=8)
+    got = {r.vec_id for r in surv.select("vec_id").collect()}
+    # random 16-dim gaussians essentially never reach cosine 0.99, so
+    # exactly the planted exact clones drop
+    assert got == {1000 + i for i in range(20)}
+
+    # pruned probe: exact clones still all drop
+    got1 = {
+        r.vec_id
+        for r in SIM.semantic_dedup_against(batch, path, threshold=0.99, n_probe=1)
+        .select("vec_id")
+        .collect()
+    }
+    assert not (got1 & {2000 + i for i in range(5)})
+
+    # non-broadcast path produces the identical survivor set
+    got_nb = {
+        r.vec_id
+        for r in SIM.semantic_dedup_against(
+            batch, path, threshold=0.99, n_probe=8, broadcast_batch=False
+        )
+        .select("vec_id")
+        .collect()
+    }
+    assert got_nb == got
+
+    # flat PQ: no coarse quantizer to prune with — refused
+    pq = str(tmp_path / "pq")
+    SIM.write_pq_index(
+        corpus, pq, id_col="vec_id", vec_col="embedding", dim=16, m=8, ks=16, seed=42
+    )
+    with pytest.raises(ValueError, match="cluster-partitioned"):
+        SIM.semantic_dedup_against(batch, pq, threshold=0.99)
