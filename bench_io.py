@@ -83,13 +83,26 @@ IO_EXTRA: dict = {}
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="ccpd_bench_io")
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()  # JVM warm-up
 
+    # Per-gate FRESH session (r13, same cure bench_stream received —
+    # VERDICT r12 item 4): the first r13 run in ONE long-lived session
+    # measured doc_forget_docs at 166 s where the same gate costs 34 s
+    # in its own session (median of 3) — late-session accumulation
+    # dominates the heavy composite gates in either direction, so a
+    # real plan regression could hide in (or be invented by) session
+    # noise. Each gate gets its own SparkSession; session_split keeps
+    # the fresh-vs-warm share visible per gate. Compare r13+ numbers
+    # only within the fresh-session era.
     timings: dict[str, float] = {}
+    session_split: dict[str, dict] = {}
     errors: dict[str, str] = {}
+    spark = None
     runnables = [(n, QUERIES[n].fn) for n in IO_QUERIES] + list(IO_EXTRA.items())
     for name, fn in runnables:
+        if spark is not None:
+            spark.stop()
+        spark = get_spark(app_name=f"ccpd_bench_io_{name}")
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()  # warm-up
         samples = []
         try:
             for _ in range(RUNS):
@@ -98,6 +111,10 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(samples), 4)
+            session_split[name] = {
+                "fresh_first_run": round(samples[0], 4),
+                "warm_median": round(statistics.median(samples[1:] or samples), 4),
+            }
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -112,6 +129,15 @@ def main() -> None:
         for name, phases in llm_ops.LAST_PHASE_SECS.items()
         if name in timings
     }
+    notes["methodology"] = {
+        "per_gate_fresh_session": True,
+        "note": "each gate timed in its own SparkSession (r13): medians "
+        "are the gate's own cost, comparable round-to-round; pre-r13 "
+        "artifacts ran all gates in one long-lived session and carried "
+        "accumulation (the r13 measurement: the same gate 166 s late in "
+        "a shared session vs 34 s in its own)",
+    }
+    notes["session_split"] = session_split
 
     out = {
         "metric": "io_total_median_query_seconds",

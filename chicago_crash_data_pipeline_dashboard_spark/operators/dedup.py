@@ -2011,13 +2011,13 @@ def forget_documents(spark, table_path: str, ids: DataFrame) -> dict:
 
     Forgotten docs stop matching future probes IMMEDIATELY (gated in
     tests and the doc_forget_docs oracle). Write-time ``bucket_size``
-    stats are refreshed to ``least(old, remaining total)`` over the
-    touched partitions' surviving rows inside the rewrite (r13,
-    VERDICT r12 item 5 — previously a capped probe could skip a bucket
-    that had shrunk below the cap; least() keeps the per-write-segment
-    cap promise, see ``delete_rows_partitioned``). Untouched partitions
-    keep their per-write-segment values. Returns the deletion stats
-    dict plus ``table`` (which layout was hit)."""
+    stats are refreshed to ``max(0, old − deleted-from-bucket)`` inside
+    the rewrite (r13, VERDICT r12 item 5 — previously a capped probe
+    could skip a bucket that had shrunk below the cap; the delta form
+    keeps the per-write-segment cap promise and adds no shuffle, see
+    ``delete_rows_partitioned``). Untouched partitions keep their
+    per-write-segment values. Returns the deletion stats dict plus
+    ``table`` (which layout was hit)."""
     from ..sources import fsutil as FS
     from ..sources.compact import ensure_recovered
     from ..sources.forget import delete_rows_partitioned

@@ -25,7 +25,7 @@ the deleted vectors' clusters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import fsutil as FS
@@ -73,23 +73,25 @@ def delete_rows_partitioned(
 
     ``refresh_stats=(stats_col, bucket_key_cols)``: refresh a
     write-time bucket-count statistics column (the MinHash/SimHash
-    ``bucket_size`` hot-bucket cap) over the SURVIVING rows of the
-    touched partitions, inside the rewrite the deletion already pays
-    for. Without it, stale stats over-state bucket sizes after a
-    delete, so a capped probe may skip a bucket that has shrunk below
-    the cap — a recall loss (VERDICT r12 item 5). The refreshed value
-    is ``least(old value, bucket's remaining total)`` — NOT the bare
-    total: the family's cap semantics are per WRITE SEGMENT (a bucket
-    hot only across segments is deliberately not dropped), and a
-    multi-segment bucket's total can exceed every per-segment value,
-    so writing the total would let a forget newly exclude buckets it
-    never targeted. least() is monotone non-increasing per row (no
-    bucket newly drops) while still falling below the cap when
-    deletion actually shrinks the bucket (the un-drop the refresh
-    exists for); sound because every bucket lives entirely in one
-    partition (part = hash(bucket key) % parts), so the touched
-    partition holds the bucket in full and the total is exact. Tables
-    without the column (exact fingerprints) pass None."""
+    ``bucket_size`` hot-bucket cap) inside the rewrite the deletion
+    already pays for. Without it, stale stats over-state bucket sizes
+    after a delete, so a capped probe may skip a bucket that has
+    shrunk below the cap — a recall loss (VERDICT r12 item 5). The
+    refreshed value is ``max(0, old value − rows deleted from the
+    bucket)`` — a DELTA, not a recount: the per-bucket deleted counts
+    come from the already-pruned hit scan (a frame bounded by the
+    forget request: ≤ |keys| × bands rows) and broadcast-join onto the
+    surviving rows, so the wide rewrite never gains a shuffle (a
+    windowed recount over the touched partitions measured 2.2× on the
+    sf0.1 gate — ~400k near-unique window groups of wide signature
+    rows). Soundness: the delta is monotone non-increasing per row, so
+    no bucket newly drops — the family's cap semantics are per WRITE
+    SEGMENT, and a multi-segment bucket's merged total could otherwise
+    exceed every per-segment value and newly exclude buckets the
+    forget never targeted; deletions landing in a DIFFERENT write
+    segment over-subtract, which only under-states sizes — the probe
+    checks more buckets, never fewer (the recall-safe direction).
+    Tables without the column (exact fingerprints) pass None."""
     key_set = F.broadcast(keys.select(F.col(keys.columns[0]).alias(key_col)).distinct())
     table = spark.read.parquet(data_dir)
     if partition_col not in table.columns:
@@ -116,12 +118,22 @@ def delete_rows_partitioned(
     if refresh_stats is not None:
         stats_col, bucket_keys = refresh_stats
         if stats_col in table.columns:
-            remain = remain.withColumn(
-                stats_col,
-                F.least(
-                    F.col(stats_col),
-                    F.count(F.lit(1)).over(Window.partitionBy(*bucket_keys)),
-                ),
+            deltas = (
+                sub.join(key_set, key_col, "left_semi")
+                .groupBy(*bucket_keys)
+                .agg(F.count(F.lit(1)).alias("__sf_del"))
+            )
+            remain = (
+                remain.join(F.broadcast(deltas), list(bucket_keys), "left")
+                .withColumn(
+                    stats_col,
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.col(stats_col) - F.coalesce("__sf_del", F.lit(0)),
+                    ),
+                )
+                .drop("__sf_del")
+                .select(*sub.columns)  # the join moved keys first; restore
             )
             refreshed = True
     if files_per_part > 1:

@@ -378,7 +378,8 @@ def test_forget_refreshes_bucket_size_stats(spark, tmp_path):
 
 
 def test_bucket_size_refresh_never_newly_drops_multi_segment_buckets(spark, tmp_path):
-    """The refresh is least(old, remaining total), NOT the bare total:
+    """The refresh subtracts the bucket's DELETED count from each
+    surviving row's per-write-segment value — never a merged recount:
     the cap's semantics are per WRITE SEGMENT (a bucket hot only across
     segments is deliberately kept), so a forget touching a partition
     must never push an untargeted bucket over the cap by merging its
@@ -405,8 +406,8 @@ def test_bucket_size_refresh_never_newly_drops_multi_segment_buckets(spark, tmp_
     )
     assert {r.corpus_doc for r in before.collect()} == set(range(100, 106))
     # forget ONE clone: remaining total 5 still exceeds the cap, but
-    # least(3, 5) = 3 keeps every surviving row under it — a bare-total
-    # refresh would write 5 and silently drop the whole bucket
+    # the delta refresh writes 3−1=2 on every surviving row — a merged
+    # recount would write 5 and silently drop the whole bucket
     st = DD.forget_documents(
         spark, path, spark.createDataFrame([(100,)], "doc_id long")
     )
