@@ -1474,10 +1474,13 @@ def minhash_ingest_round(
         )
     from ..operators.graph import extend_components_at_rest
 
+    spark = batch.sparkSession
+    # count BEFORE the timer starts: the report needs n_batch, and a
+    # full batch materialization inside the first lap would over-state
+    # secs["probe"] in the decomposition the bench notes consume
+    n_batch = batch.count()
     secs, _lap = _lap_timer()
 
-    spark = batch.sparkSession
-    n_batch = batch.count()
     p = read_minhash_params(spark, sig_path)
     sig_kwargs = dict(
         num_hashes=p["num_hashes"], bands=p["bands"], shingle_n=p["shingle_n"],
@@ -1843,10 +1846,10 @@ def fingerprint_ingest_round(
                 spark, path, "fingerprints", compact_trigger, fpp
             ),
         )
+    n_batch = batch.count()  # before the timer: see minhash_ingest_round
     secs, _lap = _lap_timer()
 
     deduped = dedup_exact(batch, id_col, text_col)
-    n_batch = batch.count()
     n_ded = deduped.count()
     _lap("within")
     # localCheckpoint: the survivor plan reads the fingerprint TABLE
@@ -1964,9 +1967,9 @@ def simhash_ingest_round(
                 spark, path, "segments", compact_trigger, fpp
             ),
         )
+    n_batch = batch.count()  # before the timer: see minhash_ingest_round
     secs, _lap = _lap_timer()
 
-    n_batch = batch.count()
     vs_corpus = simhash_near_duplicates_against(
         batch, path, id_col, text_col,
         max_distance=max_distance, max_bucket=max_bucket,

@@ -483,6 +483,66 @@ def _probed_queries(
     )
 
 
+def _probed_queries_batched(
+    queries: DataFrame, centroids, id_col: str, vec_col: str, n_probe: int
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`_probed_queries` — the
+    DISTRIBUTED probe for large-k indexes, arithmetic-matched to
+    :func:`assign_clusters_batched` (the same ``‖c‖² − 2·x·c`` form,
+    ties to the lowest cluster index via stable argsort). The regime
+    must match the index's write-side assignment: above
+    ``_BATCHED_ASSIGN_MIN_K`` clusters the corpus was assigned by the
+    numpy regime, and probing it with the HOF sequential-fold distances
+    can rank a near-tie differently — a vector identical to an indexed
+    row could then prune away the very cluster that row lives in (the
+    r10 regime-switch invariant ivf_topk_indexed / ivfpq_topk_indexed
+    already honor driver-side; this is its distributed form, for
+    batch-sized probe frames that must never collect)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+    take = min(n_probe, len(centroids))
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField("qvec", queries.schema[vec_col].dataType, True),
+            T.StructField("qn", T.DoubleType(), True),
+            T.StructField("_probes", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    "probe: NULL vector rows are not probe-able — filter "
+                    "them out first (the HOF path rejects them the same way)"
+                )
+            vecs = np.stack(
+                pdf[vec_col].map(np.asarray, na_action=None).values
+            ).astype(np.float64)
+            dists = c_sq[None, :] - 2.0 * (vecs @ c.T)
+            order = np.argsort(dists, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].values,
+                    "qvec": pdf[vec_col].values,
+                    "qn": np.sqrt((vecs * vecs).sum(axis=1)),
+                    "_probes": list(order.astype("int32")),
+                }
+            )
+
+    return (
+        queries.select(id_col, vec_col)
+        .mapInPandas(probe, out_schema)
+        .select("query_id", "qvec", "qn", F.explode("_probes").alias("_cluster"))
+    )
+
+
 def _score_probed(assigned: DataFrame, q: DataFrame, k: int) -> DataFrame:
     """Exact cosine rerank of probed clusters: broadcast the (tiny)
     exploded query side against the cluster-assigned corpus."""
@@ -2258,10 +2318,16 @@ def semantic_dedup_against(
     SimHash (``simhash_near_duplicates_against``), and now embeddings.
 
     Plan shape (the family's): each batch vector computes its
-    ``n_probe`` nearest SAVED centroids (plan-constant HOF under the
-    index's own quantizer — never retrained), the index scan prunes to
-    exactly those cluster partitions (``PartitionFilters`` on
-    ``_cluster``, from a bounded ≤ n_clusters collect), EXACT cosine
+    ``n_probe`` nearest SAVED centroids under the index's own quantizer
+    (never retrained) with the REGIME MATCHING the index's write-side
+    assignment — plan-constant HOF below ``_BATCHED_ASSIGN_MIN_K``
+    clusters, the distributed Arrow-batched numpy probe at or above it
+    (:func:`_probed_queries_batched`; a mismatched regime could prune
+    away an identical indexed vector's cluster on a near-tie, and the
+    HOF form hits minutes of codegen at production k anyway). The index
+    scan prunes to exactly those cluster partitions
+    (``PartitionFilters`` on ``_cluster``, from a bounded ≤ n_clusters
+    collect), EXACT cosine
     verifies candidates (the corpus side reuses its stored norms; the
     batch side is broadcast — pass ``broadcast_batch=False`` for
     backfill-sized batches), and the batch anti-joins the hit ids.
@@ -2288,16 +2354,15 @@ def semantic_dedup_against(
     recover_index_compaction(data_dir)  # never trust a mid-swap table
     centroids = read_ivf_centroids(spark, path)
     n_probe = min(n_probe, len(centroids))
-    b = (
-        batch.select(
-            F.col(id_col).alias("__sem_id"), F.col(vec_col).alias("__sem_vec")
-        )
-        .withColumn("__sem_n", VX.norm(F.col("__sem_vec")))
-        .withColumn(
-            "_cluster",
-            F.explode(_probe_clusters(F.col("__sem_vec"), centroids, n_probe)),
-        )
-    )
+    # the probe REGIME must match the index's write-side assignment
+    # regime (the r10 regime-switch invariant): above the threshold the
+    # corpus was assigned by the numpy arithmetic, and an HOF probe's
+    # differently-rounded distances could prune away the very cluster
+    # an identical indexed vector lives in on a near-tie
+    if len(centroids) >= _BATCHED_ASSIGN_MIN_K:
+        b = _probed_queries_batched(batch, centroids, id_col, vec_col, n_probe)
+    else:
+        b = _probed_queries(batch, centroids, id_col, vec_col, n_probe)
     # bounded collect: at most n_clusters values by construction
     mods = sorted(r._cluster for r in b.select("_cluster").distinct().collect())
     corpus = spark.read.parquet(data_dir).filter(F.col("_cluster").isin(mods))
@@ -2307,15 +2372,15 @@ def semantic_dedup_against(
         .join(bside, "_cluster")
         .filter(
             VX.cosine_with_norms(
-                F.col("cvec"), F.col("__sem_vec"), F.col("cn"), F.col("__sem_n")
+                F.col("cvec"), F.col("qvec"), F.col("cn"), F.col("qn")
             )
             >= threshold
         )
-        .select("__sem_id")
+        .select(F.col("query_id").alias("__sem_hit"))
         .distinct()
     )
     return batch.join(
-        F.broadcast(hits), batch[id_col] == F.col("__sem_id"), "left_anti"
+        F.broadcast(hits), batch[id_col] == F.col("__sem_hit"), "left_anti"
     )
 
 

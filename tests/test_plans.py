@@ -1572,3 +1572,25 @@ def test_semantic_dedup_against_index(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="cluster-partitioned"):
         SIM.semantic_dedup_against(batch, pq, threshold=0.99)
+
+    # large-k regime: at >= _BATCHED_ASSIGN_MIN_K clusters the index is
+    # numpy-assigned at write time and the probe MUST use the matched
+    # numpy regime (_probed_queries_batched) — an exact clone must still
+    # always drop at n_probe=1, and the exhaustive probe must still
+    # equal brute force
+    big = str(tmp_path / "ivf_big")
+    SIM.write_ivf_index(corpus, big, n_clusters=40, seed=42)
+    got_big = {
+        r.vec_id
+        for r in SIM.semantic_dedup_against(batch, big, threshold=0.99, n_probe=40)
+        .select("vec_id")
+        .collect()
+    }
+    assert got_big == {1000 + i for i in range(20)}
+    got_big1 = {
+        r.vec_id
+        for r in SIM.semantic_dedup_against(batch, big, threshold=0.99, n_probe=1)
+        .select("vec_id")
+        .collect()
+    }
+    assert not (got_big1 & {2000 + i for i in range(5)})
