@@ -2032,10 +2032,11 @@ def forget_documents(spark, table_path: str, ids: DataFrame) -> dict:
     # mid-move. Forget runs on a quiescent table by contract; finish
     # (re-drain the stream) or discard the staging first. Staging
     # litter from an already-COMMITTED txn (crash between marker and
-    # cleanup) is cleared by pending_txns itself, not counted.
+    # cleanup) is reaped here (explicitly — pending_txns is read-only
+    # by default), not counted.
     from ..sources.txn import pending_txns
 
-    pending = pending_txns(root)
+    pending = pending_txns(root, reap_committed=True)
     if pending:
         raise RuntimeError(
             f"{len(pending)} in-flight ingest transaction(s) staged under "

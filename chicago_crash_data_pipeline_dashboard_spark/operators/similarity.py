@@ -2419,10 +2419,11 @@ def delete_from_index(spark, path: str, ids: DataFrame) -> dict:
     # rewriting them now would let the replay re-move already-merged
     # files (duplicating rows, or resurrecting the ids deleted here).
     # Litter from a COMMITTED txn (crash between marker and cleanup)
-    # is cleared by pending_txns itself, not counted.
+    # is reaped here (explicitly — pending_txns is read-only by
+    # default), not counted.
     from ..sources.txn import pending_txns
 
-    pending = pending_txns(path)
+    pending = pending_txns(path, reap_committed=True)
     if pending:
         raise RuntimeError(
             f"{len(pending)} in-flight append transaction(s) staged under "

@@ -64,18 +64,21 @@ def txn_committed(table_root: str, txn: str) -> bool:
     return FS.exists(txn_paths(table_root, txn)[0])
 
 
-def pending_txns(table_root: str, reap_committed: bool = True) -> list[str]:
+def pending_txns(table_root: str, reap_committed: bool = False) -> list[str]:
     """Txn ids staged under ``_ingest_tmp`` that have NOT committed —
     the quiescence signal the forget/delete paths guard on (a genuinely
     in-flight staging's remaining moves target the partitions a delete
     would rewrite). A staging dir whose committed marker exists is NOT
     in-flight: it is litter from a crash between the marker write and
     the staging cleanup (protocol step 4), and every replay path
-    removes it on sight — so, MUTATING BY DEFAULT, this helper deletes
-    such litter too (``reap_committed=True``, what the quiescence
-    guards want: a table that is actually quiescent must not trip them
-    forever). Pass ``reap_committed=False`` for a read-only probe
-    (diagnostics, dry runs, tests asserting on staging state)."""
+    removes it on sight — never counted here.
+
+    READ-ONLY BY DEFAULT (r14, ADVICE r13): a list-named helper must be
+    safe as a diagnostics / monitoring probe. The quiescence guards
+    pass ``reap_committed=True`` explicitly — they WANT the committed
+    litter deleted too (a table that is actually quiescent must not
+    trip them forever), and they are already mutation sites by
+    contract (forget/delete rewrites follow)."""
     root = table_root.rstrip("/")
     pending: list[str] = []
     for stage in FS.glob_paths(f"{root}/_ingest_tmp/*"):

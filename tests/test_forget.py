@@ -419,9 +419,9 @@ def test_bucket_size_refresh_never_newly_drops_multi_segment_buckets(spark, tmp_
 
 
 def test_pending_txns_readonly_probe(spark, tmp_path):
-    """pending_txns mutates by default (the guards' contract: committed
-    litter must not trip quiescence forever) but offers a read-only
-    probe for diagnostics."""
+    """pending_txns is read-only by default (r14, ADVICE r13: a
+    list-named helper must be safe as a monitoring probe); the
+    quiescence guards opt into reaping committed litter explicitly."""
     from chicago_crash_data_pipeline_dashboard_spark.sources import fsutil
     from chicago_crash_data_pipeline_dashboard_spark.sources.txn import pending_txns
 
@@ -429,11 +429,11 @@ def test_pending_txns_readonly_probe(spark, tmp_path):
     fsutil.write_text(f"{root}/_ledger/done-b0", "{}")
     fsutil.write_text(f"{root}/_ingest_tmp/done-b0/_manifest.json", "[]")
     fsutil.write_text(f"{root}/_ingest_tmp/live-b1/_manifest.json", "[]")
-    # read-only: reports only the uncommitted txn, deletes nothing
-    assert pending_txns(root, reap_committed=False) == ["live-b1"]
-    assert fsutil.exists(f"{root}/_ingest_tmp/done-b0")
-    # default: reaps the committed litter, still reports the live one
+    # default = read-only: reports only the uncommitted txn, deletes nothing
     assert pending_txns(root) == ["live-b1"]
+    assert fsutil.exists(f"{root}/_ingest_tmp/done-b0")
+    # guard mode: reaps the committed litter, still reports the live one
+    assert pending_txns(root, reap_committed=True) == ["live-b1"]
     assert not fsutil.exists(f"{root}/_ingest_tmp/done-b0")
     assert fsutil.exists(f"{root}/_ingest_tmp/live-b1")
 
