@@ -401,6 +401,55 @@ def stream_simhash_ingest(
     )
 
 
+def stream_semantic_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_probe: int = 4,
+    files_per_cluster: int = 1,
+    verify: str = "auto",
+    survivors_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> list[dict]:
+    """Cross-run SEMANTIC dedup + ANN-index ingest AS A STREAM —
+    :func:`stream_minhash_ingest` for the embeddings family (r14,
+    VERDICT r13 items 3-4), completing the streamed story across all
+    four at-rest signature types: each drained micro-batch runs one
+    full ``similarity.semantic_ingest_round`` against the IVF / IVF-PQ
+    index — probe vs the ingested corpus (scan pruned to the probed
+    cluster partitions, corpus never shuffled) and vs itself under the
+    index's geometry, the shared INGEST survivor policy, survivors-only
+    append under the SAVED quantizers, trigger-gated compaction —
+    under the same per-batch staged-move ledger, so a foreachBatch
+    replay never re-probes a half-appended index (the batch would pair
+    with its own just-appended vectors and drop every row) and never
+    duplicates index rows. Batch N+1's near-duplicates of batch N's
+    survivors are caught through the index — sequential rounds, the
+    semantics of calling the round per batch by hand.
+
+    Quantizer health is a separate concern: run
+    :func:`stream_maintain_index` (or batch ``maintain_index``) on its
+    own cadence to watch drift and retrain; this stream never
+    retrains. Same delivery contract and report shape as the other
+    three ingest streams."""
+    from ..operators import similarity as SIM
+
+    return _stream_ingest_rounds(
+        spark, src_dir, checkpoint_dir,
+        lambda batch_df, txn: SIM.semantic_ingest_round(
+            batch_df, index_path, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, n_probe=n_probe,
+            files_per_cluster=files_per_cluster, verify=verify, txn=txn,
+        ),
+        survivors_dir=survivors_dir,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
 def _stream_ingest_rounds(
     spark: SparkSession,
     src_dir: str,
