@@ -36,21 +36,103 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first (r13, executing COVERAGE.md §"Round-13 rotation
-# plan"): the 11 r10-verified queries deferred two rounds — at the
-# staleness bound, they MUST sample now; the 3 NEW r13 registrations
-# (the txn ledger extended to the exact-fingerprint and SimHash
-# families — VERDICT r12 item 3 — plus cross-run semantic dedup
-# against the at-rest ANN index); the 9 queries whose code changed in
-# r13 (the ADVICE lifecycle fixes + the shared txn-round refactor +
-# the forget stats refresh + the per-phase bench instrumentation —
-# changed queries sample unconditionally); and the first 27 of the 48
-# r11-verified benched queries. Benched (rotated out): the 41
-# r12-verified queries not re-sampled by a change (fresh green last
-# round; may stay benched through r14) plus the 21 remaining
-# r11-verified queries, which MUST sample in r14.
+# Sampled first (r14, executing COVERAGE.md §"Round-14 rotation
+# plan"): the 21 r11-verified queries deferred since r11 — at the
+# staleness bound, they MUST sample now; the 2 NEW r14 registrations
+# (the embeddings family's streamed ingest round + the streamed ANN
+# maintenance drain's driver-oracle gate — VERDICT r13 items 3-4);
+# the 5 queries whose code changed in r14 (the semantic-dedup verify
+# refactor, the pending_txns quiescence-guard call sites, the
+# per-phase bench instrumentation added to the remaining composite
+# gates — changed queries sample unconditionally); and the first 22
+# of the 40 remaining r12-verified benched queries. Benched (rotated
+# out): the 46 r13-verified queries not re-sampled by a change (fresh
+# green last round; may stay benched through r15) plus the 18
+# remaining r12-verified queries, which MUST sample in r15.
 _VERIFY_FIRST = [
-    # --- r10-verified, deferred two rounds: staleness bound, MUST sample ---
+    # --- r11-verified, deferred since r11: staleness bound, MUST sample ---
+    "anti_join_new_keys",
+    "topk_orders_by_revenue",
+    "quantiles",
+    "revenue_rollup",
+    "approx_sketch_stats",
+    "customer_orders_wide",
+    "doc_repetition_stats",
+    "media_frame_plan",
+    "binary_file_ingest",
+    "media_feature_stats",
+    "pipeline_e2e",
+    "value_counts_approx_topk",
+    "emb_pq_pruned",
+    "event_sessions_native",
+    "event_props_variant",
+    "event_sessions_native_stream",
+    "doc_curation_pipeline",
+    "doc_jaccard_pairs",
+    "doc_dup_clusters",
+    "emb_semantic_dedup",
+    "emb_ivf_pruned",
+    # --- NEW in r14: the embeddings family's one-call + streamed txn
+    # ingest round; the streamed ANN maintenance drain's oracle gate ---
+    "emb_semantic_ingest_stream",
+    "emb_maintain_stream",
+    # --- changed in r14 (verify-stage refactor behind
+    # semantic_dedup_against; pending_txns read-only default with
+    # explicit reaping at the forget/delete quiescence guards;
+    # _PhaseTimer decompositions added to the remaining composite IO
+    # gates): sample unconditionally ---
+    "emb_semantic_dedup_against",
+    "doc_forget_docs",
+    "emb_index_delete",
+    "doc_cc_extend",
+    "doc_ingest_round",
+    # --- r12-verified, rotating back from the bench (first 22 of 40) ---
+    "doc_simhash_hamming",
+    "emb_ivf_topk",
+    "emb_ivf_largek",
+    "emb_pq_topk",
+    "emb_ivfpq_pruned",
+    "socrata_paged_scan",
+    "doc_minhash_against_corpus",
+    "doc_simhash",
+    "time_features",
+    "whitelist_recode",
+    "emb_lsh_topk",
+    "crash_model_eval",
+    "jobspec_extract",
+    "silver_catalog_validate",
+    "skew_salted_join_agg",
+    "promo_part_star",
+    "doc_winnow_fp",
+    "doc_decontaminate",
+    "emb_quantize_error",
+    "doc_stratified_sample",
+    "doc_pack_bins",
+    "doc_quality_buckets",
+]
+_ROTATION_BENCHED = [
+    # --- r12-verified (green r12 driver rows); the 18 NOT sampled
+    # this round — at the staleness bound, they MUST sample in r15 ---
+    "doc_pii_scrub",
+    "doc_chunk_overlap",
+    "schema_evolution_merge",
+    "json_malformed_ingest",
+    "partition_overwrite_dynamic",
+    "incremental_agg_merge",
+    "doc_quality_regression",
+    "crash_rule_eval",
+    "doc_training_pipeline",
+    "order_profile",
+    "revenue_by_nation",
+    "doc_tfidf_cosine_pairs",
+    "emb_near_dup_pairs",
+    "crash_clean_chain",
+    "doc_minhash_near_dups",
+    "doc_cap_per_source",
+    "doc_strip_boilerplate",
+    "sql_adhoc_query",
+    # --- r13-verified (green r13 driver rows, unchanged in r14); may
+    # stay benched through r15 ---
     "event_windowed_counts_stream",
     "event_error_click_window_stream",
     "event_dedup_watermark_stream",
@@ -62,24 +144,14 @@ _VERIFY_FIRST = [
     "event_props_json",
     "event_funnel_steps",
     "user_retention_cohorts",
-    # --- NEW in r13: streamed exact/SimHash ingest under the txn
-    # ledger; cross-run semantic dedup against the at-rest ANN index ---
     "doc_exact_ingest_stream",
     "doc_simhash_ingest_stream",
-    "emb_semantic_dedup_against",
-    # --- changed in r13 (ADVICE fixes, txn-round refactor, append
-    # factoring, forget stats refresh, per-phase bench instrumentation):
-    # sample unconditionally ---
     "doc_ingest_stream",
-    "doc_ingest_round",
     "doc_exact_against_corpus",
     "doc_simhash_against_corpus",
-    "doc_forget_docs",
-    "emb_index_delete",
     "emb_ivfpq_append",
     "emb_index_compact",
     "compact_small_files",
-    # --- r11-verified, rotating back from the bench (first 27 of 48) ---
     "pricing_summary",
     "eda_day_labels",
     "run_history",
@@ -107,74 +179,6 @@ _VERIFY_FIRST = [
     "event_asof_last_click",
     "event_sessions",
     "event_zorder_keys",
-]
-_ROTATION_BENCHED = [
-    # --- r11-verified (green r11); the 21 NOT sampled this round —
-    # at the staleness bound, they MUST sample in r14 ---
-    "anti_join_new_keys",
-    "topk_orders_by_revenue",
-    "quantiles",
-    "revenue_rollup",
-    "approx_sketch_stats",
-    "customer_orders_wide",
-    "doc_repetition_stats",
-    "media_frame_plan",
-    "binary_file_ingest",
-    "media_feature_stats",
-    "pipeline_e2e",
-    "value_counts_approx_topk",
-    "emb_pq_pruned",
-    "event_sessions_native",
-    "event_props_variant",
-    "event_sessions_native_stream",
-    "doc_curation_pipeline",
-    "doc_jaccard_pairs",
-    "doc_dup_clusters",
-    "emb_semantic_dedup",
-    "emb_ivf_pruned",
-    # --- r12-verified (green r12 driver rows, unchanged in r13); may
-    # stay benched through r14 ---
-    "doc_simhash_hamming",
-    "emb_ivf_topk",
-    "emb_ivf_largek",
-    "emb_pq_topk",
-    "emb_ivfpq_pruned",
-    "socrata_paged_scan",
-    "doc_minhash_against_corpus",
-    "doc_simhash",
-    "doc_cc_extend",
-    "time_features",
-    "whitelist_recode",
-    "emb_lsh_topk",
-    "crash_model_eval",
-    "jobspec_extract",
-    "silver_catalog_validate",
-    "skew_salted_join_agg",
-    "promo_part_star",
-    "doc_winnow_fp",
-    "doc_decontaminate",
-    "emb_quantize_error",
-    "doc_stratified_sample",
-    "doc_pack_bins",
-    "doc_quality_buckets",
-    "doc_pii_scrub",
-    "doc_chunk_overlap",
-    "schema_evolution_merge",
-    "json_malformed_ingest",
-    "partition_overwrite_dynamic",
-    "incremental_agg_merge",
-    "doc_quality_regression",
-    "crash_rule_eval",
-    "doc_training_pipeline",
-    "order_profile",
-    "revenue_by_nation",
-    "doc_tfidf_cosine_pairs",
-    "emb_near_dup_pairs",
-    "crash_clean_chain",
-    "doc_minhash_near_dups",
-    "doc_cap_per_source",
-    "doc_strip_boilerplate",
-    "sql_adhoc_query",
 ]
 
 

@@ -88,6 +88,10 @@ SKIP = {
     # families — their streamed rounds, same STREAM bin
     "doc_exact_ingest_stream",
     "doc_simhash_ingest_stream",
+    # r14: the embeddings family's streamed ingest round + the streamed
+    # ANN maintenance drain — same STREAM bin
+    "emb_semantic_ingest_stream",
+    "emb_maintain_stream",
     "event_sessions_stream",
     "event_sessions_native_stream",
     "event_first_seen_stream",

@@ -59,6 +59,10 @@ STREAM_QUERIES = [
     # families — their streamed rounds
     "doc_exact_ingest_stream",
     "doc_simhash_ingest_stream",
+    # r14: the embeddings family joins — streamed semantic ingest round
+    # + the streamed ANN maintenance drain under the same ledger
+    "emb_semantic_ingest_stream",
+    "emb_maintain_stream",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -2585,16 +2585,24 @@ def doc_ingest_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = d.filter(F.col("doc_id") % 5 == 0).unionByName(clones)
     tmp = tempfile.mkdtemp(prefix="ccpd_round_")
+    t = _PhaseTimer("doc_ingest_round")
     try:
         path = f"{tmp}/sigs"
         DD.write_minhash_signatures(
             corpus, path, "doc_id", "text", parts=16, **_ROUND_SIG
         )
+        t.lap("corpus_signature_build")
         rep = DD.minhash_ingest_round(
             batch, path, "doc_id", "text", threshold=0.5, max_bucket=1000
         )
+        # the round reports its own per-step split — surface it in the
+        # gate's phase notes instead of one opaque "round" lap
+        for step, s in rep["secs"].items():
+            t.secs[f"round_{step}"] = s
+        t.lap("round_total")
         surv = rep["survivors"].select("doc_id")
         rows = surv.collect()
+        t.lap("survivor_collect_and_asserts")
         survived = {r.doc_id for r in rows}
         planted = {r.doc_id for r in clones.select("doc_id").collect()}
         leaked = sorted(survived & planted)
@@ -2670,6 +2678,7 @@ def doc_cc_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     if delta.limit(1).count() == 0:
         raise AssertionError("no edges touch the held-out split — gate is vacuous")
     tmp = tempfile.mkdtemp(prefix="ccpd_ccext_")
+    t = _PhaseTimer("doc_cc_extend")
     try:
         path = f"{tmp}/components"
         # parts=256 honors the operator's measured sizing rule (parts >=
@@ -2678,12 +2687,16 @@ def doc_cc_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_components(
             connected_components(base, src="doc_a", dst="doc_b"), path, parts=256
         )
+        t.lap("base_cc_and_write")
         extend_components_at_rest(spark, path, delta, src="doc_a", dst="doc_b")
+        t.lap("extend_at_rest")
         ext = read_components(spark, path)
         rows = sorted(map(tuple, ext.collect()))
+        t.lap("read_back")
         full = sorted(
             map(tuple, connected_components(pairs, src="doc_a", dst="doc_b").collect())
         )
+        t.lap("full_union_recompute_twin")
         if rows != full:
             raise AssertionError(
                 "incremental extend diverged from the full-union recompute "
@@ -3300,13 +3313,17 @@ def doc_forget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_forgotten == 0 or n_kept == 0:
         raise AssertionError("clone plant is vacuous on this fixture")
     tmp = tempfile.mkdtemp(prefix="ccpd_forget_")
+    t = _PhaseTimer("doc_forget_docs")
     try:
         fps, sigs = f"{tmp}/fps", f"{tmp}/sigs"
         DD.write_fingerprints(d, fps, "doc_id", "text", parts=16)
         DD.write_minhash_signatures(d, sigs, "doc_id", "text", parts=16, **_ROUND_SIG)
+        t.lap("table_builds")
         ids = forget.select("doc_id")
         st_fp = DD.forget_documents(spark, fps, ids)
+        t.lap("forget_fingerprints")
         st_sig = DD.forget_documents(spark, sigs, ids)
+        t.lap("forget_signatures")
         if st_fp["table"] != "fingerprints" or st_sig["table"] != "banded":
             raise AssertionError(f"layout sniff wrong: {st_fp} / {st_sig}")
         if st_fp["rows_deleted"] == 0 or st_sig["rows_deleted"] == 0:
@@ -3314,6 +3331,7 @@ def doc_forget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact probe: forgotten clones survive, kept clones drop
         surv = DD.dedup_exact_against(batch, fps, "doc_id", "text").select("doc_id")
         rows = surv.collect()
+        t.lap("exact_probe")
         got = {r.doc_id for r in rows}
         leaked = sorted(
             {r.doc_id for r in kept_clones.select("doc_id").collect()} & got
@@ -3340,6 +3358,7 @@ def doc_forget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if missed:
             raise AssertionError(f"kept-doc clones lost their signatures: {missed}")
+        t.lap("minhash_probe_and_asserts")
         # the tables vanish with the scratch dir — return data
         return spark.createDataFrame(rows, surv.schema)
     finally:
@@ -3378,18 +3397,22 @@ def emb_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.filter(F.col("vec_id") < _NQ)
     tmp = tempfile.mkdtemp(prefix="ccpd_idx_del_")
+    t = _PhaseTimer("emb_index_delete")
     try:
         path = f"{tmp}/ivf"
         cents = SIM.write_ivf_index(e, path, n_clusters=16, seed=42)
+        t.lap("index_build")
         stats = SIM.delete_from_index(spark, path, doomed.select("vec_id"))
         if stats["rows_deleted"] != doomed.count():
             raise AssertionError(f"deletion count off: {stats}")
+        t.lap("delete_from_index")
         got = SIM.ivf_topk_indexed(spark, path, q, k=5, n_probe=8)
         rows = sorted(map(tuple, got.collect()))
         doomed_ids = {r.vec_id for r in doomed.select("vec_id").collect()}
         leaked = sorted({r[1] for r in rows} & doomed_ids)
         if leaked:
             raise AssertionError(f"deleted ids still in top-k: {leaked}")
+        t.lap("probe_after_delete")
         rebuilt = f"{tmp}/rebuilt"
         SIM.write_ivf_index(survivors, rebuilt, centroids=cents)
         want = sorted(
@@ -3400,6 +3423,7 @@ def emb_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "post-delete probe diverged from a same-centroid rebuild "
                 "on the surviving corpus"
             )
+        t.lap("rebuild_twin_and_probe")
         approx = spark.createDataFrame(rows, got.schema)
         exact = SIM.brute_force_topk(
             survivors, q, id_col="vec_id", vec_col="embedding", k=5
@@ -3407,7 +3431,241 @@ def emb_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate = _ann_recall_gate(approx, exact).withColumn(
             "delete_clean", F.lit(True)
         )
+        out = spark.createDataFrame(gate.collect(), gate.schema)
+        t.lap("brute_force_recall_gate")
         # the index files vanish with the scratch dir — return data
-        return spark.createDataFrame(gate.collect(), gate.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _semantic_ingest_round_oracle(threshold: float, clone_offset: int) -> str:
+    """DuckDB twin of one semantic_ingest_round at EXHAUSTIVE probe
+    (n_probe = n_clusters, where the IVF probe IS brute force): cosine
+    >= threshold pairs — cross (corpus x batch) and within
+    (batch x batch) — recursive-CTE connected components over the
+    union edge graph, then the shared INGEST survivor policy (corpus
+    wins transitively; corpus-free components keep their min batch
+    member). One streamed micro-batch IS one round, so the stream gate
+    uses it directly."""
+    cos_cb = _cosine_sql("c.embedding", "b.embedding", _DIM)
+    cos_ab = _cosine_sql("a.embedding", "b.embedding", _DIM)
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id AS doc, embedding FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    batch AS (
+      SELECT vec_id AS doc, embedding FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + {clone_offset} AS doc, embedding FROM embeddings
+      WHERE vec_id % 5 <> 0 AND vec_id % 50 = 1
+    ),
+    cross_pairs AS (
+      SELECT c.doc AS corpus_doc, b.doc AS batch_doc
+      FROM corpus c, batch b
+      WHERE {cos_cb} >= {threshold}
+    ),
+    within_pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM batch a, batch b
+      WHERE a.doc < b.doc AND {cos_ab} >= {threshold}
+    ),
+    edges AS (
+      SELECT corpus_doc AS a, batch_doc AS b FROM cross_pairs
+      UNION SELECT batch_doc, corpus_doc FROM cross_pairs
+      UNION SELECT doc_a, doc_b FROM within_pairs
+      UNION SELECT doc_b, doc_a FROM within_pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+    tainted AS (
+      SELECT DISTINCT c.comp FROM comp c
+      JOIN (SELECT DISTINCT corpus_doc FROM cross_pairs) x ON c.node = x.corpus_doc
+    ),
+    clustered AS (
+      SELECT c.node, c.comp FROM comp c
+      JOIN batch b ON c.node = b.doc
+    ),
+    keep AS (
+      SELECT min(node) AS node FROM clustered c
+      WHERE NOT EXISTS (SELECT 1 FROM tainted t WHERE t.comp = c.comp)
+      GROUP BY comp
+    ),
+    dropped AS (
+      SELECT node FROM clustered c
+      WHERE NOT EXISTS (SELECT 1 FROM keep k WHERE k.node = c.node)
+    )
+    SELECT doc AS vec_id FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.node = b.doc)
+    """
+
+
+@register(
+    "emb_semantic_ingest_stream",
+    oracle=_semantic_ingest_round_oracle(0.9, _AGAINST_CLONE_OFFSET),
+    doc="Cross-run SEMANTIC dedup + ANN ingest AS A STREAM "
+    "(streaming/ingest.py stream_semantic_ingest -> "
+    "operators/similarity.py semantic_ingest_round — r14, completing "
+    "the one-call + streamed ingest round across all four at-rest "
+    "signature families, VERDICT r13 item 3): each availableNow "
+    "micro-batch probes the IVF index (scan pruned to the probed "
+    "cluster partitions, corpus never shuffled) and itself under the "
+    "index's geometry, applies the shared INGEST survivor policy, and "
+    "appends only the survivors under the SAVED quantizer — the whole "
+    "round inside the staged-move txn ledger (probe frozen strictly "
+    "before any cluster file moves). Gate, raised in-gate: drain 1 "
+    "runs exactly ONE appended batch with every planted clone "
+    "dropped; a re-drain with no new files runs ZERO batches; a "
+    "manual replay of the drained txn id reports skipped_replay with "
+    "the identical survivor count and an untouched index file census. "
+    "The gate probes EXHAUSTIVELY (n_probe = n_clusters), so the "
+    "oracle is a brute-force cosine replay of the WHOLE round: "
+    "cross + within >= threshold pairs, recursive-CTE connected "
+    "components, the ingest policy.",
+)
+def emb_semantic_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import fsutil as FS
+    from ..streaming.ingest import _stream_ledger_id, stream_semantic_ingest
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    clones = corpus.filter(F.col("vec_id") % 50 == 1).select(
+        (F.col("vec_id") + _AGAINST_CLONE_OFFSET).alias("vec_id"), "embedding"
+    )
+    batch = e.filter(F.col("vec_id") % 5 == 0).unionByName(clones)
+    planted = {r.vec_id for r in clones.select("vec_id").collect()}
+    if not planted:
+        raise AssertionError("no clones planted — gate is vacuous")
+    tmp = tempfile.mkdtemp(prefix="ccpd_sem_stream_")
+    try:
+        idx = f"{tmp}/ivf"
+        SIM.write_ivf_index(corpus, idx, n_clusters=16, seed=42)
+        batch.coalesce(1).write.parquet(f"{tmp}/src")
+        args = dict(
+            spark=spark, src_dir=f"{tmp}/src", index_path=idx,
+            checkpoint_dir=f"{tmp}/ckpt", threshold=0.9, n_probe=16,
+            survivors_dir=f"{tmp}/survivors",
+        )
+        reports = stream_semantic_ingest(**args)
+        if len(reports) != 1 or reports[0]["action"] != "appended":
+            raise AssertionError(f"expected one appended batch, got {reports}")
+        if stream_semantic_ingest(**args):  # re-drain: checkpoint dedups input
+            raise AssertionError("re-drain with no new files ran batches")
+        census = len(FS.glob_paths(f"{idx}/_cluster=*/*.parquet"))
+        replay = SIM.semantic_ingest_round(
+            batch, idx, threshold=0.9, n_probe=16,
+            txn=f"{_stream_ledger_id(args['checkpoint_dir'])}-b0",
+        )
+        if replay["action"] != "skipped_replay":
+            raise AssertionError(f"txn replay re-ran the round: {replay['action']}")
+        if replay["n_survivors"] != reports[0]["n_survivors"]:
+            raise AssertionError("replay reconstructed a different survivor count")
+        if len(FS.glob_paths(f"{idx}/_cluster=*/*.parquet")) != census:
+            raise AssertionError("txn replay changed the index")
+        surv = spark.read.parquet(f"{tmp}/survivors/batch=0").select("vec_id")
+        rows = surv.collect()
+        leaked = sorted({r.vec_id for r in rows} & planted)
+        if leaked:
+            raise AssertionError(f"planted clones survived the streamed round: {leaked}")
+        # scratch index and sink vanish with the tempdir — return data
+        return spark.createDataFrame(rows, surv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "emb_maintain_stream",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {_NQ}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_cosine_sql('cvec', 'qvec', _DIM)}, 6) AS cos
+      FROM c, q WHERE neighbor_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS "rank"
+      FROM scored
+    )
+    SELECT * FROM r WHERE "rank" <= 5
+    """,
+    doc="Streamed ANN-index maintenance under the txn ledger "
+    "(streaming/ingest.py stream_maintain_index -> "
+    "operators/similarity.py maintain_index — r14, VERDICT r13 item 4: "
+    "the one at-rest streaming drain that had no driver-oracle gate): "
+    "the index is built on 80% of the corpus, the held-out 20% "
+    "arrives as a file and one availableNow drain runs the full "
+    "maintenance policy per micro-batch (drift measured vs the "
+    "build-time baseline, append under the SAVED quantizer, "
+    "trigger-gated compaction), idempotent against foreachBatch "
+    "replays. Gate, raised in-gate: ONE appended batch with a "
+    "non-null drift ratio; a re-drain runs ZERO batches; a manual "
+    "maintain_index replay of the drained txn id reports "
+    "skipped_replay and leaves the file census untouched; the grown "
+    "index probed EXHAUSTIVELY (n_probe = n_clusters) equals "
+    "row-for-row a same-quantizer rebuild over the full corpus — and "
+    "exhaustive probe IS brute force, so the returned top-k "
+    "hash-matches the brute-force cosine SQL twin.",
+)
+def emb_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sources import fsutil as FS
+    from ..streaming.ingest import _stream_ledger_id, stream_maintain_index
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    batch = e.filter(F.col("vec_id") % 5 == 0)
+    q = e.filter(F.col("vec_id") < _NQ)
+    tmp = tempfile.mkdtemp(prefix="ccpd_maint_stream_")
+    try:
+        idx = f"{tmp}/ivf"
+        cents = SIM.write_ivf_index(corpus, idx, n_clusters=16, seed=42)
+        batch.coalesce(1).write.parquet(f"{tmp}/src")
+        args = dict(
+            spark=spark, src_dir=f"{tmp}/src", index_path=idx,
+            checkpoint_dir=f"{tmp}/ckpt", retrain="never",
+        )
+        reports = stream_maintain_index(**args)
+        if len(reports) != 1 or reports[0]["action"] != "appended":
+            raise AssertionError(f"expected one appended batch, got {reports}")
+        if reports[0]["drift_ratio"] is None:
+            raise AssertionError("drift ratio not measured against the baseline")
+        if stream_maintain_index(**args):  # re-drain: checkpoint dedups input
+            raise AssertionError("re-drain with no new files ran batches")
+        census = len(FS.glob_paths(f"{idx}/_cluster=*/*.parquet"))
+        replay = SIM.maintain_index(
+            spark, idx, batch, retrain="never",
+            txn=f"{_stream_ledger_id(args['checkpoint_dir'])}-b0",
+        )
+        if replay["action"] != "skipped_replay":
+            raise AssertionError(f"txn replay re-ran the round: {replay['action']}")
+        if len(FS.glob_paths(f"{idx}/_cluster=*/*.parquet")) != census:
+            raise AssertionError("txn replay changed the index")
+        # exhaustive probe of the grown index == same-quantizer rebuild
+        # == brute force (the oracle)
+        got = SIM.ivf_topk_indexed(spark, idx, q, k=5, n_probe=16)
+        rows = sorted(map(tuple, got.collect()))
+        rebuilt = f"{tmp}/rebuilt"
+        SIM.write_ivf_index(e, rebuilt, centroids=cents)
+        want = sorted(
+            map(tuple, SIM.ivf_topk_indexed(spark, rebuilt, q, k=5, n_probe=16).collect())
+        )
+        if rows != want:
+            raise AssertionError(
+                "streamed-append probe diverged from a same-quantizer rebuild"
+            )
+        # the index files vanish with the scratch dir — return data
+        return spark.createDataFrame(rows, got.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
