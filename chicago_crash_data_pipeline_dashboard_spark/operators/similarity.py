@@ -498,6 +498,19 @@ def _probed_queries_batched(
     r10 regime-switch invariant ivf_topk_indexed / ivfpq_topk_indexed
     already honor driver-side; this is its distributed form, for
     batch-sized probe frames that must never collect)."""
+    return _probed_compact_batched(queries, centroids, id_col, vec_col, n_probe).select(
+        "query_id", "qvec", "qn", F.explode("_probes").alias("_cluster")
+    )
+
+
+def _probed_compact_batched(
+    queries: DataFrame, centroids, id_col: str, vec_col: str, n_probe: int
+) -> DataFrame:
+    """UNEXPLODED probe frame (query_id, qvec, qn, _probes array<int>)
+    under the Arrow-batched numpy regime — one row per query vector.
+    :func:`_probed_queries_batched` is its exploded view; the semantic
+    against-corpus family collects THIS form so the driver-side probe
+    materialization carries each vector once, not n_probe times."""
     import numpy as np
     import pandas as pd
 
@@ -536,11 +549,22 @@ def _probed_queries_batched(
                 }
             )
 
-    return (
-        queries.select(id_col, vec_col)
-        .mapInPandas(probe, out_schema)
-        .select("query_id", "qvec", "qn", F.explode("_probes").alias("_cluster"))
-    )
+    return queries.select(id_col, vec_col).mapInPandas(probe, out_schema)
+
+
+def _probed_compact_hof(
+    queries: DataFrame, centroids, id_col: str, vec_col: str, n_probe: int
+) -> DataFrame:
+    """UNEXPLODED probe frame under the plan-constant HOF regime —
+    the pre-explode form of :func:`_probed_queries` (whose explode
+    drops NULL-vector queries; the filter here matches that)."""
+    probes = _probe_clusters(F.col(vec_col), centroids, n_probe)
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        VX.norm(F.col(vec_col)).alias("qn"),
+        probes.alias("_probes"),
+    ).filter(F.col("_probes").isNotNull())
 
 
 def _score_probed(assigned: DataFrame, q: DataFrame, k: int) -> DataFrame:
@@ -2374,9 +2398,16 @@ def _semantic_hits_matmul(
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
+    # probe_rows carry the COMPACT form (one row per query, _probes
+    # array — the collect paid |batch| rows, not |batch| × n_probe);
+    # the per-cluster gemm layout re-expands each vector into its
+    # n_probe cluster blocks here, so the broadcast itself is
+    # n_probe-fold — the bounded, one-copy-per-executor side of the
+    # budget, not the driver-collect side
     by_cluster: dict[int, list] = {}
     for r in probe_rows:
-        by_cluster.setdefault(int(r["_cluster"]), []).append(r)
+        for cl in r["_probes"]:
+            by_cluster.setdefault(int(cl), []).append(r)
     blocks = {
         c: (
             np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in rs]),
@@ -2460,8 +2491,6 @@ def _semantic_probe_hits(
     spark = batch.sparkSession
     n_probe = min(n_probe, len(centroids))
     regime = "batched" if len(centroids) >= _BATCHED_ASSIGN_MIN_K else "hof"
-    probe_fn = _probed_queries_batched if regime == "batched" else _probed_queries
-    b = probe_fn(batch, centroids, id_col, vec_col, n_probe)
     assigned = (
         _assigned_frame(batch, centroids, id_col, vec_col, regime)
         if include_within
@@ -2469,8 +2498,16 @@ def _semantic_probe_hits(
     )
     use_matmul = _resolve_verify(verify, len(centroids), broadcast_batch)
     if broadcast_batch:
-        rows = b.collect()  # bounded: |batch| × n_probe, the broadcast budget
-        mods = sorted({int(r["_cluster"]) for r in rows})
+        # collect the COMPACT (unexploded) probe frame: one row per
+        # batch vector, its n_probe cluster ids as an array — the
+        # driver-side budget is |batch| vectors, not |batch| × n_probe
+        # duplicated copies (at n_probe=16 the exploded collect costs
+        # 16× the memory for the same information)
+        compact_fn = (
+            _probed_compact_batched if regime == "batched" else _probed_compact_hof
+        )
+        rows = compact_fn(batch, centroids, id_col, vec_col, n_probe).collect()
+        mods = sorted({int(cl) for r in rows for cl in r["_probes"]})
         corpus = spark.read.parquet(data_dir).filter(F.col("_cluster").isin(mods))
         if use_matmul:
             q_dtype = batch.schema[id_col].dataType
@@ -2481,7 +2518,14 @@ def _semantic_probe_hits(
                 else None
             )
         else:
-            q = spark.createDataFrame(rows, b.schema)
+            # rebuild a LOCAL relation from the compact rows and explode
+            # in-plan — the local relation stays |batch|-sized
+            compact_schema = compact_fn(
+                batch.limit(0), centroids, id_col, vec_col, n_probe
+            ).schema
+            q = spark.createDataFrame(rows, compact_schema).select(
+                "query_id", "qvec", "qn", F.explode("_probes").alias("_cluster")
+            )
             cross = _semantic_hits_hof(corpus, q, threshold)
             within = (
                 _semantic_hits_hof(assigned, q, threshold)
@@ -2489,6 +2533,9 @@ def _semantic_probe_hits(
                 else None
             )
     else:
+        b = (_probed_queries_batched if regime == "batched" else _probed_queries)(
+            batch, centroids, id_col, vec_col, n_probe
+        )
         # backfill-sized batch: never collect. Eager localCheckpoint —
         # the probe frame is consumed twice (cluster-id collect + join)
         # and each evaluation would re-run the probe map; a checkpoint
