@@ -38,17 +38,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #
 # Sampled first (r14, executing COVERAGE.md §"Round-14 rotation
 # plan"): the 21 r11-verified queries deferred since r11 — at the
-# staleness bound, they MUST sample now; the 2 NEW r14 registrations
-# (the embeddings family's streamed ingest round + the streamed ANN
-# maintenance drain's driver-oracle gate — VERDICT r13 items 3-4);
-# the 5 queries whose code changed in r14 (the semantic-dedup verify
-# refactor, the pending_txns quiescence-guard call sites, the
-# per-phase bench instrumentation added to the remaining composite
-# gates — changed queries sample unconditionally); and the first 22
-# of the 40 remaining r12-verified benched queries. Benched (rotated
-# out): the 46 r13-verified queries not re-sampled by a change (fresh
-# green last round; may stay benched through r15) plus the 18
-# remaining r12-verified queries, which MUST sample in r15.
+# staleness bound, they MUST sample now; the 3 NEW r14 registrations
+# (the embeddings family's one-call + streamed ingest round + the
+# streamed ANN maintenance drain's driver-oracle gate — VERDICT r13
+# items 3-4); the 5 queries whose code changed in r14 (the
+# semantic-dedup verify refactor, the pending_txns quiescence-guard
+# call sites, the per-phase bench instrumentation added to the
+# remaining composite gates — changed queries sample
+# unconditionally); and the first 21 of the 40 remaining r12-verified
+# benched queries. Benched (rotated out): the 46 r13-verified queries
+# not re-sampled by a change (fresh green last round; may stay
+# benched through r15) plus the 19 remaining r12-verified queries,
+# which MUST sample in r15.
 _VERIFY_FIRST = [
     # --- r11-verified, deferred since r11: staleness bound, MUST sample ---
     "anti_join_new_keys",
@@ -74,6 +75,7 @@ _VERIFY_FIRST = [
     "emb_ivf_pruned",
     # --- NEW in r14: the embeddings family's one-call + streamed txn
     # ingest round; the streamed ANN maintenance drain's oracle gate ---
+    "emb_semantic_ingest_round",
     "emb_semantic_ingest_stream",
     "emb_maintain_stream",
     # --- changed in r14 (verify-stage refactor behind
@@ -108,11 +110,11 @@ _VERIFY_FIRST = [
     "emb_quantize_error",
     "doc_stratified_sample",
     "doc_pack_bins",
-    "doc_quality_buckets",
 ]
 _ROTATION_BENCHED = [
-    # --- r12-verified (green r12 driver rows); the 18 NOT sampled
+    # --- r12-verified (green r12 driver rows); the 19 NOT sampled
     # this round — at the staleness bound, they MUST sample in r15 ---
+    "doc_quality_buckets",
     "doc_pii_scrub",
     "doc_chunk_overlap",
     "schema_evolution_merge",

@@ -74,6 +74,7 @@ SKIP = {
     "doc_forget_docs",
     "emb_index_delete",
     "emb_semantic_dedup_against",  # r13: scratch-index round-trip — IO bin
+    "emb_semantic_ingest_round",  # r14: one-call semantic ingest round — IO bin
     "emb_ivf_pruned",
     "emb_pq_pruned",
     "orc_roundtrip_stats",

@@ -3669,3 +3669,64 @@ def emb_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, got.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "emb_semantic_ingest_round",
+    oracle=_semantic_ingest_round_oracle(0.9, _AGAINST_CLONE_OFFSET),
+    doc="ONE cross-run semantic ingest round, as ONE call "
+    "(operators/similarity.py semantic_ingest_round — r14, the "
+    "embeddings member of the one-call round family, completing the "
+    "doc_ingest_round symmetry across all four at-rest signature "
+    "types): probe the batch against the IVF index (scan pruned to "
+    "the probed cluster partitions, corpus never shuffled) AND "
+    "against itself under the index's geometry, apply the shared "
+    "INGEST survivor policy (corpus wins transitively; corpus-free "
+    "components keep their min batch member), append only the "
+    "survivors under the SAVED quantizer, compact on the worst-"
+    "cluster trigger. The gate probes EXHAUSTIVELY "
+    "(n_probe = n_clusters), so the oracle is the same brute-force "
+    "full-round replay the stream gate uses (one micro-batch IS one "
+    "round): cosine cross+within pairs, recursive-CTE connected "
+    "components, the ingest policy.",
+)
+def emb_semantic_ingest_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    clones = corpus.filter(F.col("vec_id") % 50 == 1).select(
+        (F.col("vec_id") + _AGAINST_CLONE_OFFSET).alias("vec_id"), "embedding"
+    )
+    batch = e.filter(F.col("vec_id") % 5 == 0).unionByName(clones)
+    planted = {r.vec_id for r in clones.select("vec_id").collect()}
+    if not planted:
+        raise AssertionError("no clones planted — gate is vacuous")
+    tmp = tempfile.mkdtemp(prefix="ccpd_sem_round_")
+    t = _PhaseTimer("emb_semantic_ingest_round")
+    try:
+        idx = f"{tmp}/ivf"
+        SIM.write_ivf_index(corpus, idx, n_clusters=16, seed=42)
+        t.lap("index_build")
+        rep = SIM.semantic_ingest_round(batch, idx, threshold=0.9, n_probe=16)
+        for step, s in rep["secs"].items():
+            t.secs[f"round_{step}"] = s
+        t.lap("round_total")
+        surv = rep["survivors"].select("vec_id")
+        rows = surv.collect()
+        leaked = sorted({r.vec_id for r in rows} & planted)
+        if leaked:
+            raise AssertionError(f"planted clones survived the round: {leaked}")
+        if rep["n_cross_pairs"] < len(planted):
+            raise AssertionError(
+                f"only {rep['n_cross_pairs']} cross pairs for {len(planted)} "
+                "planted clones — the corpus probe missed plants"
+            )
+        if rep["n_survivors"] == 0:
+            raise AssertionError("round dropped everything — gate is vacuous")
+        t.lap("survivor_collect_and_asserts")
+        # the index vanishes with the scratch dir — return data
+        return spark.createDataFrame(rows, surv.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
