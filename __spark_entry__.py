@@ -88,7 +88,7 @@ _VERIFY_FIRST = [
     "emb_index_delete",
     "doc_cc_extend",
     "doc_ingest_round",
-    # --- r12-verified, rotating back from the bench (first 22 of 40) ---
+    # --- r12-verified, rotating back from the bench (first 21 of 40) ---
     "doc_simhash_hamming",
     "emb_ivf_topk",
     "emb_ivf_largek",

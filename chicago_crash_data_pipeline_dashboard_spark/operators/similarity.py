@@ -1827,18 +1827,17 @@ def maintain_index(
             worst = max(
                 FS.count_glob(f"{root}/{t}/*.parquet") for t in ("codes", "vectors")
             )
-            bound = compact_trigger
+            if worst > compact_trigger:
+                stats = compact_index(
+                    spark, path, files_per_cluster=files_per_cluster
+                )
+                report["compacted"] = stats["compacted"]
         else:
-            data_dir = vectors_dir if kind == "ivfpq" else root
-            per_cluster: dict[str, int] = {}
-            for p in FS.glob_paths(f"{data_dir}/_cluster=*/*.parquet"):
-                c = p.rsplit("/", 2)[1]
-                per_cluster[c] = per_cluster.get(c, 0) + 1
-            worst = max(per_cluster.values(), default=0)
-            bound = compact_trigger * files_per_cluster
-        if worst > bound:
-            stats = compact_index(spark, path, files_per_cluster=files_per_cluster)
-            report["compacted"] = stats["compacted"]
+            # one trigger policy for the cluster-partitioned kinds,
+            # shared with the semantic ingest round
+            report["compacted"] = _maybe_compact_clusters(
+                spark, root, kind, files_per_cluster, compact_trigger
+            )
     if kind == "pq":
         report["files_after"] = FS.count_glob(f"{root}/codes/*.parquet") + FS.count_glob(
             f"{root}/vectors/*.parquet"
@@ -2324,13 +2323,35 @@ def ivfpq_topk_indexed(
     return _indexed_rerank(spark, vectors, cand_rows, q, k)
 
 
-def _resolve_verify(verify: str, n_clusters: int, broadcast_batch: bool) -> bool:
+def _index_assign_regime(spark, path: str, has_codebook: bool, centroids) -> str:
+    """The WRITE-SIDE assignment regime of the index at ``path`` — the
+    regime any probe or re-assignment against it must match (the r10
+    regime-switch invariant: on a near-tie the HOF fold and the numpy
+    arithmetic can rank two centroids differently, and a mismatched
+    probe could prune away the very cluster an identical indexed
+    vector lives in). Mirrors the full ``"auto"`` resolution the
+    writers use, exactly as ``ivfpq_topk_indexed`` does: batched at
+    ``_BATCHED_ASSIGN_MIN_K``+ clusters for every kind, and for IVF-PQ
+    also at ``ks ≥ _LLOYD_MATMUL_MIN_K`` or residual encode (where
+    ``_ivfpq_encoded`` always assigns batched regardless of cluster
+    count)."""
+    if len(centroids) >= _BATCHED_ASSIGN_MIN_K:
+        return "batched"
+    if not has_codebook:
+        return "hof"
+    codebook = read_pq_codebook(spark, path)
+    if len(codebook[0]) >= _LLOYD_MATMUL_MIN_K:
+        return "batched"
+    return "batched" if read_ivfpq_encode_mode(spark, path) == "residual" else "hof"
+
+
+def _resolve_verify(verify: str, regime: str, broadcast_batch: bool) -> bool:
     """True when the VERIFY stage should run the Arrow-batched numpy
-    matmul instead of the per-pair HOF cosine. ``"auto"`` mirrors the
-    assignment/probe regime switch (``_BATCHED_ASSIGN_MIN_K``): a
-    production-k index verifies batched, the small-k oracle-gated
-    fixtures keep the pure-JVM HOF path. The matmul regime needs the
-    probe side collected driver-side (the same bounded materialization
+    matmul instead of the per-pair HOF cosine. ``"auto"`` follows the
+    index's write-side assignment regime: a production-k index
+    verifies batched, the small-k oracle-gated fixtures keep the
+    pure-JVM HOF path. The matmul regime needs the probe side
+    collected driver-side (the same bounded materialization
     ``broadcast_batch=True`` already implies — a Spark broadcast IS a
     driver collect), so backfill-sized ``broadcast_batch=False`` runs
     stay on the distributed HOF join."""
@@ -2343,7 +2364,7 @@ def _resolve_verify(verify: str, n_clusters: int, broadcast_batch: bool) -> bool
             "broadcast_batch=False (backfill-sized batches); use 'hof'"
         )
     if verify == "auto":
-        return broadcast_batch and n_clusters >= _BATCHED_ASSIGN_MIN_K
+        return broadcast_batch and regime == "batched"
     return verify == "batched"
 
 
@@ -2372,38 +2393,20 @@ def _semantic_hits_hof(
     )
 
 
-def _semantic_hits_matmul(
-    corpus: DataFrame, probe_rows, threshold: float, q_dtype
-) -> DataFrame:
-    """Verified-hit pairs (corpus_doc, batch_doc) as ONE Arrow-batched
-    numpy matmul pass over the (pruned) corpus — the VERIFY stage's
-    production regime (r14, VERDICT r13 item 2: the per-pair HOF fold
-    was the named 10× lever on the 1.3M probe). The collected probe
-    rows (bounded: |batch| × n_probe — the budget ``broadcast_batch``
-    already spends) fold into per-cluster query matrices shipped once
-    per executor via a Spark broadcast variable; each corpus Arrow
-    batch then runs ONE f64 gemm per touched cluster (``C @ Qᵀ``,
-    d×m multiply-adds per corpus row) instead of a generated-code
-    fold per pair. Same arithmetic convention as
-    :func:`..functions.vectors.cosine_with_norms`: cos = dot/(cn·qn),
-    0.0 when either stored norm is 0 (f64 summation order differs
-    from the sequential HOF fold by ulps — the regime-parity clone
-    test pins equality on the gate fixtures, and near-threshold
-    regime sensitivity is the same trade `_probed_queries_batched`
-    documents). Corpus vectors never shuffle; output is only the hit
-    pairs. NOT deduplicated (see `_semantic_hits_hof`)."""
+def _matmul_blocks(spark, probe_rows):
+    """Per-cluster query-matrix blocks (cluster → (Q f64 matrix, qn
+    vector, query ids)) from the COMPACT probe rows, shipped as ONE
+    Spark broadcast per round — both the cross and the within verify
+    read the same handle (building it twice would double the driver
+    CPU and the broadcast storage; a long-running streamed drain
+    should also ``.unpersist()`` it once the round's counts
+    materialize, which :func:`semantic_ingest_round` does). The rows
+    carry one entry per query (the collect paid |batch| rows); the
+    gemm layout re-expands each vector into its n_probe cluster
+    blocks here, so the broadcast itself is n_probe-fold — the
+    bounded, one-copy-per-executor side of the budget."""
     import numpy as np
-    import pandas as pd
 
-    from pyspark.sql import types as T
-
-    spark = corpus.sparkSession
-    # probe_rows carry the COMPACT form (one row per query, _probes
-    # array — the collect paid |batch| rows, not |batch| × n_probe);
-    # the per-cluster gemm layout re-expands each vector into its
-    # n_probe cluster blocks here, so the broadcast itself is
-    # n_probe-fold — the bounded, one-copy-per-executor side of the
-    # budget, not the driver-collect side
     by_cluster: dict[int, list] = {}
     for r in probe_rows:
         for cl in r["_probes"]:
@@ -2416,7 +2419,32 @@ def _semantic_hits_matmul(
         )
         for c, rs in by_cluster.items()
     }
-    bc = spark.sparkContext.broadcast(blocks)
+    return spark.sparkContext.broadcast(blocks)
+
+
+def _semantic_hits_matmul(
+    corpus: DataFrame, bc, threshold: float, q_dtype
+) -> DataFrame:
+    """Verified-hit pairs (corpus_doc, batch_doc) as ONE Arrow-batched
+    numpy matmul pass over the (pruned) corpus — the VERIFY stage's
+    production regime (r14, VERDICT r13 item 2: the per-pair HOF fold
+    was the named 10× lever on the 1.3M probe). ``bc`` is the
+    :func:`_matmul_blocks` broadcast; each corpus Arrow batch runs ONE
+    f64 gemm per touched cluster (``C @ Qᵀ``, d×m multiply-adds per
+    corpus row) instead of a generated-code fold per pair. Same
+    arithmetic convention as
+    :func:`..functions.vectors.cosine_with_norms`: cos = dot/(cn·qn),
+    0.0 when either stored norm is 0 (f64 summation order differs
+    from the sequential HOF fold by ulps — the regime-parity clone
+    test pins equality on the gate fixtures, and near-threshold
+    regime sensitivity is the same trade `_probed_queries_batched`
+    documents). Corpus vectors never shuffle; output is only the hit
+    pairs. NOT deduplicated (see `_semantic_hits_hof`)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     out_schema = T.StructType(
         [
             T.StructField("corpus_doc", corpus.schema["neighbor_id"].dataType, True),
@@ -2466,20 +2494,31 @@ def _semantic_probe_hits(
     broadcast_batch: bool,
     verify: str,
     include_within: bool,
-) -> tuple[DataFrame, DataFrame | None]:
+    regime: str,
+):
     """Shared probe→verify engine for the semantic against-corpus
-    family: returns (cross hit pairs, within-batch hit pairs or None),
-    neither deduplicated. The probe REGIME matches the index's
-    write-side assignment regime (plan-constant HOF below
-    ``_BATCHED_ASSIGN_MIN_K`` clusters, Arrow-batched numpy at/above —
-    the r10 regime-switch invariant), the corpus scan prunes to
-    exactly the probed cluster partitions (bounded ≤ n_clusters
-    collect), and the VERIFY stage is picked by :func:`_resolve_verify`.
+    family: returns (cross hit pairs, within-batch hit pairs or None,
+    release) — the pair frames undeduplicated, ``release`` a zero-arg
+    callable dropping the round's matmul broadcast (a no-op when the
+    HOF verify ran). Call ``release()`` only after every plan built on
+    the returned frames has materialized; callers that hand the frames
+    onward lazily (``semantic_dedup_against``) leave the broadcast to
+    ContextCleaner GC instead.
 
-    With ``broadcast_batch`` the probe side is collected ONCE and
+    ``regime`` is the index's WRITE-SIDE assignment regime
+    (:func:`_index_assign_regime` — the r10 regime-switch invariant:
+    for IVF-PQ the switch keys on ks/encode too, not just cluster
+    count); the probe, the within-side assignment, and the ``"auto"``
+    verify all follow it. The corpus scan prunes to exactly the probed
+    cluster partitions (bounded ≤ n_clusters collect).
+
+    With ``broadcast_batch`` the probe side is collected ONCE — in the
+    COMPACT (unexploded) form, one row per batch vector with its
+    n_probe cluster ids as an array, so the driver pays |batch| rows
+    rather than |batch| × n_probe duplicated vector copies — and
     reused for the cluster-id pruning list, the (optional) matmul
-    matrices, and the join relation — r13's shape recomputed the
-    mapInPandas probe for the second consumer (ADVICE r13).
+    matrices, and the join relation (r13's shape recomputed the
+    mapInPandas probe for the second consumer — ADVICE r13).
 
     ``include_within``: also pair the batch against ITSELF under the
     index's geometry — batch vectors a, b pair iff b's assigned
@@ -2490,40 +2529,37 @@ def _semantic_probe_hits(
     share a nearest centroid)."""
     spark = batch.sparkSession
     n_probe = min(n_probe, len(centroids))
-    regime = "batched" if len(centroids) >= _BATCHED_ASSIGN_MIN_K else "hof"
     assigned = (
         _assigned_frame(batch, centroids, id_col, vec_col, regime)
         if include_within
         else None
     )
-    use_matmul = _resolve_verify(verify, len(centroids), broadcast_batch)
+    use_matmul = _resolve_verify(verify, regime, broadcast_batch)
+    release = lambda: None  # noqa: E731 — default no-op
     if broadcast_batch:
-        # collect the COMPACT (unexploded) probe frame: one row per
-        # batch vector, its n_probe cluster ids as an array — the
-        # driver-side budget is |batch| vectors, not |batch| × n_probe
-        # duplicated copies (at n_probe=16 the exploded collect costs
-        # 16× the memory for the same information)
         compact_fn = (
             _probed_compact_batched if regime == "batched" else _probed_compact_hof
         )
-        rows = compact_fn(batch, centroids, id_col, vec_col, n_probe).collect()
+        compact = compact_fn(batch, centroids, id_col, vec_col, n_probe)
+        rows = compact.collect()
         mods = sorted({int(cl) for r in rows for cl in r["_probes"]})
         corpus = spark.read.parquet(data_dir).filter(F.col("_cluster").isin(mods))
         if use_matmul:
+            # ONE blocks broadcast serves both the cross and the
+            # within verify
+            bc = _matmul_blocks(spark, rows)
+            release = bc.unpersist
             q_dtype = batch.schema[id_col].dataType
-            cross = _semantic_hits_matmul(corpus, rows, threshold, q_dtype)
+            cross = _semantic_hits_matmul(corpus, bc, threshold, q_dtype)
             within = (
-                _semantic_hits_matmul(assigned, rows, threshold, q_dtype)
+                _semantic_hits_matmul(assigned, bc, threshold, q_dtype)
                 if include_within
                 else None
             )
         else:
             # rebuild a LOCAL relation from the compact rows and explode
             # in-plan — the local relation stays |batch|-sized
-            compact_schema = compact_fn(
-                batch.limit(0), centroids, id_col, vec_col, n_probe
-            ).schema
-            q = spark.createDataFrame(rows, compact_schema).select(
+            q = spark.createDataFrame(rows, compact.schema).select(
                 "query_id", "qvec", "qn", F.explode("_probes").alias("_cluster")
             )
             cross = _semantic_hits_hof(corpus, q, threshold)
@@ -2549,7 +2585,7 @@ def _semantic_probe_hits(
             if include_within
             else None
         )
-    return cross, within
+    return cross, within, release
 
 
 def semantic_dedup_against(
@@ -2613,9 +2649,12 @@ def semantic_dedup_against(
     data_dir = f"{path.rstrip('/')}/data" if has_codebook else path.rstrip("/")
     recover_index_compaction(data_dir)  # never trust a mid-swap table
     centroids = read_ivf_centroids(spark, path)
-    cross, _ = _semantic_probe_hits(
+    regime = _index_assign_regime(spark, path.rstrip("/"), has_codebook, centroids)
+    # the returned frame is lazy, so the matmul broadcast (if any)
+    # must outlive this call — left to ContextCleaner GC
+    cross, _, _release = _semantic_probe_hits(
         batch, data_dir, centroids, id_col, vec_col, threshold, n_probe,
-        broadcast_batch, verify, include_within=False,
+        broadcast_batch, verify, include_within=False, regime=regime,
     )
     hits = cross.select(F.col("batch_doc").alias("__sem_hit")).distinct()
     return batch.join(
@@ -2711,19 +2750,20 @@ def semantic_ingest_round(
     data_dir = f"{root}/data" if kind == "ivfpq" else root
     recover_index_compaction(data_dir)  # never trust a mid-swap table
     centroids = read_ivf_centroids(spark, path)
+    regime = _index_assign_regime(spark, root, has_codebook, centroids)
 
     if txn is not None:
         return _semantic_ingest_round_txn(
             batch, root, kind, data_dir, centroids, id_col, vec_col,
             threshold, n_probe, files_per_cluster, compact_trigger,
-            broadcast_batch, verify, txn,
+            broadcast_batch, verify, txn, regime,
         )
 
     n_batch = batch.count()  # before the timer: see minhash_ingest_round
     secs, _lap = _lap_timer()
-    cross, within = _semantic_probe_hits(
+    cross, within, release = _semantic_probe_hits(
         batch, data_dir, centroids, id_col, vec_col, threshold, n_probe,
-        broadcast_batch, verify, include_within=True,
+        broadcast_batch, verify, include_within=True, regime=regime,
     )
     cross, within = _semantic_round_edges(cross, within)
     cross = cross.persist()
@@ -2750,6 +2790,10 @@ def semantic_ingest_round(
     finally:
         cross.unpersist()
         within.unpersist()
+        # counts + checkpointed survivors materialized everything that
+        # reads the verify frames — a streamed drain must not leave one
+        # broadcast behind per micro-batch
+        release()
     compacted = _maybe_compact_clusters(
         spark, root, kind, files_per_cluster, compact_trigger
     )
@@ -2799,6 +2843,7 @@ def _semantic_ingest_round_txn(
     broadcast_batch: bool,
     verify: str,
     txn: str,
+    regime: str,
 ) -> dict:
     """:func:`semantic_ingest_round` under the staged-move ledger —
     built on ``dedup._txn_ingest_round`` exactly like the three
@@ -2818,9 +2863,9 @@ def _semantic_ingest_round_txn(
     spark = batch.sparkSession
 
     def write_stage(stage: str, state: dict) -> None:
-        cross, within = _semantic_probe_hits(
+        cross, within, release = _semantic_probe_hits(
             batch, data_dir, centroids, id_col, vec_col, threshold, n_probe,
-            broadcast_batch, verify, include_within=True,
+            broadcast_batch, verify, include_within=True, regime=regime,
         )
         cross, within = _semantic_round_edges(cross, within)
         cross = cross.persist()
@@ -2831,11 +2876,6 @@ def _semantic_ingest_round_txn(
             survivors, _ = _ingest_survivor_policy(batch, id_col, cross, within)
             n_surv = survivors.count()
             state["survivors"] = survivors
-            regime = (
-                "batched"
-                if len(centroids) >= _BATCHED_ASSIGN_MIN_K
-                else "hof"
-            )
             if kind == "ivfpq":
                 codebook = read_pq_codebook(spark, root)
                 enc = _ivfpq_encoded(
@@ -2862,6 +2902,7 @@ def _semantic_ingest_round_txn(
         finally:
             cross.unpersist()
             within.unpersist()
+            release()  # the staged writes materialized every reader
 
     return _txn_ingest_round(
         batch, root, id_col, txn, write_stage,

@@ -273,3 +273,51 @@ def test_semantic_ingest_round_ivfpq(spark, tmp_path):
     )
     want = sorted(map(tuple, SIM.ivfpq_topk_indexed(spark, idx2, q, k=5, n_probe=8).collect()))
     assert got == want
+
+
+def test_semantic_regime_matches_ivfpq_write_side(spark, tmp_path):
+    """r14 review-pass regression: a small-CLUSTER IVF-PQ index can
+    still be batched-assigned at write time (residual encode or
+    ks >= _LLOYD_MATMUL_MIN_K force the numpy regime regardless of
+    cluster count) — the semantic probe must follow the index's full
+    write-side switch, exactly as ivfpq_topk_indexed does, or a
+    near-tie could prune away an indexed exact duplicate's cluster.
+    Pins: regime resolution for all three index shapes, and the
+    exact-duplicate guarantee on a residual-encoded small-k index at
+    the minimum probe."""
+    corpus = _vec_fixture(spark, range(60))
+    idx = str(tmp_path / "ivfpq_res")
+    SIM.write_ivfpq_index(
+        corpus, idx, n_clusters=8, m=4, ks=16, seed=42, encode="residual"
+    )
+    cents = SIM.read_ivf_centroids(spark, idx)
+    assert SIM._index_assign_regime(spark, idx, True, cents) == "batched"
+
+    idx2 = str(tmp_path / "ivf_small")
+    SIM.write_ivf_index(corpus, idx2, n_clusters=8, seed=42)
+    assert (
+        SIM._index_assign_regime(
+            spark, idx2, False, SIM.read_ivf_centroids(spark, idx2)
+        )
+        == "hof"
+    )
+
+    idx3 = str(tmp_path / "ivfpq_direct")
+    SIM.write_ivfpq_index(
+        corpus, idx3, n_clusters=8, m=4, ks=16, seed=42, encode="direct"
+    )
+    assert (
+        SIM._index_assign_regime(
+            spark, idx3, True, SIM.read_ivf_centroids(spark, idx3)
+        )
+        == "hof"
+    )
+
+    # exact-duplicate guarantee on the residual (batched-regime) index
+    # at the minimum probe width — the invariant the regime match
+    # protects
+    batch = _vec_fixture(spark, range(100, 108), clone_of={200: 3, 201: 7})
+    surv = SIM.semantic_dedup_against(batch, idx, threshold=0.99, n_probe=1)
+    assert _ids(surv) == set(range(100, 108))
+    rep = SIM.semantic_ingest_round(batch, idx, threshold=0.99, n_probe=1)
+    assert _ids(rep["survivors"]) == set(range(100, 108))
