@@ -36,22 +36,108 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first (r14, executing COVERAGE.md §"Round-14 rotation
-# plan"): the 21 r11-verified queries deferred since r11 — at the
-# staleness bound, they MUST sample now; the 3 NEW r14 registrations
-# (the embeddings family's one-call + streamed ingest round + the
-# streamed ANN maintenance drain's driver-oracle gate — VERDICT r13
-# items 3-4); the 5 queries whose code changed in r14 (the
-# semantic-dedup verify refactor, the pending_txns quiescence-guard
-# call sites, the per-phase bench instrumentation added to the
-# remaining composite gates — changed queries sample
-# unconditionally); and the first 21 of the 40 remaining r12-verified
-# benched queries. Benched (rotated out): the 46 r13-verified queries
-# not re-sampled by a change (fresh green last round; may stay
-# benched through r15) plus the 19 remaining r12-verified queries,
-# which MUST sample in r15.
+# Sampled first (r15, executing COVERAGE.md §"Round-15 rotation
+# plan"): the 19 r12-verified queries deferred since r12 — at the
+# staleness bound, they MUST sample now; the 1 NEW r15 registration
+# (emb_semantic_batched — the batched-assign + matmul-verify executed
+# path under the driver differential, VERDICT r14 item 2); the 7
+# queries whose executed code changed in r15 (the NULL-vector probe
+# filter + matmul guard in the semantic family, the return_release
+# plumbing behind semantic_dedup_against, and the batched single-
+# handle move loop in the txn ledger every ingest-stream gate drives
+# — changed queries sample unconditionally); and 23 of the 46
+# r13-verified benched queries (3 more of those 46 re-sample via the
+# changed-stream rule, leaving 20 r13-verified for r16 — their
+# staleness bound). Benched (rotated out): those 20 plus the 46
+# r14-verified queries not re-sampled by a change (fresh green last
+# round; may stay benched through r16).
 _VERIFY_FIRST = [
-    # --- r11-verified, deferred since r11: staleness bound, MUST sample ---
+    # --- r12-verified, deferred since r12: staleness bound, MUST sample ---
+    "doc_quality_buckets",
+    "doc_pii_scrub",
+    "doc_chunk_overlap",
+    "schema_evolution_merge",
+    "json_malformed_ingest",
+    "partition_overwrite_dynamic",
+    "incremental_agg_merge",
+    "doc_quality_regression",
+    "crash_rule_eval",
+    "doc_training_pipeline",
+    "order_profile",
+    "revenue_by_nation",
+    "doc_tfidf_cosine_pairs",
+    "emb_near_dup_pairs",
+    "crash_clean_chain",
+    "doc_minhash_near_dups",
+    "doc_cap_per_source",
+    "doc_strip_boilerplate",
+    "sql_adhoc_query",
+    # --- NEW in r15: production-regime semantic dedup (batched assign
+    # + matmul verify) under the brute-force driver oracle ---
+    "emb_semantic_batched",
+    # --- changed in r15 (NULL-vector probe filter in
+    # _probed_compact_hof + explicit matmul NULL guard; return_release
+    # plumbing on semantic_dedup_against; fsutil.bulk_rename single-
+    # handle move loop in the staged-move txn ledger): sample
+    # unconditionally ---
+    "emb_semantic_dedup_against",
+    "emb_semantic_ingest_round",
+    "emb_semantic_ingest_stream",
+    "emb_maintain_stream",
+    "doc_ingest_stream",
+    "doc_exact_ingest_stream",
+    "doc_simhash_ingest_stream",
+    # --- r13-verified, rotating back from the bench (23 of 46; the
+    # remaining 20 MUST sample in r16) ---
+    "event_windowed_counts_stream",
+    "event_error_click_window_stream",
+    "event_dedup_watermark_stream",
+    "event_sessions_stream",
+    "event_first_seen_stream",
+    "streaming_ingest_e2e",
+    "orc_roundtrip_stats",
+    "bucketed_join_agg",
+    "event_props_json",
+    "event_funnel_steps",
+    "user_retention_cohorts",
+    "doc_exact_against_corpus",
+    "doc_simhash_against_corpus",
+    "emb_ivfpq_append",
+    "emb_index_compact",
+    "compact_small_files",
+    "pricing_summary",
+    "eda_day_labels",
+    "run_history",
+    "value_counts_topk",
+    "unpivot_daily_events",
+    "hash_sample_stats",
+    "dedup_keep_first",
+]
+_ROTATION_BENCHED = [
+    # --- r13-verified (green r13 driver rows); the 20 NOT sampled
+    # this round — at the staleness bound, they MUST sample in r16 ---
+    "price_bins",
+    "order_key_setops",
+    "semi_join_discounted",
+    "null_profile",
+    "corr_stats",
+    "crash_hit_run_rate_by_weather",
+    "doc_lang_confusion",
+    "doc_text_stats",
+    "doc_min_shingle_fp",
+    "doc_exact_dup_stats",
+    "doc_dedup_exact_by_source",
+    "emb_knn_brute",
+    "pivot_hour_dow",
+    "rate_by_priority",
+    "running_customer_revenue",
+    "sliding_event_counts",
+    "event_error_click_window",
+    "event_asof_last_click",
+    "event_sessions",
+    "event_zorder_keys",
+    # --- r14-verified (green r14 driver rows, unchanged in r15); may
+    # stay benched through r16 ---
     "anti_join_new_keys",
     "topk_orders_by_revenue",
     "quantiles",
@@ -73,22 +159,10 @@ _VERIFY_FIRST = [
     "doc_dup_clusters",
     "emb_semantic_dedup",
     "emb_ivf_pruned",
-    # --- NEW in r14: the embeddings family's one-call + streamed txn
-    # ingest round; the streamed ANN maintenance drain's oracle gate ---
-    "emb_semantic_ingest_round",
-    "emb_semantic_ingest_stream",
-    "emb_maintain_stream",
-    # --- changed in r14 (verify-stage refactor behind
-    # semantic_dedup_against; pending_txns read-only default with
-    # explicit reaping at the forget/delete quiescence guards;
-    # _PhaseTimer decompositions added to the remaining composite IO
-    # gates): sample unconditionally ---
-    "emb_semantic_dedup_against",
     "doc_forget_docs",
     "emb_index_delete",
     "doc_cc_extend",
     "doc_ingest_round",
-    # --- r12-verified, rotating back from the bench (first 21 of 40) ---
     "doc_simhash_hamming",
     "emb_ivf_topk",
     "emb_ivf_largek",
@@ -110,77 +184,6 @@ _VERIFY_FIRST = [
     "emb_quantize_error",
     "doc_stratified_sample",
     "doc_pack_bins",
-]
-_ROTATION_BENCHED = [
-    # --- r12-verified (green r12 driver rows); the 19 NOT sampled
-    # this round — at the staleness bound, they MUST sample in r15 ---
-    "doc_quality_buckets",
-    "doc_pii_scrub",
-    "doc_chunk_overlap",
-    "schema_evolution_merge",
-    "json_malformed_ingest",
-    "partition_overwrite_dynamic",
-    "incremental_agg_merge",
-    "doc_quality_regression",
-    "crash_rule_eval",
-    "doc_training_pipeline",
-    "order_profile",
-    "revenue_by_nation",
-    "doc_tfidf_cosine_pairs",
-    "emb_near_dup_pairs",
-    "crash_clean_chain",
-    "doc_minhash_near_dups",
-    "doc_cap_per_source",
-    "doc_strip_boilerplate",
-    "sql_adhoc_query",
-    # --- r13-verified (green r13 driver rows, unchanged in r14); may
-    # stay benched through r15 ---
-    "event_windowed_counts_stream",
-    "event_error_click_window_stream",
-    "event_dedup_watermark_stream",
-    "event_sessions_stream",
-    "event_first_seen_stream",
-    "streaming_ingest_e2e",
-    "orc_roundtrip_stats",
-    "bucketed_join_agg",
-    "event_props_json",
-    "event_funnel_steps",
-    "user_retention_cohorts",
-    "doc_exact_ingest_stream",
-    "doc_simhash_ingest_stream",
-    "doc_ingest_stream",
-    "doc_exact_against_corpus",
-    "doc_simhash_against_corpus",
-    "emb_ivfpq_append",
-    "emb_index_compact",
-    "compact_small_files",
-    "pricing_summary",
-    "eda_day_labels",
-    "run_history",
-    "value_counts_topk",
-    "unpivot_daily_events",
-    "hash_sample_stats",
-    "dedup_keep_first",
-    "price_bins",
-    "order_key_setops",
-    "semi_join_discounted",
-    "null_profile",
-    "corr_stats",
-    "crash_hit_run_rate_by_weather",
-    "doc_lang_confusion",
-    "doc_text_stats",
-    "doc_min_shingle_fp",
-    "doc_exact_dup_stats",
-    "doc_dedup_exact_by_source",
-    "emb_knn_brute",
-    "pivot_hour_dow",
-    "rate_by_priority",
-    "running_customer_revenue",
-    "sliding_event_counts",
-    "event_error_click_window",
-    "event_asof_last_click",
-    "event_sessions",
-    "event_zorder_keys",
 ]
 
 

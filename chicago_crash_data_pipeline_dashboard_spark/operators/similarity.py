@@ -556,15 +556,25 @@ def _probed_compact_hof(
     queries: DataFrame, centroids, id_col: str, vec_col: str, n_probe: int
 ) -> DataFrame:
     """UNEXPLODED probe frame under the plan-constant HOF regime —
-    the pre-explode form of :func:`_probed_queries` (whose explode
-    drops NULL-vector queries; the filter here matches that)."""
+    the pre-explode form of :func:`_probed_queries`. NULL-vector
+    queries are filtered on the VECTOR column (r15, ADVICE r14): a
+    NULL vector can never produce a hit (its cosine is NULL and fails
+    every threshold in the HOF join), but its ``_probes`` array is
+    NOT null — ``_probe_clusters`` transforms the non-null centroid
+    literal, yielding real cluster ids ranked by NULL distances — so
+    an ``isNotNull`` filter on ``_probes`` let NULL rows pollute the
+    pruning list and crash a forced ``verify='batched'`` matmul with
+    an opaque ``np.asarray(None)`` TypeError."""
     probes = _probe_clusters(F.col(vec_col), centroids, n_probe)
-    return queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        VX.norm(F.col(vec_col)).alias("qn"),
-        probes.alias("_probes"),
-    ).filter(F.col("_probes").isNotNull())
+    return (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            VX.norm(F.col(vec_col)).alias("qn"),
+            probes.alias("_probes"),
+        )
+    )
 
 
 def _score_probed(assigned: DataFrame, q: DataFrame, k: int) -> DataFrame:
@@ -2409,6 +2419,12 @@ def _matmul_blocks(spark, probe_rows):
 
     by_cluster: dict[int, list] = {}
     for r in probe_rows:
+        if r["qvec"] is None:  # same explicit contract as the batched probe
+            raise ValueError(
+                "matmul verify: NULL vector rows are not probe-able — "
+                "filter them out first (the batched probe rejects them "
+                "the same way)"
+            )
         for cl in r["_probes"]:
             by_cluster.setdefault(int(cl), []).append(r)
     blocks = {
@@ -2597,7 +2613,8 @@ def semantic_dedup_against(
     n_probe: int = 4,
     broadcast_batch: bool = True,
     verify: str = "auto",
-) -> DataFrame:
+    return_release: bool = False,
+):
     """Rows of ``batch`` whose cosine similarity to EVERY vector
     already in the at-rest IVF / IVF-PQ index stays BELOW ``threshold``
     — cross-run SEMANTIC dedup (SemDeDup's keep/drop decision against
@@ -2637,7 +2654,21 @@ def semantic_dedup_against(
     ``"hof"`` per-pair pure-JVM fold, ``"batched"`` one Arrow-batched
     f64 matmul per corpus block against per-cluster query matrices
     (:func:`_semantic_hits_matmul` — the production regime at scale),
-    ``"auto"`` follows the index's assignment-regime switch."""
+    ``"auto"`` follows the index's assignment-regime switch.
+
+    Broadcast lifetime (r15, ADVICE r14): the matmul verify ships the
+    per-cluster query matrices as ONE Spark broadcast that the
+    returned LAZY frame still references — this call cannot unpersist
+    it, so by default it lives until ContextCleaner GCs the frame.
+    One-shot callers can ignore that; a long-lived driver calling
+    this in a loop accumulates ~|batch|·n_probe·d f64 of
+    driver+executor broadcast storage per un-collected iteration.
+    Such callers should pass ``return_release=True`` and receive
+    ``(survivors, release)`` — call the zero-arg ``release()`` AFTER
+    materializing everything built on the survivors frame (it is a
+    no-op under the HOF verify). Loops that also APPEND survivors
+    should use :func:`semantic_ingest_round`, which owns this
+    release internally per round."""
     spark = batch.sparkSession
     has_centroids, has_codebook = _index_layout(path)
     if not has_centroids:
@@ -2651,15 +2682,17 @@ def semantic_dedup_against(
     centroids = read_ivf_centroids(spark, path)
     regime = _index_assign_regime(spark, path.rstrip("/"), has_codebook, centroids)
     # the returned frame is lazy, so the matmul broadcast (if any)
-    # must outlive this call — left to ContextCleaner GC
-    cross, _, _release = _semantic_probe_hits(
+    # must outlive this call — ContextCleaner GC by default, the
+    # caller's explicit release() under return_release=True
+    cross, _, release = _semantic_probe_hits(
         batch, data_dir, centroids, id_col, vec_col, threshold, n_probe,
         broadcast_batch, verify, include_within=False, regime=regime,
     )
     hits = cross.select(F.col("batch_doc").alias("__sem_hit")).distinct()
-    return batch.join(
+    survivors = batch.join(
         F.broadcast(hits), batch[id_col] == F.col("__sem_hit"), "left_anti"
     )
+    return (survivors, release) if return_release else survivors
 
 
 def _maybe_compact_clusters(

@@ -2950,6 +2950,98 @@ def emb_semantic_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_SEM_BATCHED_OFFSET = 3_000_000
+
+
+@register(
+    "emb_semantic_batched",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    batch AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id + {_SEM_BATCHED_OFFSET} AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id % 25 = 3
+    ),
+    hits AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT b.vec_id,
+               {_cosine_sql('c.embedding', 'b.embedding', _DIM)} AS cos
+        FROM batch b, corpus c
+      ) WHERE cos >= 0.9
+    )
+    SELECT vec_id FROM batch
+    WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+    """,
+    doc="Cross-run semantic dedup with the PRODUCTION-REGIME executed "
+    "path under the driver differential (r15, VERDICT r14 item 2): the "
+    "index is written with 40 clusters — at or above "
+    "_BATCHED_ASSIGN_MIN_K (33), so the write-side assignment, the "
+    "probe (_probed_compact_batched) and the verify='auto' resolution "
+    "ALL take the Arrow-batched numpy regime, and the verify stage runs "
+    "the per-cluster matmul (_semantic_hits_matmul) instead of the "
+    "per-pair HOF fold — the exact seam the r13/r14 review passes each "
+    "caught a bug in, now visible to the driver instead of pytest-only. "
+    "The gate asserts the resolved regime in-gate (a drifted threshold "
+    "constant fails loudly, not by silently testing the HOF path), "
+    "probes EXHAUSTIVELY (n_probe = n_clusters = 40) so the survivor "
+    "set is exact and the brute-force NOT-IN cosine replay is the "
+    "oracle, and exercises the return_release plumbing (ADVICE r14): "
+    "survivors materialize first, then the round's matmul broadcast is "
+    "released explicitly.",
+)
+def emb_semantic_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        _BATCHED_ASSIGN_MIN_K,
+        _index_assign_regime,
+        _resolve_verify,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    clones = corpus.filter(F.col("vec_id") % 25 == 3).select(
+        (F.col("vec_id") + _SEM_BATCHED_OFFSET).alias("vec_id"), "embedding"
+    )
+    batch = e.filter(F.col("vec_id") % 5 == 0).unionByName(clones)
+    planted = {r.vec_id for r in clones.select("vec_id").collect()}
+    if not planted:
+        raise AssertionError("no clones planted — gate is vacuous")
+    n_clusters = 40
+    if n_clusters < _BATCHED_ASSIGN_MIN_K:
+        raise AssertionError(
+            "gate misconfigured: index must sit in the batched regime"
+        )
+    tmp = tempfile.mkdtemp(prefix="ccpd_sembat_")
+    try:
+        idx = f"{tmp}/ivf"
+        # auto assignment at 40 clusters -> assign_clusters_batched
+        SIM.write_ivf_index(corpus, idx, n_clusters=n_clusters, seed=42)
+        cents = SIM.read_ivf_centroids(spark, idx)
+        regime = _index_assign_regime(spark, idx, False, cents)
+        if regime != "batched":
+            raise AssertionError(f"expected batched write regime, got {regime!r}")
+        if not _resolve_verify("auto", regime, True):
+            raise AssertionError("verify='auto' did not resolve to the matmul")
+        # exhaustive probe (n_probe = n_clusters) == brute force; the
+        # executed path is batched probe + matmul verify
+        surv, release = SIM.semantic_dedup_against(
+            batch, idx, threshold=0.9, n_probe=n_clusters, return_release=True
+        )
+        rows = surv.select("vec_id").collect()
+        release()  # survivors materialized — drop the round's broadcast
+        leaked = sorted({r.vec_id for r in rows} & planted)
+        if leaked:
+            raise AssertionError(f"planted exact clones survived: {leaked}")
+        return spark.createDataFrame(rows, "vec_id long")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "doc_ingest_stream",
     oracle=_ingest_round_oracle(

@@ -115,7 +115,8 @@ def idempotent_staged_append(
         return False
     manifest = f"{stage}/_manifest.json"
     token = "/_ingest_tmp/" + stage.rsplit("/", 1)[-1] + "/"
-    if not FS.exists(manifest):
+    replaying = FS.exists(manifest)
+    if not replaying:
         # no manifest -> nothing moved yet; restage from scratch
         FS.delete(stage)
         write_stage(stage)
@@ -130,16 +131,17 @@ def idempotent_staged_append(
         FS.write_text(manifest, json.dumps(rels))
     else:
         rels = json.loads(FS.read_text(manifest))
-    made_dirs: set[str] = set()
-    for rel in rels:
-        dest = dest_for(rel)
-        if FS.exists(dest):
-            continue  # a previous attempt moved this one
-        parent = dest.rsplit("/", 1)[0]
-        if parent not in made_dirs:
-            FS.mkdirs(parent)
-            made_dirs.add(parent)
-        FS.rename(f"{stage}/{rel}", dest)
+    # one batched pass on a single FileSystem handle (r15, VERDICT r14
+    # item 3: the per-helper-call move loop was the ledger's measured
+    # overhead at IVF file counts — ~n_clusters staged files/round).
+    # Moves only ever happen AFTER the manifest freeze, so on the
+    # fresh path no destination can exist yet and the per-file
+    # exists() probes are skipped exactly; a manifest-present replay
+    # converges by skipping already-moved destinations.
+    FS.bulk_rename(
+        [(f"{stage}/{rel}", dest_for(rel)) for rel in rels],
+        skip_existing=replaying,
+    )
     FS.write_text(marker, json.dumps({"txn": txn, "files": len(rels)}))
     FS.delete(stage)
     return True

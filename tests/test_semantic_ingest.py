@@ -68,6 +68,58 @@ def test_semantic_verify_regime_parity(spark, tmp_path):
         )
 
 
+def test_semantic_null_vector_batched_verify(spark, tmp_path):
+    """ADVICE r14: a NULL-vector batch row on a small-k (HOF-regime)
+    index with verify='batched' forced used to crash the matmul with
+    an opaque np.asarray(None) TypeError — the old probe filter
+    checked _probes.isNotNull(), which is never NULL (the probe array
+    transforms the non-null centroid literal). The probe now filters
+    on the VECTOR column, matching the HOF join's semantics: a NULL
+    vector can never hit (NULL cosine fails every threshold), so it
+    SURVIVES dedup under every verify path."""
+    corpus = _vec_fixture(spark, range(40))
+    batch = _vec_fixture(spark, range(100, 105), clone_of={200: 3}).unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    idx = str(tmp_path / "ivf_null")
+    SIM.write_ivf_index(corpus, idx, n_clusters=8, seed=42)
+    kw = dict(threshold=0.9, n_probe=8)
+    expect = set(range(100, 105)) | {999}
+    for v in ("hof", "batched"):
+        got = _ids(SIM.semantic_dedup_against(batch, idx, verify=v, **kw))
+        assert got == expect, f"verify={v}: {got}"
+    # the matmul's own guard stays explicit for rows that do reach it
+    with pytest.raises(ValueError, match="NULL vector"):
+        SIM._matmul_blocks(
+            spark, [{"query_id": 1, "qvec": None, "qn": None, "_probes": [0]}]
+        )
+
+
+def test_semantic_dedup_against_return_release(spark, tmp_path):
+    """ADVICE r14 / VERDICT r14 item 5: looped callers can release the
+    matmul broadcast explicitly — (survivors, release) comes back, the
+    survivor set is unchanged, and release() is idempotent and a no-op
+    under the HOF verify."""
+    corpus = _vec_fixture(spark, range(60))
+    batch = _vec_fixture(spark, range(100, 110), clone_of={200: 3})
+    idx = str(tmp_path / "ivf_rel")
+    SIM.write_ivf_index(corpus, idx, n_clusters=40, seed=42)  # batched regime
+    surv, release = SIM.semantic_dedup_against(
+        batch, idx, threshold=0.9, n_probe=40, return_release=True
+    )
+    assert _ids(surv) == set(range(100, 110))
+    release()
+    release()  # Broadcast.unpersist is idempotent
+    # HOF verify: release is the default no-op
+    surv2, release2 = SIM.semantic_dedup_against(
+        batch, idx, threshold=0.9, n_probe=40, verify="hof", return_release=True
+    )
+    assert _ids(surv2) == set(range(100, 110))
+    release2()
+
+
 def test_semantic_ingest_round_sequential(spark, tmp_path):
     """Two hand-run rounds: within-batch clone keeps the min id, a
     corpus clone drops, and batch 2's clone of a batch-1 SURVIVOR
@@ -321,3 +373,42 @@ def test_semantic_regime_matches_ivfpq_write_side(spark, tmp_path):
     assert _ids(surv) == set(range(100, 108))
     rep = SIM.semantic_ingest_round(batch, idx, threshold=0.99, n_probe=1)
     assert _ids(rep["survivors"]) == set(range(100, 108))
+
+
+def test_bulk_rename_protocol_semantics(spark, tmp_path):
+    """fsutil.bulk_rename (r15 — the txn ledger's batched move loop):
+    fresh moves, partial-replay convergence under skip_existing,
+    missing-parent creation, and the existing-destination refusal that
+    mirrors fsutil.rename."""
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir()
+    for i in range(6):
+        (src / f"f{i}").write_text(str(i))
+
+    # fresh path: destinations' parent doesn't exist yet -> created on
+    # demand, all files moved
+    pairs = [(f"{src}/f{i}", f"{dst}/sub{i % 2}/f{i}") for i in range(4)]
+    assert FS.bulk_rename(pairs) == 4
+    for i in range(4):
+        assert (dst / f"sub{i % 2}" / f"f{i}").read_text() == str(i)
+
+    # replay convergence: 2 of 3 already moved -> only the third moves
+    (src / "f0").write_text("again")  # simulate a restaged file
+    replay = [(f"{src}/f0", f"{dst}/sub0/f0"),  # dest exists: skip
+              (f"{src}/f4", f"{dst}/sub0/f4"),
+              (f"{src}/f5", f"{dst}/sub1/f5")]
+    assert FS.bulk_rename(replay, skip_existing=True) == 2
+    assert (dst / "sub0" / "f0").read_text() == "0"  # original kept
+    assert (src / "f0").exists()  # skipped source left in place
+
+    # without skip_existing an existing destination refuses loudly
+    (src / "f6").write_text("6")
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        FS.bulk_rename([(f"{src}/f6", f"{dst}/sub0/f4")])
+    # and a missing source is a real failure, not a silent skip
+    # (Hadoop raises FileNotFoundException through the gateway)
+    with _pytest.raises(Exception, match="missing"):
+        FS.bulk_rename([(f"{src}/missing", f"{dst}/sub0/nope")])
