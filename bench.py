@@ -75,6 +75,7 @@ SKIP = {
     "emb_index_delete",
     "emb_semantic_dedup_against",  # r13: scratch-index round-trip — IO bin
     "emb_semantic_ingest_round",  # r14: one-call semantic ingest round — IO bin
+    "emb_semantic_batched",  # r15: batched-regime scratch-index round-trip — IO bin
     "emb_ivf_pruned",
     "emb_pq_pruned",
     "orc_roundtrip_stats",

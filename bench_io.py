@@ -63,6 +63,7 @@ IO_QUERIES = [
     "emb_index_delete",  # r12: partition-pruned ANN index deletion
     "emb_semantic_dedup_against",  # r13: cross-run semantic dedup vs the at-rest index
     "emb_semantic_ingest_round",  # r14: the one-call semantic ingest round
+    "emb_semantic_batched",  # r15: batched-assign + matmul-verify regime vs the at-rest index
 
     # loopback-HTTP Socrata fixture round-trip (r9): the cost is the
     # scripted-server plumbing + paged fetch, an ingest path like the
