@@ -473,9 +473,15 @@ def ivf_topk(
 def _probed_queries(
     queries: DataFrame, centroids, id_col: str, vec_col: str, n_probe: int
 ) -> DataFrame:
-    """Query side of an IVF search: one row per (query, probed cluster)."""
+    """Query side of an IVF search: one row per (query, probed cluster).
+    NULL-vector queries are filtered (r15, same fix as
+    :func:`_probed_compact_hof`): the explode does NOT drop them — the
+    probes array transforms the non-null centroid literal, so a NULL
+    vector still yields n_probe real cluster ids — and each NULL row
+    would pay n_probe no-hit join rows (its cosine is NULL and fails
+    every threshold/rank anyway)."""
     probes = _probe_clusters(F.col(vec_col), centroids, n_probe)
-    return queries.select(
+    return queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         VX.norm(F.col(vec_col)).alias("qn"),

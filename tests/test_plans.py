@@ -1412,9 +1412,16 @@ def test_txn_append_completes_partial_move(spark, tmp_path):
             calls["n"] += 1
         return real_rename(src, dst, spark_)
 
+    # the ledger moves through bulk_rename (r15) — route its pairs
+    # through the per-file crash injector to keep the mid-move window
+    def crashy_bulk(pairs, spark_=None, skip_existing=False):
+        for src, dst in pairs:
+            crashy(src, dst, spark_)
+        return len(pairs)
+
     import unittest.mock as mock
 
-    with mock.patch.object(fsutil, "rename", crashy):
+    with mock.patch.object(fsutil, "bulk_rename", crashy_bulk):
         with pytest.raises(OSError, match="injected"):
             SIM.append_to_ivf_index(batch, path, txn="cpy-b0")
 
@@ -1454,7 +1461,14 @@ def test_txn_pq_append_moves_vectors_first(spark, tmp_path):
             raise OSError("injected crash before codes move")
         return real_rename(src, dst, spark_)
 
-    with mock.patch.object(fsutil, "rename", crash_on_codes):
+    # route bulk_rename's pairs (r15 ledger move loop) through the
+    # per-file injector — order_key still moves vectors before codes
+    def crash_on_codes_bulk(pairs, spark_=None, skip_existing=False):
+        for src, dst in pairs:
+            crash_on_codes(src, dst, spark_)
+        return len(pairs)
+
+    with mock.patch.object(fsutil, "bulk_rename", crash_on_codes_bulk):
         with pytest.raises(OSError, match="injected"):
             SIM.append_to_pq_index(batch, path, txn="cpz-b0")
 
