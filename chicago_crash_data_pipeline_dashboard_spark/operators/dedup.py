@@ -221,16 +221,26 @@ def tfidf_cosine_pairs(
     term dominates and bounds every bucket's quadratic step. Integer
     DIV keeps the two engines' ceilings bit-identical.
 
-    Plan shape: tf groupBy(doc, term-hash) → per-term df counts,
-    filtered to the vocabulary, joined back onto tf ON TERM — the same
-    exchange the bucket groupBy needs, so the df-join adds no big-table
-    shuffle, only the (narrow) df table's — → groupBy(term) buckets of
-    (doc, w), now HARD-bounded by the df ceiling *before* any array is
-    built (a stop-term's bucket is never materialized: collecting it
-    first and filtering after is an executor OOM at corpus scale) →
-    in-bucket pair explosion → pair groupBy with decimal-routed dot
-    products (order-independent, exact) → two joins attaching
-    decimal-routed norms.
+    Plan shape: ONE tokenize pass → tf groupBy(doc, term-hash) →
+    df COUNT window over the term partition → vocabulary filter —
+    stop-term rows are dropped BEFORE any bucket array exists (a
+    stop-term's bucket is never materialized: collecting it first and
+    filtering after is an executor OOM at corpus scale) → per-doc norm
+    as a SECOND window (SUM over the doc partition; decimal-routed, so
+    bit-identical to the former groupBy-sum) carried INTO the bucket
+    structs → groupBy(term) buckets of (doc, w, nrm) → in-bucket pair
+    explosion → pair groupBy with decimal-routed dot products
+    (order-independent, exact) → threshold filter.
+
+    The norms ride the rows instead of being re-joined at the end
+    because Spark plans are trees: the former ``dots.join(norms a)
+    .join(norms b)`` shape re-computed the ENTIRE tokenize→tf→window
+    subtree three times (once per join branch — 3 full document scans
+    + md5-token passes, 42 Exchanges at sf0.1; exchange reuse does not
+    fire across the differing branch tails). Carrying the norm costs
+    one extra double per bucket-struct and one narrow tf-table
+    exchange; it removes two full corpus passes and both joins
+    (r15 plan diff: 42 Exchanges → 7, 12 scans → 4).
     """
     if hash_mode == "xxhash64":
         def _h(s):
@@ -267,13 +277,25 @@ def tfidf_cosine_pairs(
             (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("w"),
         )
     )
-    buckets = weighted.groupBy("term").agg(
-        F.sort_array(F.collect_list(F.struct("doc", "w"))).alias("docs")
-    )
-    norms = weighted.groupBy("doc").agg(
+    # Per-doc norm over the SAME restricted-vocabulary frame, as a
+    # window instead of a groupBy: the decimal SUM aggregates the
+    # identical value set in exact arithmetic, so the norm is
+    # bit-identical to the former groupBy form — but it rides the row
+    # into the buckets, so no join (and no re-computed subtree) ever
+    # re-attaches it. Every doc surviving the vocab filter has a norm,
+    # matching the former inner join's domain.
+    weighted = weighted.withColumn(
+        "nrm",
         F.sqrt(
-            F.sum((F.col("w") * F.col("w")).cast("decimal(25,6)")).cast("double")
-        ).alias("nrm")
+            F.sum((F.col("w") * F.col("w")).cast("decimal(25,6)"))
+            .over(Window.partitionBy("doc"))
+            .cast("double")
+        ),
+    )
+    # struct sort order is unchanged by the appended field: `doc` is
+    # unique within a term bucket, so comparison never reaches `nrm`
+    buckets = weighted.groupBy("term").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "w", "nrm"))).alias("docs")
     )
 
     dots = (
@@ -282,16 +304,16 @@ def tfidf_cosine_pairs(
             F.col("x.doc").alias("doc_a"),
             F.col("y.doc").alias("doc_b"),
             (F.col("x.w") * F.col("y.w")).alias("ww"),
+            F.col("x.nrm").alias("nrm_a"),
+            F.col("y.nrm").alias("nrm_b"),
         )
-        .groupBy("doc_a", "doc_b")
+        # nrm_a/nrm_b are functions of doc_a/doc_b (one norm per doc),
+        # so adding them to the keys groups the identical pair set
+        .groupBy("doc_a", "doc_b", "nrm_a", "nrm_b")
         .agg(F.sum(F.col("ww").cast("decimal(25,6)")).cast("double").alias("dot"))
     )
-    na = norms.select(F.col("doc").alias("doc_a"), F.col("nrm").alias("nrm_a"))
-    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nrm").alias("nrm_b"))
     out = (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("cosine", F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
+        dots.withColumn("cosine", F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")))
         .filter(F.col("cosine") >= threshold)
     )
     return out.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
