@@ -1089,8 +1089,24 @@ def _ann_recall_gate(
     (Spark-counted) is compared against the oracle's literal query
     count — a probe-selection bug that invariants-only recall could
     miss fails this column outright."""
-    hits = approx.select("query_id", "neighbor_id").join(
-        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    # ONE pass over the approximate result: the former shape referenced
+    # `approx` twice (stats agg + hits join), and Spark plans are trees
+    # — the entire ANN pipeline (probe, rerank, windows) executed twice
+    # per gate, and the hits join planned as a SortMergeJoin (two
+    # exchanges + sorts) because the sides' size estimates come from
+    # the big subtrees beneath them. The exact twin is bounded by
+    # |queries|·k rows by construction, so it broadcasts as a hit
+    # MARKER onto a left join instead: exact pairs are unique (ranked
+    # top-k), so every approx row matches at most once and
+    # count(_hit) == the former inner-join count, over the identical
+    # approx row set (r15 plan diff: approx subtree 2x -> 1x,
+    # SortMergeJoin -> BroadcastHashJoin, no crossJoin).
+    marked = approx.select("query_id", "neighbor_id").join(
+        F.broadcast(
+            exact.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
     )
     aggs = [
         F.count_distinct("query_id").alias("n_queries"),
@@ -1106,8 +1122,7 @@ def _ann_recall_gate(
     if clone_offset is not None:
         cols.append("n_planted_found")
     return (
-        approx.agg(*aggs)
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        marked.agg(*aggs, F.count("_hit").alias("n_hits"))
         .select(
             *cols,
             (
