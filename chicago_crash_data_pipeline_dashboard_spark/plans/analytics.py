@@ -1987,24 +1987,64 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_user_steps(
+    ev: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """One row per user with every funnel step's first qualifying ts
+    (``_t0.._tN``, step i strictly after step i-1's first ts) in ONE
+    shuffle: sequential window mins over the same user_id partitioning
+    — the former join-then-min chain shuffled the filtered events once
+    PER STEP and, because plans are trees, re-executed each prior
+    step's subtree at every reference (the step-1 frame planned 3x in
+    the registered gate). Join-form equivalences kept exactly:
+
+    - ``_has0`` marks users with ≥1 step-0 row even if every such row
+      has a NULL ts (the join form's step-0 groupBy keeps them with
+      t=NULL; a bare ``_t0 IS NOT NULL`` test would drop them);
+    - steps ≥1 qualify only when ``user_id`` is non-null (the join
+      form's equi-join drops NULL keys; a window partition would
+      otherwise happily chain inside the NULL-user group);
+    - a NULL ts never qualifies for steps ≥1 (``ts > prev`` is NULL),
+      same as the join form's filter."""
+    w = W.partitionBy("user_id")
+    cur = ev.select("user_id", "event_type", "ts")
+    cols: list[str] = []
+    for i, step in enumerate(steps):
+        is_step = F.col("event_type") == step
+        if i == 0:
+            cond = is_step
+            cur = cur.withColumn("_has0", F.max(is_step.cast("int")).over(w))
+        else:
+            cond = (
+                is_step
+                & (F.col("ts") > F.col(cols[-1]))
+                & F.col("user_id").isNotNull()
+            )
+        cur = cur.withColumn(f"_t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        cols.append(f"_t{i}")
+    # collapse to one row per user: every row of a user carries the same
+    # window values, and the groupBy reuses the window's partitioning —
+    # no second exchange
+    return cur.groupBy("user_id").agg(
+        F.max("_has0").alias("_has0"), *[F.max(c).alias(c) for c in cols]
+    )
+
+
 def funnel_chain(ev: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")):
     """Per-user first-qualifying-ts frames for an ordered funnel: each
     step keeps only rows strictly AFTER the user's previous step's
     first occurrence. Shared by the registered gate and the semantic
-    pins in tests/test_analytics_semantics.py — edit here, both move."""
-
-    def first_after(step: str, prev: DataFrame | None) -> DataFrame:
-        df = ev.filter(F.col("event_type") == step)
-        if prev is not None:
-            df = df.join(prev.withColumnRenamed("t", "_pt"), "user_id").filter(
-                F.col("ts") > F.col("_pt")
-            )
-        return df.groupBy("user_id").agg(F.min("ts").alias("t"))
-
-    out, prev = [], None
-    for step in steps:
-        prev = first_after(step, prev)
-        out.append(prev)
+    pins in tests/test_analytics_semantics.py — edit here, both move.
+    Thin per-step views over :func:`funnel_user_steps` (one shuffle)."""
+    per_user = funnel_user_steps(ev, steps)
+    out = []
+    for i in range(len(steps)):
+        keep = (
+            F.col("_has0") == 1 if i == 0 else F.col(f"_t{i}").isNotNull()
+        )
+        out.append(
+            per_user.filter(keep).select("user_id", F.col(f"_t{i}").alias("t"))
+        )
     return out
 
 
@@ -2052,9 +2092,11 @@ def cohort_triangle(ev: DataFrame) -> DataFrame:
     "fixture user otherwise converts at every step — thinned, the "
     "ordered chain measurably diverges from naive set intersection "
     "(112 vs 130 step-3 conversions at sf0.01), so the strictly-after "
-    "semantics are live under the gate. Three aggregates + two "
-    "equi-joins on user_id; every stage co-partitions on the same key, "
-    "so at scale the chain is one shuffle family, not three.",
+    "semantics are live under the gate. One scan + one user_id shuffle: "
+    "sequential window mins carry each step's first qualifying ts and "
+    "the three step counts fall out of a single aggregate (r15: the "
+    "join-then-min chain planned the step-1 frame 3x / step-2 frame 2x "
+    "because plans are trees — 12 scans, 26 Exchanges → 1 scan, 2).",
 )
 def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load(spark, sf_dir, "events")
@@ -2063,11 +2105,11 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("event_type") == "click") & (F.col("event_id") % 4 == 0))
         | ((F.col("event_type") == "purchase") & (F.col("event_id") % 6 == 0))
     )
-    v, c, p = funnel_chain(ev)
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    per_user = funnel_user_steps(ev)
+    return per_user.agg(
+        F.sum("_has0").cast("long").alias("n_view"),
+        F.count("_t1").alias("n_click_after_view"),
+        F.count("_t2").alias("n_purchase_after_click"),
     )
 
 
