@@ -43,6 +43,31 @@ def test_funnel_orders_strictly(spark):
     assert {r.user_id for r in p.collect()} == {1}  # user 2's early purchase fails
 
 
+def test_funnel_null_edges_match_join_form(spark):
+    """Pins the join-form edge semantics the r15 windowed rewrite must
+    preserve: (a) a user whose only view rows have NULL ts still counts
+    as entering the funnel (the old step-0 groupBy kept them with
+    t=NULL) but can never advance (ts > NULL is NULL); (b) a NULL
+    user_id enters step 0 (groupBy keeps the NULL group) but never
+    advances (the old equi-join dropped NULL keys)."""
+    rows = [
+        # user 5: NULL-ts view only, then a click — in v (t NULL), not in c
+        (5, "view", None), (5, "click", _t(10)),
+        # NULL user: complete view->click chain — in v, must NOT reach c
+        (None, "view", _t(0)), (None, "click", _t(10)),
+        # user 6: control — normal two-step conversion
+        (6, "view", _t(0)), (6, "click", _t(5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    v, c, p = funnel_chain(ev)
+    v_rows = {r.user_id: r.t for r in v.collect()}
+    assert set(v_rows) == {5, None, 6}
+    assert v_rows[5] is None  # NULL-ts view keeps membership, t stays NULL
+    assert {r.user_id for r in c.collect()} == {6}
+    assert c.filter(F.col("user_id").isNull()).count() == 0
+    assert p.count() == 0
+
+
 def test_cohort_offsets_per_user(spark):
     # two users joining two weeks apart, each active in their join week
     # and one later week — offsets are relative to EACH user's cohort
