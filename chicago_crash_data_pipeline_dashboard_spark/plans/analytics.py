@@ -2055,14 +2055,25 @@ def funnel_chain(ev: DataFrame, steps: tuple[str, ...] = ("view", "click", "purc
 def cohort_triangle(ev: DataFrame) -> DataFrame:
     """Weekly retention triangle: cohort = each user's first active ISO
     week, counted at integer week offsets. Shared by the registered
-    gate and tests/test_analytics_semantics.py."""
-    weekly = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
-    ).distinct()
-    cohorts = weekly.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
-    j = weekly.join(cohorts, "user_id")
+    gate and tests/test_analytics_semantics.py.
+
+    The cohort week is a window min over the distinct user-week frame
+    (r15): the former groupBy+self-join planned the distinct subtree
+    twice (plans are trees — 2 scans + 2 distinct shuffles + a join
+    re-exchange); the window form scans and distincts once, and its
+    user_id exchange is the only extra hop. NULL user_ids are dropped
+    up front — the join form's inner equi-join removed them anyway
+    (matching the oracle), while a window partition would otherwise
+    emit their cohort rows with n_users=0."""
+    weekly = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w"))
+        .distinct()
+    )
+    cohort = F.min("w").over(W.partitionBy("user_id"))
+    labeled = weekly.withColumn("cohort_week", cohort)
     off = (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("long")
-    return j.groupBy("cohort_week", off.alias("week_offset")).agg(
+    return labeled.groupBy("cohort_week", off.alias("week_offset")).agg(
         F.count_distinct("user_id").alias("n_users")
     )
 
