@@ -45,12 +45,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # filter + matmul guard in the semantic family, the return_release
 # plumbing behind semantic_dedup_against, and the batched single-
 # handle move loop in the txn ledger every ingest-stream gate drives
-# — changed queries sample unconditionally); and 23 of the 46
-# r13-verified benched queries (3 more of those 46 re-sample via the
-# changed-stream rule, leaving 20 r13-verified for r16 — their
-# staleness bound). Benched (rotated out): those 20 plus the 46
-# r14-verified queries not re-sampled by a change (fresh green last
-# round; may stay benched through r16).
+# — changed queries sample unconditionally); the 8 queries whose
+# executed code changed in the r15 OPTIMIZATION commits (recall-gate
+# single pass + order_key_setops rewrite); and 15 of the 46
+# r13-verified benched queries as fill. Benched (rotated out): the 27
+# remaining r13-verified queries (MUST sample in r16 — their
+# staleness bound) plus the r14-verified queries not re-sampled by a
+# change (fresh green last round; may stay benched through r16).
 _VERIFY_FIRST = [
     # --- r12-verified, deferred since r12: staleness bound, MUST sample ---
     "doc_quality_buckets",
@@ -87,8 +88,27 @@ _VERIFY_FIRST = [
     "doc_ingest_stream",
     "doc_exact_ingest_stream",
     "doc_simhash_ingest_stream",
-    # --- r13-verified, rotating back from the bench (23 of 46; the
-    # remaining 20 MUST sample in r16) ---
+    # --- changed by the r15 OPTIMIZATION commits (landed after the
+    # rotation above was first committed; changed queries sample
+    # unconditionally): the _ann_recall_gate single-pass rewrite
+    # (af3cfb2) covers all nine recall-gate queries — the other two,
+    # emb_ivfpq_append + emb_index_compact, already sample above —
+    # and the order_key_setops grouped-membership rewrite (b4ee3e7).
+    # event_funnel_steps / user_retention_cohorts /
+    # doc_tfidf_cosine_pairs also changed and already sample above.
+    # Eight r13-verified fills moved back to _ROTATION_BENCHED to
+    # keep the 50-row sample exact; they join the r16 must-sample set
+    # (their r13+3 staleness bound lands there anyway). ---
+    "order_key_setops",
+    "emb_ivf_topk",
+    "emb_ivf_largek",
+    "emb_pq_topk",
+    "emb_ivf_pruned",
+    "emb_pq_pruned",
+    "emb_ivfpq_pruned",
+    "emb_index_delete",
+    # --- r13-verified, rotating back from the bench (15 of 46; the
+    # remaining 27 MUST sample in r16) ---
     "event_windowed_counts_stream",
     "event_error_click_window_stream",
     "event_dedup_watermark_stream",
@@ -97,7 +117,6 @@ _VERIFY_FIRST = [
     "streaming_ingest_e2e",
     "orc_roundtrip_stats",
     "bucketed_join_agg",
-    "event_props_json",
     "event_funnel_steps",
     "user_retention_cohorts",
     "doc_exact_against_corpus",
@@ -105,20 +124,22 @@ _VERIFY_FIRST = [
     "emb_ivfpq_append",
     "emb_index_compact",
     "compact_small_files",
+]
+_ROTATION_BENCHED = [
+    # --- r13-verified (green r13 driver rows) NOT sampled this round
+    # — at the staleness bound, they MUST sample in r16. Includes the
+    # 8 fills displaced when the r15-optimization-changed queries were
+    # promoted into the sample (see _VERIFY_FIRST). ---
+    "price_bins",
+    "semi_join_discounted",
     "pricing_summary",
     "eda_day_labels",
     "run_history",
     "value_counts_topk",
     "unpivot_daily_events",
+    "event_props_json",
     "hash_sample_stats",
     "dedup_keep_first",
-]
-_ROTATION_BENCHED = [
-    # --- r13-verified (green r13 driver rows); the 20 NOT sampled
-    # this round — at the staleness bound, they MUST sample in r16 ---
-    "price_bins",
-    "order_key_setops",
-    "semi_join_discounted",
     "null_profile",
     "corr_stats",
     "crash_hit_run_rate_by_weather",
@@ -150,7 +171,6 @@ _ROTATION_BENCHED = [
     "media_feature_stats",
     "pipeline_e2e",
     "value_counts_approx_topk",
-    "emb_pq_pruned",
     "event_sessions_native",
     "event_props_variant",
     "event_sessions_native_stream",
@@ -158,16 +178,10 @@ _ROTATION_BENCHED = [
     "doc_jaccard_pairs",
     "doc_dup_clusters",
     "emb_semantic_dedup",
-    "emb_ivf_pruned",
     "doc_forget_docs",
-    "emb_index_delete",
     "doc_cc_extend",
     "doc_ingest_round",
     "doc_simhash_hamming",
-    "emb_ivf_topk",
-    "emb_ivf_largek",
-    "emb_pq_topk",
-    "emb_ivfpq_pruned",
     "socrata_paged_scan",
     "doc_minhash_against_corpus",
     "doc_simhash",
