@@ -235,22 +235,49 @@ def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     """,
     doc="Reference A11/A12 exact interpolating percentile "
-    "(cleaning_rules.py:198-202, streamlit_frontend.py:1365). Uses exact "
-    "`percentile`, NOT approx_percentile, to match the pandas/DuckDB "
-    "interpolation (SURVEY §4.3). Rounded to 6dp: interpolation arithmetic "
-    "is FP-order-stable but not bit-guaranteed across engines.",
+    "(cleaning_rules.py:198-202, streamlit_frontend.py:1365). Exact (NOT "
+    "approx_percentile) to match the pandas/DuckDB interpolation (SURVEY "
+    "§4.3). Per-column strategy by cardinality: l_quantity (50 distinct) "
+    "keeps the built-in `percentile` — its value→count map buffer IS the "
+    "map-side combine and stays 50 entries at any scale; l_extendedprice "
+    "(~97% distinct) takes a sort-based exact form — the built-in's "
+    "per-partition OpenHashMap degenerates to boxed rows serialized to "
+    "the single merge task (measured 2.8 s vs 1.0 s at sf0.1), while the "
+    "sort path moves the same bytes through codegen'd UnsafeRow sort. "
+    "Both funnel O(distinct) to one task — inherent to exactness. "
+    "Rounded to 6dp: interpolation arithmetic is FP-order-stable but not "
+    "bit-guaranteed across engines.",
 )
 def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    # one percentile buffer per COLUMN (array of fractions), not per
-    # fraction — halves the aggregation state
-    qty = F.expr("percentile(l_quantity, array(0.5, 0.95))")
-    price = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
-    return li.agg(qty.alias("q"), price.alias("p")).select(
+    # low-cardinality column: one percentile buffer for both fractions
+    qty = li.agg(F.expr("percentile(l_quantity, array(0.5, 0.95))").alias("q"))
+
+    # high-cardinality column: global sort + row_number, interpolate the
+    # two bracketing rows per fraction (identical semantics to the
+    # built-in: NULLs dropped, position = (n-1)*p, linear interpolation)
+    v = li.select(F.col("l_extendedprice").alias("v")).where(F.col("v").isNotNull())
+    ranked = v.select(
+        "v",
+        F.row_number().over(W.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    keeps, aggs = [], []
+    for i, p in enumerate((0.5, 0.95)):
+        pos = (F.col("n") - 1) * F.lit(p)
+        lo, hi = F.floor(pos) + 1, F.ceil(pos) + 1
+        keeps.append((F.col("rn") == lo) | (F.col("rn") == hi))
+        vlo = F.max(F.when(F.col("rn") == lo, F.col("v")))
+        vhi = F.max(F.when(F.col("rn") == hi, F.col("v")))
+        posv = F.max(pos)
+        aggs.append((vlo + (vhi - vlo) * (posv - F.floor(posv))).alias(f"p{i}"))
+    price = ranked.where(keeps[0] | keeps[1]).agg(*aggs)
+
+    return qty.crossJoin(price).select(
         F.round(F.col("q")[0], 6).alias("median_qty"),
         F.round(F.col("q")[1], 6).alias("p95_qty"),
-        F.round(F.col("p")[0], 6).alias("median_price"),
-        F.round(F.col("p")[1], 6).alias("p95_price"),
+        F.round(F.col("p0"), 6).alias("median_price"),
+        F.round(F.col("p1"), 6).alias("p95_price"),
     )
 
 

@@ -208,3 +208,30 @@ def test_session_window_boundary_merges_at_exact_gap(spark):
     assert ("a", T0, 3) in out
     assert ("b", T0, 2) in out
     assert ("c", T0, 1) in out and ("c", _t(3601), 1) in out
+
+
+def test_sort_based_percentile_matches_builtin(spark):
+    """Pins the quantiles query's sort-based exact percentile (the
+    high-cardinality l_extendedprice branch) against the built-in
+    `percentile` on an adversarial micro-fixture: NULLs (dropped by
+    both), duplicate values (row_number ties), and fraction positions
+    that land exactly ON a row (frac == 0) and between rows."""
+    from chicago_crash_data_pipeline_dashboard_spark.plans.registry import QUERIES
+
+    vals = [3.25, None, 1.5, 1.5, 2.75, None, 9.0, 4.125, 0.5, 7.375, 2.75]
+    df = spark.createDataFrame([(v,) for v in vals], "l_extendedprice double")
+    df = df.withColumn("l_quantity", F.coalesce(F.col("l_extendedprice"), F.lit(0.0)))
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = QUERIES["quantiles"].fn(spark, d).first()
+    ref = df.agg(
+        F.expr("percentile(l_quantity, array(0.5, 0.95))").alias("q"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("p"),
+    ).first()
+    assert got["median_qty"] == round(ref["q"][0], 6)
+    assert got["p95_qty"] == round(ref["q"][1], 6)
+    assert got["median_price"] == round(ref["p"][0], 6)
+    assert got["p95_price"] == round(ref["p"][1], 6)
