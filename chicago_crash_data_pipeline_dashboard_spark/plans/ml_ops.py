@@ -119,8 +119,21 @@ def crash_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the cleaning chain (incl. its two-pass median) would
     # otherwise re-execute for every downstream action (GBT iterations,
-    # scoring, both count aggregates)
-    cleaned = clean_crashes(synth_bronze_spark(spark, sf_dir)).persist()
+    # scoring, both count aggregates). Project to the columns the gate
+    # actually consumes (split key + label + the 18 features) BEFORE
+    # caching — the cleaned frame is ~1.5x wider, and every GBT
+    # iteration re-scans the cache (guide §5: cache only what is
+    # reused). Identical model/metrics: same rows, same feature values.
+    cleaned = (
+        clean_crashes(synth_bronze_spark(spark, sf_dir))
+        .select(
+            "crash_record_id",
+            MLP.LABEL,
+            *MLP.FEATURES_NUMERIC,
+            *MLP.FEATURES_CATEGORICAL,
+        )
+        .persist()
+    )
     # Size the training frame's partitioning to its volume (count()
     # doubles as cache materialization). The cleaned chain can come out
     # under-split (a single-row-group source scans as ONE task — same
