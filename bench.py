@@ -232,15 +232,21 @@ def main() -> None:
         # complete (a failed query shrinks `value`, flattering the total)
         complete=not errors,
     )
-    line = json.dumps(out)
-    # self-recorded twin of the driver artifact: the FULL payload,
-    # readable even when the driver's tail window truncates the line
+    # self-recorded twin of the driver artifact: the FULL payload
+    # (incl. notes), readable even when the driver's tail window
+    # truncates the stdout line
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(out) + "\n")
     except OSError:
         pass  # read-only checkout: stdout remains the artifact
-    print(line)
+    # stdout stays ONE JSON line, now WITHOUT the free-text notes
+    # (r16, VERDICT r15 item 2: the ~4 KB line outgrew the driver's
+    # 2,000-char artifact tail and killed round-over-round comparison;
+    # notes live in BENCH_SELF.json). Same queries, same totals, same
+    # totals-last key order so a truncated tail still keeps them.
+    out.pop("notes", None)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -148,19 +148,28 @@ def main() -> None:
     }
     notes["session_split"] = session_split
 
-    out = {
-        "metric": "io_total_median_query_seconds",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "notes": notes,
-        "sf": sf,
-        "runs": RUNS,
-        "n_queries": len(timings),
-        "complete": not errors,
-    }
+    # totals LAST so a tail-truncated artifact keeps them; notes go to
+    # the SELF twin only (r16, VERDICT r15 item 2: oversized stdout
+    # lines defeated the driver's 2,000-char artifact tail)
+    out = {"queries": timings}
     if errors:
         out["errors"] = errors
+    out.update(
+        metric="io_total_median_query_seconds",
+        unit="sec",
+        sf=sf,
+        runs=RUNS,
+        value=round(sum(timings.values()), 4),
+        n_queries=len(timings),
+        complete=not errors,
+    )
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_IO_SELF.json"), "w"
+        ) as f:
+            f.write(json.dumps({**out, "notes": notes}) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout remains the artifact
     print(json.dumps(out))
     spark.stop()
 

@@ -240,11 +240,11 @@ def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§4.3). Per-column strategy by cardinality: l_quantity (50 distinct) "
     "keeps the built-in `percentile` — its value→count map buffer IS the "
     "map-side combine and stays 50 entries at any scale; l_extendedprice "
-    "(~97% distinct) takes a sort-based exact form — the built-in's "
-    "per-partition OpenHashMap degenerates to boxed rows serialized to "
-    "the single merge task (measured 2.8 s vs 1.0 s at sf0.1), while the "
-    "sort path moves the same bytes through codegen'd UnsafeRow sort. "
-    "Both funnel O(distinct) to one task — inherent to exactness. "
+    "(~97% distinct) takes a DISTRIBUTED exact form (r16): approx "
+    "splits → exact per-bucket counts → rank the 1-2 bracket buckets "
+    "only, Window partitioned by bucket. No single task ever sees the "
+    "full column (the r15 sort form and the built-in both funneled "
+    "O(n) or O(distinct) through one task). "
     "Rounded to 6dp: interpolation arithmetic is FP-order-stable but not "
     "bit-guaranteed across engines.",
 )
@@ -253,25 +253,98 @@ def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # low-cardinality column: one percentile buffer for both fractions
     qty = li.agg(F.expr("percentile(l_quantity, array(0.5, 0.95))").alias("q"))
 
-    # high-cardinality column: global sort + row_number, interpolate the
-    # two bracketing rows per fraction (identical semantics to the
-    # built-in: NULLs dropped, position = (n-1)*p, linear interpolation)
+    # high-cardinality column: DISTRIBUTED exact percentile. Exactness
+    # needs a global ORDER, not a single task (the r15 sort form still
+    # funneled every row through one SinglePartition Window). Three
+    # passes, none of which sorts or single-tasks the full column:
+    #   1. approx_percentile sketches B-1 bucket split points (partial
+    #      agg, no row shuffle). Accuracy only affects bucket BALANCE —
+    #      the result is exact for any splits because ranks are
+    #      recomputed below from exact counts over these same literals.
+    #   2. exact per-bucket counts (map-side agg on <=B groups, tiny
+    #      exchange) -> cumulative rank offsets, B scalars driver-side.
+    #   3. only the buckets holding the four bracketing ranks are
+    #      re-scanned (their v-ranges are literal predicates that push
+    #      into the scan), ranked per bucket (Window PARTITIONED by
+    #      bucket — parallel) and interpolated with the same expression
+    #      shape as before: position (n-1)*p over the exact total n.
+    # A value equal to a split lands in the lower bucket on every pass
+    # (bucket = #splits strictly below v, a pure function of v), so the
+    # three passes can never disagree about placement.
     v = li.select(F.col("l_extendedprice").alias("v")).where(F.col("v").isNotNull())
-    ranked = v.select(
-        "v",
-        F.row_number().over(W.orderBy("v")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
-    keeps, aggs = [], []
-    for i, p in enumerate((0.5, 0.95)):
-        pos = (F.col("n") - 1) * F.lit(p)
-        lo, hi = F.floor(pos) + 1, F.ceil(pos) + 1
-        keeps.append((F.col("rn") == lo) | (F.col("rn") == hi))
-        vlo = F.max(F.when(F.col("rn") == lo, F.col("v")))
-        vhi = F.max(F.when(F.col("rn") == hi, F.col("v")))
-        posv = F.max(pos)
-        aggs.append((vlo + (vhi - vlo) * (posv - F.floor(posv))).alias(f"p{i}"))
-    price = ranked.where(keeps[0] | keeps[1]).agg(*aggs)
+    n_buckets = max(64, spark.sparkContext.defaultParallelism * 2)
+    frac_list = ",".join(str(i / n_buckets) for i in range(1, n_buckets))
+    splits_row = v.agg(
+        F.expr(f"approx_percentile(v, array({frac_list}), 10000)").alias("s")
+    ).first()
+    splits: list[float] = list(splits_row["s"] or []) if splits_row["s"] is not None else []
+
+    def _bucket(col: F.Column) -> F.Column:
+        b = F.lit(0)
+        for s in splits:
+            b = b + (col > F.lit(s)).cast("int")
+        return b
+
+    counts = {
+        r["b"]: r["c"]
+        for r in v.groupBy(_bucket(F.col("v")).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        price = spark.range(1).select(
+            F.lit(None).cast("double").alias("p0"),
+            F.lit(None).cast("double").alias("p1"),
+        )
+    else:
+        offsets: dict[int, int] = {}
+        acc = 0
+        for b in sorted(counts):
+            offsets[b] = acc
+            acc += counts[b]
+
+        def _locate(rank: int) -> tuple[int, int]:
+            """(bucket, local rank) holding 1-based global ``rank``."""
+            for b in sorted(counts):
+                if rank <= offsets[b] + counts[b]:
+                    return b, rank - offsets[b]
+            raise AssertionError(f"rank {rank} > n {n}")
+
+        import math
+
+        aggs, target_buckets = [], set()
+        for i, p in enumerate((0.5, 0.95)):
+            pos = (n - 1) * p
+            lo_b, lo_r = _locate(math.floor(pos) + 1)
+            hi_b, hi_r = _locate(math.ceil(pos) + 1)
+            target_buckets.update((lo_b, hi_b))
+            vlo = F.max(F.when((F.col("b") == lo_b) & (F.col("rn") == lo_r), F.col("v")))
+            vhi = F.max(F.when((F.col("b") == hi_b) & (F.col("rn") == hi_r), F.col("v")))
+            posv = F.lit(pos)
+            aggs.append((vlo + (vhi - vlo) * (posv - F.floor(posv))).alias(f"p{i}"))
+
+        def _bucket_range(b: int) -> F.Column:
+            pred = F.lit(True)
+            if b > 0:
+                pred = pred & (F.col("v") > F.lit(splits[b - 1]))
+            if b < len(splits):
+                pred = pred & (F.col("v") <= F.lit(splits[b]))
+            return pred
+
+        keep = None
+        for b in sorted(target_buckets):
+            keep = _bucket_range(b) if keep is None else keep | _bucket_range(b)
+        ranked = (
+            v.where(keep)
+            .select("v", _bucket(F.col("v")).alias("b"))
+            .select(
+                "v",
+                "b",
+                F.row_number().over(W.partitionBy("b").orderBy("v")).alias("rn"),
+            )
+        )
+        price = ranked.agg(*aggs)
 
     return qty.crossJoin(price).select(
         F.round(F.col("q")[0], 6).alias("median_qty"),

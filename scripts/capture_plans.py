@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for every timed latency-set query.
 
-Writes plans/r15/<query>_<tag>.txt for the optimization round's
-before/after evidence (tag from argv[1], default "before").
+Writes plans/$CAPTURE_ROUND/<query>_<tag>.txt (default r16) for the
+optimization round's before/after evidence (tag from argv[1], default
+"before").
 
 Only the latency set (bench.py's timed queries) is captured by default:
 the IO/stream gates are side-effectful round-trips whose fn() builds
@@ -26,7 +27,8 @@ def main() -> None:
     include_all = "--all" in sys.argv
     only = os.environ.get("CAPTURE_ONLY")  # regex filter
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    rnd = os.environ.get("CAPTURE_ROUND", "r16")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="ccpd_capture_plans")
 

@@ -210,15 +210,14 @@ def test_session_window_boundary_merges_at_exact_gap(spark):
     assert ("c", T0, 1) in out and ("c", _t(3601), 1) in out
 
 
-def test_sort_based_percentile_matches_builtin(spark):
-    """Pins the quantiles query's sort-based exact percentile (the
-    high-cardinality l_extendedprice branch) against the built-in
-    `percentile` on an adversarial micro-fixture: NULLs (dropped by
-    both), duplicate values (row_number ties), and fraction positions
-    that land exactly ON a row (frac == 0) and between rows."""
+def _quantiles_vs_builtin(spark, vals):
+    """Run the quantiles query over a lineitem fixture built from
+    ``vals`` and the built-in `percentile` reference over the same
+    frame; reference rounded THROUGH SPARK's F.round (HALF_UP), not
+    Python round() (banker's), so 6th-decimal ties can never diverge
+    (ADVICE r15)."""
     from chicago_crash_data_pipeline_dashboard_spark.plans.registry import QUERIES
 
-    vals = [3.25, None, 1.5, 1.5, 2.75, None, 9.0, 4.125, 0.5, 7.375, 2.75]
     df = spark.createDataFrame([(v,) for v in vals], "l_extendedprice double")
     df = df.withColumn("l_quantity", F.coalesce(F.col("l_extendedprice"), F.lit(0.0)))
     import os
@@ -227,11 +226,46 @@ def test_sort_based_percentile_matches_builtin(spark):
     with tempfile.TemporaryDirectory() as d:
         df.write.parquet(os.path.join(d, "lineitem.parquet"))
         got = QUERIES["quantiles"].fn(spark, d).first()
-    ref = df.agg(
-        F.expr("percentile(l_quantity, array(0.5, 0.95))").alias("q"),
-        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("p"),
-    ).first()
-    assert got["median_qty"] == round(ref["q"][0], 6)
-    assert got["p95_qty"] == round(ref["q"][1], 6)
-    assert got["median_price"] == round(ref["p"][0], 6)
-    assert got["p95_price"] == round(ref["p"][1], 6)
+    ref = (
+        df.agg(
+            F.expr("percentile(l_quantity, array(0.5, 0.95))").alias("q"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("p"),
+        )
+        .select(
+            F.round(F.col("q")[0], 6).alias("q0"),
+            F.round(F.col("q")[1], 6).alias("q1"),
+            F.round(F.col("p")[0], 6).alias("p0"),
+            F.round(F.col("p")[1], 6).alias("p1"),
+        )
+        .first()
+    )
+    assert got["median_qty"] == ref["q0"]
+    assert got["p95_qty"] == ref["q1"]
+    assert got["median_price"] == ref["p0"]
+    assert got["p95_price"] == ref["p1"]
+
+
+def test_sort_based_percentile_matches_builtin(spark):
+    """Pins the quantiles query's distributed exact percentile (the
+    high-cardinality l_extendedprice branch) against the built-in
+    `percentile` on an adversarial micro-fixture: NULLs (dropped by
+    both), duplicate values (row_number ties), and fraction positions
+    that land exactly ON a row (frac == 0) and between rows. With 9
+    non-null rows and 64+ buckets, most splits are duplicate values —
+    the degenerate-bucket edge of the r16 distributed form."""
+    vals = [3.25, None, 1.5, 1.5, 2.75, None, 9.0, 4.125, 0.5, 7.375, 2.75]
+    _quantiles_vs_builtin(spark, vals)
+
+
+def test_distributed_percentile_bucket_edges(spark):
+    """r16 distributed exact percentile at a size where the bucket
+    machinery is actually exercised (multiple non-empty buckets, the
+    bracketing ranks inside interior buckets), with heavy ties so that
+    split points collide with data values — a tie block must land
+    entirely in one bucket on every pass."""
+    vals = []
+    for i in range(2000):
+        vals.append(float(i % 37) * 0.125)   # heavy ties on 37 values
+        vals.append(1000.0 + i * 0.0625)     # distinct tail
+    vals.extend([None, None, None])
+    _quantiles_vs_builtin(spark, vals)
