@@ -36,100 +36,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # query NOT in _ROTATION_BENCHED must land inside the 50-row sample
 # (a registration without a matching benched entry raises).
 #
-# Sampled first (r15, executing COVERAGE.md §"Round-15 rotation
-# plan"): the 19 r12-verified queries deferred since r12 — at the
-# staleness bound, they MUST sample now; the 1 NEW r15 registration
-# (emb_semantic_batched — the batched-assign + matmul-verify executed
-# path under the driver differential, VERDICT r14 item 2); the 7
-# queries whose executed code changed in r15 (the NULL-vector probe
-# filter + matmul guard in the semantic family, the return_release
-# plumbing behind semantic_dedup_against, and the batched single-
-# handle move loop in the txn ledger every ingest-stream gate drives
-# — changed queries sample unconditionally); the 8 queries whose
-# executed code changed in the r15 OPTIMIZATION commits (recall-gate
-# single pass + order_key_setops rewrite); and 15 of the 46
-# r13-verified benched queries as fill. Benched (rotated out): the 27
-# remaining r13-verified queries (MUST sample in r16 — their
-# staleness bound) plus the r14-verified queries not re-sampled by a
-# change (fresh green last round; may stay benched through r16).
+# Sampled first (r16, executing COVERAGE.md §"Round-16 rotation
+# plan"): the 27 r13-verified queries benched through r14+r15 — at
+# the staleness bound, they MUST sample now; the 2 queries whose
+# executed code changed in the r16 OPTIMIZATION commits (quantiles'
+# distributed exact percentile, crash_model_eval's single-stats-pass
+# assembly — changed queries sample unconditionally; both come from
+# the r14-verified pool so they count toward its 23-slot draw); and
+# 21 more r14-verified benched queries as fill (23 of 39 drawn total,
+# leaving 16 for r17 — comfortably inside r17's budget per the
+# committed arithmetic). Benched (rotated out): the 50 r15-sampled
+# queries (fresh green last round; due r18) plus the 16 r14-verified
+# remainder (MUST sample in r17).
 _VERIFY_FIRST = [
-    # --- r12-verified, deferred since r12: staleness bound, MUST sample ---
-    "doc_quality_buckets",
-    "doc_pii_scrub",
-    "doc_chunk_overlap",
-    "schema_evolution_merge",
-    "json_malformed_ingest",
-    "partition_overwrite_dynamic",
-    "incremental_agg_merge",
-    "doc_quality_regression",
-    "crash_rule_eval",
-    "doc_training_pipeline",
-    "order_profile",
-    "revenue_by_nation",
-    "doc_tfidf_cosine_pairs",
-    "emb_near_dup_pairs",
-    "crash_clean_chain",
-    "doc_minhash_near_dups",
-    "doc_cap_per_source",
-    "doc_strip_boilerplate",
-    "sql_adhoc_query",
-    # --- NEW in r15: production-regime semantic dedup (batched assign
-    # + matmul verify) under the brute-force driver oracle ---
-    "emb_semantic_batched",
-    # --- changed in r15 (NULL-vector probe filter in
-    # _probed_compact_hof + explicit matmul NULL guard; return_release
-    # plumbing on semantic_dedup_against; fsutil.bulk_rename single-
-    # handle move loop in the staged-move txn ledger): sample
-    # unconditionally ---
-    "emb_semantic_dedup_against",
-    "emb_semantic_ingest_round",
-    "emb_semantic_ingest_stream",
-    "emb_maintain_stream",
-    "doc_ingest_stream",
-    "doc_exact_ingest_stream",
-    "doc_simhash_ingest_stream",
-    # --- changed by the r15 OPTIMIZATION commits (landed after the
-    # rotation above was first committed; changed queries sample
-    # unconditionally): the _ann_recall_gate single-pass rewrite
-    # (af3cfb2) covers all nine recall-gate queries — the other two,
-    # emb_ivfpq_append + emb_index_compact, already sample above —
-    # and the order_key_setops grouped-membership rewrite (b4ee3e7).
-    # event_funnel_steps / user_retention_cohorts /
-    # doc_tfidf_cosine_pairs also changed and already sample above.
-    # Eight r13-verified fills moved back to _ROTATION_BENCHED to
-    # keep the 50-row sample exact; they join the r16 must-sample set
-    # (their r13+3 staleness bound lands there anyway). ---
-    "order_key_setops",
-    "emb_ivf_topk",
-    "emb_ivf_largek",
-    "emb_pq_topk",
-    "emb_ivf_pruned",
-    "emb_pq_pruned",
-    "emb_ivfpq_pruned",
-    "emb_index_delete",
-    # --- r13-verified, rotating back from the bench (15 of 46; the
-    # remaining 27 MUST sample in r16) ---
-    "event_windowed_counts_stream",
-    "event_error_click_window_stream",
-    "event_dedup_watermark_stream",
-    "event_sessions_stream",
-    "event_first_seen_stream",
-    "streaming_ingest_e2e",
-    "orc_roundtrip_stats",
-    "bucketed_join_agg",
-    "event_funnel_steps",
-    "user_retention_cohorts",
-    "doc_exact_against_corpus",
-    "doc_simhash_against_corpus",
-    "emb_ivfpq_append",
-    "emb_index_compact",
-    "compact_small_files",
-]
-_ROTATION_BENCHED = [
-    # --- r13-verified (green r13 driver rows) NOT sampled this round
-    # — at the staleness bound, they MUST sample in r16. Includes the
-    # 8 fills displaced when the r15-optimization-changed queries were
-    # promoted into the sample (see _VERIFY_FIRST). ---
+    # --- r13-verified, benched r14+r15: staleness bound, MUST sample ---
     "price_bins",
     "semi_join_discounted",
     "pricing_summary",
@@ -157,11 +77,15 @@ _ROTATION_BENCHED = [
     "event_asof_last_click",
     "event_sessions",
     "event_zorder_keys",
-    # --- r14-verified (green r14 driver rows, unchanged in r15); may
-    # stay benched through r16 ---
+    # --- changed in r16 (optimization commits; sample unconditionally):
+    # quantiles' distributed exact percentile and crash_model_eval's
+    # one-pass stats assembly ---
+    "quantiles",
+    "crash_model_eval",
+    # --- r14-verified, rotating back from the bench (21 of the
+    # remaining 37; the other 16 MUST sample in r17) ---
     "anti_join_new_keys",
     "topk_orders_by_revenue",
-    "quantiles",
     "revenue_rollup",
     "approx_sketch_stats",
     "customer_orders_wide",
@@ -181,6 +105,10 @@ _ROTATION_BENCHED = [
     "doc_forget_docs",
     "doc_cc_extend",
     "doc_ingest_round",
+]
+_ROTATION_BENCHED = [
+    # --- r14-verified (green r14 driver rows) NOT sampled this round
+    # — at the staleness bound, they MUST sample in r17 ---
     "doc_simhash_hamming",
     "socrata_paged_scan",
     "doc_minhash_against_corpus",
@@ -188,7 +116,6 @@ _ROTATION_BENCHED = [
     "time_features",
     "whitelist_recode",
     "emb_lsh_topk",
-    "crash_model_eval",
     "jobspec_extract",
     "silver_catalog_validate",
     "skew_salted_join_agg",
@@ -198,6 +125,58 @@ _ROTATION_BENCHED = [
     "emb_quantize_error",
     "doc_stratified_sample",
     "doc_pack_bins",
+    # --- r15-verified (green r15 driver rows, unchanged in r16);
+    # due again by r18 ---
+    "doc_quality_buckets",
+    "doc_pii_scrub",
+    "doc_chunk_overlap",
+    "schema_evolution_merge",
+    "json_malformed_ingest",
+    "partition_overwrite_dynamic",
+    "incremental_agg_merge",
+    "doc_quality_regression",
+    "crash_rule_eval",
+    "doc_training_pipeline",
+    "order_profile",
+    "revenue_by_nation",
+    "doc_tfidf_cosine_pairs",
+    "emb_near_dup_pairs",
+    "crash_clean_chain",
+    "doc_minhash_near_dups",
+    "doc_cap_per_source",
+    "doc_strip_boilerplate",
+    "sql_adhoc_query",
+    "emb_semantic_batched",
+    "emb_semantic_dedup_against",
+    "emb_semantic_ingest_round",
+    "emb_semantic_ingest_stream",
+    "emb_maintain_stream",
+    "doc_ingest_stream",
+    "doc_exact_ingest_stream",
+    "doc_simhash_ingest_stream",
+    "order_key_setops",
+    "emb_ivf_topk",
+    "emb_ivf_largek",
+    "emb_pq_topk",
+    "emb_ivf_pruned",
+    "emb_pq_pruned",
+    "emb_ivfpq_pruned",
+    "emb_index_delete",
+    "event_windowed_counts_stream",
+    "event_error_click_window_stream",
+    "event_dedup_watermark_stream",
+    "event_sessions_stream",
+    "event_first_seen_stream",
+    "streaming_ingest_e2e",
+    "orc_roundtrip_stats",
+    "bucketed_join_agg",
+    "event_funnel_steps",
+    "user_retention_cohorts",
+    "doc_exact_against_corpus",
+    "doc_simhash_against_corpus",
+    "emb_ivfpq_append",
+    "emb_index_compact",
+    "compact_small_files",
 ]
 
 

@@ -134,18 +134,33 @@ def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # Size the training frame's partitioning to its volume (count()
-    # doubles as cache materialization). The cleaned chain can come out
-    # under-split (a single-row-group source scans as ONE task — same
-    # failure mode registry.load rebalances for), which would run every
-    # GBT histogram job single-threaded; an iterative fitter schedules
-    # one task per partition per job, so over-splitting a small frame
-    # wastes scheduler rounds instead. Clamp to ~20k rows/partition,
-    # capped at the default parallelism — at real scale the cap wins and
-    # the training frame keeps its natural splits.
-    n_cleaned = cleaned.count()
-    target = max(1, min(spark.sparkContext.defaultParallelism, n_cleaned // 20_000))
+    # ONE stats pass replaces three jobs (r16, VERDICT r15 item 4): it
+    # materializes the cache (the old count()'s second duty), yields
+    # n_cleaned for the partition clamp, AND the n_train/n_test counts
+    # the old plan recomputed later as two more aggregates glued by
+    # BroadcastNestedLoopJoins. NULL split keys land in neither split,
+    # so n_train + n_test <= n_cleaned and all three must be counted.
     key = F.substring("crash_record_id", 3, 8).cast("int")
+    stats = cleaned.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum((key % 5 != 0).cast("long")).alias("n_train"),
+        F.sum((key % 5 == 0).cast("long")).alias("n_test"),
+    ).first()
+    n_cleaned = stats["n_all"]
+    n_train = int(stats["n_train"] or 0)
+    n_test = int(stats["n_test"] or 0)
+    # Size the training frame's partitioning to its volume. The cleaned
+    # chain can come out under-split (a single-row-group source scans
+    # as ONE task — same failure mode registry.load rebalances for),
+    # which would run every GBT histogram job single-threaded; an
+    # iterative fitter schedules one task per partition per job, so
+    # over-splitting a small frame wastes scheduler rounds instead.
+    # Clamp to ~20k rows/partition, capped at the default parallelism —
+    # at real scale the cap wins and the training frame keeps its
+    # natural splits. (Clamp value and the repartition decision are
+    # byte-identical to r15: the GBT split-finder samples rows per
+    # partition, so the partitioning is part of the pinned model.)
+    target = max(1, min(spark.sparkContext.defaultParallelism, n_cleaned // 20_000))
     train_df = cleaned.filter(key % 5 != 0)
     test_df = cleaned.filter(key % 5 == 0)
     if train_df.rdd.getNumPartitions() < target:
@@ -153,31 +168,27 @@ def crash_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = MLP.train(train_df, max_iter=3, max_depth=3)
     scored = MLP.score(model, test_df, threshold=MLP.DEFAULT_THRESHOLD)
     y, p = F.col("hit_and_run_i"), F.col("hit_run_pred")
-    metrics = _metrics_df(
-        scored.agg(
-            F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
-            F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
-            F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
-            F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
-        )
-    )
-    counts = train_df.agg(F.count(F.lit(1)).alias("n_train")).crossJoin(
-        test_df.agg(F.count(F.lit(1)).alias("n_test"))
-    )
-    in01 = lambda c: (F.col(c) >= 0.0) & (F.col(c) <= 1.0)  # noqa: E731
-    out = metrics.crossJoin(counts).select(
-        "n_train",
-        "n_test",
-        (
-            (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")) == F.col("n_test")
-        ).alias("counts_consistent"),
-        (
-            in01("accuracy") & in01("precision") & in01("recall") & in01("f1")
-        ).alias("metrics_in_range"),
-    )
-    # materialize while the cleaned frame is cached, then release it —
-    # returning the lazy plan would either leak the cache for the
-    # session or recompute the whole chain at the caller's collect
-    row = out.first()
+    conf = scored.agg(
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+    ).first()
     cleaned.unpersist()
-    return spark.createDataFrame([row], out.schema)
+    # The four output fields are exact-integer / boolean functions of
+    # the counts above — assembling them driver-side is bit-identical
+    # to the old Spark-side select (the metrics are in [0, 1] by
+    # construction, so metrics_in_range is the same True the old
+    # rounded-expression check produced; counts_consistent is the same
+    # exact-integer equality).
+    tp, fp, fn, tn = (int(conf[k] or 0) for k in ("tp", "fp", "fn", "tn"))
+    total = tp + fp + fn + tn
+    prec = tp / (tp + fp) if tp + fp > 0 else 0.0
+    rec = tp / (tp + fn) if tp + fn > 0 else 0.0
+    acc = (tp + tn) / total if total > 0 else 0.0
+    f1 = (2.0 * prec * rec) / (prec + rec) if prec + rec > 0 else 0.0
+    in01 = all(0.0 <= m <= 1.0 for m in (acc, prec, rec, f1))
+    return spark.createDataFrame(
+        [(n_train, n_test, total == n_test, in01)],
+        "n_train bigint, n_test bigint, counts_consistent boolean, metrics_in_range boolean",
+    )
