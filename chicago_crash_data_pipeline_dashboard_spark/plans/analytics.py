@@ -250,54 +250,68 @@ def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    # low-cardinality column: one percentile buffer for both fractions
-    qty = li.agg(F.expr("percentile(l_quantity, array(0.5, 0.95))").alias("q"))
 
     # high-cardinality column: DISTRIBUTED exact percentile. Exactness
-    # needs a global ORDER, not a single task (the r15 sort form still
+    # needs a global ORDER, not a single task (the r15 sort form
     # funneled every row through one SinglePartition Window). Three
-    # passes, none of which sorts or single-tasks the full column:
-    #   1. approx_percentile sketches B-1 bucket split points (partial
-    #      agg, no row shuffle). Accuracy only affects bucket BALANCE —
-    #      the result is exact for any splits because ranks are
-    #      recomputed below from exact counts over these same literals.
-    #   2. exact per-bucket counts (map-side agg on <=B groups, tiny
-    #      exchange) -> cumulative rank offsets, B scalars driver-side.
+    # cheap passes, none of which sorts or single-tasks the column:
+    #   1. ONE codegen'd agg: the low-cardinality qty percentiles (its
+    #      50-entry value→count map IS the map-side combine) + min/max/
+    #      count of the price column — the uniform-bucket frame.
+    #   2. exact per-bucket counts on bucket = clamp(floor((v-lo)·B/
+    #      (hi-lo))) — three arithmetic ops per row (an approx_
+    #      percentile split sketch costs ~0.5 s and a 63-way compare
+    #      chain ~0.7 s at sf0.1; the uniform expression is ~free).
+    #      Map-side agg on ≤B groups, tiny exchange; cumulative rank
+    #      offsets B scalars driver-side.
     #   3. only the buckets holding the four bracketing ranks are
-    #      re-scanned (their v-ranges are literal predicates that push
-    #      into the scan), ranked per bucket (Window PARTITIONED by
-    #      bucket — parallel) and interpolated with the same expression
-    #      shape as before: position (n-1)*p over the exact total n.
-    # A value equal to a split lands in the lower bucket on every pass
-    # (bucket = #splits strictly below v, a pure function of v), so the
-    # three passes can never disagree about placement.
-    v = li.select(F.col("l_extendedprice").alias("v")).where(F.col("v").isNotNull())
-    n_buckets = max(64, spark.sparkContext.defaultParallelism * 2)
-    frac_list = ",".join(str(i / n_buckets) for i in range(1, n_buckets))
-    splits_row = v.agg(
-        F.expr(f"approx_percentile(v, array({frac_list}), 10000)").alias("s")
+    #      re-scanned — a CONSERVATIVE literal v-range (one spare
+    #      bucket each side, provably wider than any FP error in the
+    #      bucket expression) pushes into the parquet scan, the exact
+    #      bucket expression decides membership — ranked per bucket
+    #      (Window PARTITIONED by bucket, parallel) and interpolated
+    #      with the same expression shape as before: position (n-1)·p
+    #      over the exact total n.
+    # The result is exact for ANY bucket boundaries (ranks come from
+    # exact counts over the same pure function of v); uniform buckets
+    # only set bucket BALANCE. Worst-case balance (all mass in one
+    # bucket — a pathological value distribution) degrades pass 3 to
+    # the r15 single-task window over that bucket, never worse.
+    n_buckets = max(4096, spark.sparkContext.defaultParallelism * 8)
+    stats = li.agg(
+        F.expr("percentile(l_quantity, array(0.5, 0.95))").alias("q"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count("l_extendedprice").alias("n"),
     ).first()
-    splits: list[float] = list(splits_row["s"] or []) if splits_row["s"] is not None else []
+    q0, q1 = (None, None) if stats["q"] is None else (stats["q"][0], stats["q"][1])
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    qty = spark.range(1).select(
+        F.lit(q0).cast("double").alias("q0"), F.lit(q1).cast("double").alias("q1")
+    )
 
-    def _bucket(col: F.Column) -> F.Column:
-        b = F.lit(0)
-        for s in splits:
-            b = b + (col > F.lit(s)).cast("int")
-        return b
-
-    counts = {
-        r["b"]: r["c"]
-        for r in v.groupBy(_bucket(F.col("v")).alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    n = sum(counts.values())
-    if n == 0:
+    v = li.select(F.col("l_extendedprice").alias("v")).where(F.col("v").isNotNull())
+    if n == 0 or lo == hi:
+        # empty -> NULLs; constant column -> every rank holds the same
+        # value, interpolation returns it exactly (matches the built-in)
+        const = None if n == 0 else hi
         price = spark.range(1).select(
-            F.lit(None).cast("double").alias("p0"),
-            F.lit(None).cast("double").alias("p1"),
+            F.lit(const).cast("double").alias("p0"),
+            F.lit(const).cast("double").alias("p1"),
         )
     else:
+        width_inv = n_buckets / (hi - lo)
+
+        def _bucket(col: F.Column) -> F.Column:
+            raw = F.floor((col - F.lit(lo)) * F.lit(width_inv))
+            return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+        counts = {
+            r["b"]: r["c"]
+            for r in v.groupBy(_bucket(F.col("v")).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
         offsets: dict[int, int] = {}
         acc = 0
         for b in sorted(counts):
@@ -324,20 +338,22 @@ def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             posv = F.lit(pos)
             aggs.append((vlo + (vhi - vlo) * (posv - F.floor(posv))).alias(f"p{i}"))
 
-        def _bucket_range(b: int) -> F.Column:
-            pred = F.lit(True)
-            if b > 0:
-                pred = pred & (F.col("v") > F.lit(splits[b - 1]))
-            if b < len(splits):
-                pred = pred & (F.col("v") <= F.lit(splits[b]))
-            return pred
-
+        # coarse pushdown range: one full spare bucket each side — the
+        # bucket expression's FP error is a few ulps of n_buckets
+        # (≈1e-12 buckets), so no row with bucket in target_buckets can
+        # fall outside this window; exact membership is re-decided by
+        # the bucket expression itself
+        w = (hi - lo) / n_buckets
         keep = None
         for b in sorted(target_buckets):
-            keep = _bucket_range(b) if keep is None else keep | _bucket_range(b)
+            rng = (F.col("v") >= F.lit(lo + (b - 1) * w)) & (
+                F.col("v") <= F.lit(lo + (b + 2) * w)
+            )
+            keep = rng if keep is None else keep | rng
         ranked = (
             v.where(keep)
             .select("v", _bucket(F.col("v")).alias("b"))
+            .where(F.col("b").isin(*[int(b) for b in target_buckets]))
             .select(
                 "v",
                 "b",
@@ -347,8 +363,8 @@ def quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         price = ranked.agg(*aggs)
 
     return qty.crossJoin(price).select(
-        F.round(F.col("q")[0], 6).alias("median_qty"),
-        F.round(F.col("q")[1], 6).alias("p95_qty"),
+        F.round(F.col("q0"), 6).alias("median_qty"),
+        F.round(F.col("q1"), 6).alias("p95_qty"),
         F.round(F.col("p0"), 6).alias("median_price"),
         F.round(F.col("p1"), 6).alias("p95_price"),
     )
